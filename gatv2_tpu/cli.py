@@ -1,0 +1,132 @@
+"""Command-line interface with full parity to the reference's flag surface.
+
+Reference CLI (README.md:85-104; parser at GATv2_edge_based.cu:936-1073):
+  --num-layers L          (default 2)
+  --heads h1,...,hL
+  --outdims d1,...,dL
+  --epochs N              (default 200)
+  --optimizer sgd|adam    (default sgd)
+  --beta1 B1 --beta2 B2   (defaults 0.9 / 0.999; error if outside (0,1) for
+                           adam, warning that they're ignored for sgd)
+  --lr A                  (default 1e-4)
+  --clip                  (flag; fixed threshold 5.0)
+  --dataset NAME          (default pubmed)
+  --data-root PATH        (default ./data; env DATA_ROOT fallback)
+
+Improvements over the reference (documented, intentional):
+  - parsing is order-INsensitive (the reference requires --num-layers before
+    --heads/--outdims, README.md:136-140);
+  - extra framework flags: --impl, --variant, --seed, --log-file,
+    --checkpoint-dir, --checkpoint-every, --resume, --mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from gatv2_tpu.config import ModelConfig, TrainConfig
+
+
+def _int_list(s: str) -> list[int]:
+    try:
+        return [int(v) for v in s.split(",") if v != ""]
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"expected comma-separated ints, got {s!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gatv2-tpu",
+        description="TPU-native GATv2 node-classification training",
+    )
+    p.add_argument("--num-layers", type=int, default=2)
+    p.add_argument("--heads", type=_int_list, default=None)
+    p.add_argument("--outdims", type=_int_list, default=None)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--optimizer", choices=["sgd", "adam"], default="sgd")
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--clip", action="store_true")
+    p.add_argument("--dataset", type=str, default="pubmed")
+    p.add_argument("--data-root", type=str, default=None)
+    # framework extensions
+    p.add_argument("--impl", choices=["xla", "pallas"], default="xla",
+                   help="attention/aggregation implementation")
+    p.add_argument("--variant", choices=["edge", "node"], default="edge",
+                   help="reference variant semantics (last-layer activation order)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="PRNG seed (default: time-based, like the reference)")
+    p.add_argument("--log-file", type=str, default=None,
+                   help="JSONL per-epoch metrics sink")
+    p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the graph over this many devices (0 = single)")
+    return p
+
+
+def parse_args(argv: list[str] | None = None) -> tuple[ModelConfig, TrainConfig, argparse.Namespace]:
+    args = build_parser().parse_args(argv)
+
+    # The reference leaves head[]/out_dim[] UNINITIALIZED when the flags are
+    # absent (`new int[L]` + no default write, GATv2_edge_based.cu:954-986) —
+    # undefined behavior. We define sane defaults instead: 1 head / 16 dims.
+    heads = args.heads if args.heads is not None else [1] * args.num_layers
+    outdims = args.outdims if args.outdims is not None else [16] * args.num_layers
+    if len(heads) != args.num_layers:
+        raise SystemExit(
+            f"Error: --heads must have {args.num_layers} comma-separated values "
+            f"(got {len(heads)})."
+        )
+    if len(outdims) != args.num_layers:
+        raise SystemExit(
+            f"Error: --outdims must have {args.num_layers} comma-separated values "
+            f"(got {len(outdims)})."
+        )
+
+    model_config = ModelConfig(
+        num_layers=args.num_layers,
+        heads=tuple(heads),
+        out_dims=tuple(outdims),
+        variant=args.variant,
+    )
+    train_config = TrainConfig(
+        epochs=args.epochs,
+        optimizer=args.optimizer,
+        lr=args.lr,
+        beta1=args.beta1,
+        beta2=args.beta2,
+        clip=args.clip,
+        seed=args.seed,
+        dataset=args.dataset,
+        data_root=args.data_root if args.data_root is not None else "",
+        impl=args.impl,
+        log_file=args.log_file,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
+    try:
+        warnings = train_config.validate()
+    except ValueError as e:
+        raise SystemExit(str(e))
+    for w in warnings:
+        print(w, file=sys.stderr)
+    return model_config, train_config, args
+
+
+def echo_config(model_config: ModelConfig, train_config: TrainConfig) -> str:
+    """Config echo in the reference's format (README.md:111-118)."""
+    return (
+        "Configuration:\n"
+        f"  Number of layers: {model_config.num_layers}\n"
+        f"  Epochs: {train_config.epochs}\n"
+        f"  Attention heads: [{', '.join(map(str, model_config.heads))}]\n"
+        f"  Output dimensions: [{', '.join(map(str, model_config.out_dims))}]\n"
+        f"  Gradient clipping: {'true' if train_config.clip else 'false'}\n"
+        f"  Optimizer: {train_config.optimizer}\n"
+        f"  Learning rate: {train_config.lr:g}\n"
+    )

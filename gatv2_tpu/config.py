@@ -1,0 +1,101 @@
+"""Model / training configuration.
+
+Mirrors the reference CLI surface and defaults (README.md:85-104,
+GATv2_edge_based.cu:934-939): L=2 layers, epochs=200, optimizer sgd,
+lr=1e-4, betas 0.9/0.999, clip off (threshold 5.0 when on), dataset pubmed,
+data root ./data with DATA_ROOT env fallback, LeakyReLU slope 0.01
+(GATv2_edge_based.cu:1143).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of a multi-layer GATv2 + linear classifier."""
+
+    num_layers: int = 2
+    heads: tuple[int, ...] = (1, 1)
+    out_dims: tuple[int, ...] = (16, 16)  # per-head output dim, per layer
+    num_classes: int = 0  # inferred from labels (max+1), reference E:1106-1107
+    in_dim: int = 0  # feature dim, inferred from features.txt
+    negative_slope: float = 0.01
+    # 'edge' = fused-W semantics incl. last-layer LeakyReLU-then-mean
+    #   (GATv2_edge_based.cu:443-448);
+    # 'node' = split-W semantics, last-layer mean-then-LeakyReLU
+    #   (GATv2_node_based.cu:548-557).
+    variant: str = "edge"
+    # dtype for activations/projections; params are kept float32.
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        if len(self.heads) != self.num_layers or len(self.out_dims) != self.num_layers:
+            raise ValueError(
+                f"--heads and --outdims must each have --num-layers={self.num_layers} "
+                f"entries; got heads={list(self.heads)} outdims={list(self.out_dims)}"
+            )
+        if self.variant not in ("edge", "node"):
+            raise ValueError(f"variant must be 'edge' or 'node', got {self.variant!r}")
+
+    @property
+    def layer_in_dims(self) -> tuple[int, ...]:
+        """in_dim of each layer: features, then heads[l-1]*out_dims[l-1].
+
+        Reference: GATv2_edge_based.cu:1115-1118 (next in_dim = H*D concat).
+        """
+        dims = [self.in_dim]
+        for l in range(1, self.num_layers):
+            dims.append(self.heads[l - 1] * self.out_dims[l - 1])
+        return tuple(dims)
+
+    @property
+    def final_dim(self) -> int:
+        """Classifier input dim: last layer averages heads -> out_dims[-1]."""
+        return self.out_dims[-1]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 200
+    optimizer: str = "sgd"  # 'sgd' | 'adam'
+    lr: float = 1e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    clip: bool = False
+    clip_norm: float = 5.0  # fixed threshold, reference E:1561-1567
+    seed: int | None = None  # None -> time-based, like reference's time(NULL)
+    dataset: str = "pubmed"
+    data_root: str = "./data"
+    # implementation of the attention/aggregation path:
+    #   'xla'    — pure jnp segment ops (oracle, runs everywhere)
+    #   'pallas' — fused row-blocked Pallas kernel (TPU)
+    impl: str = "xla"
+    log_file: str | None = None  # JSONL metrics sink
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 0  # epochs; 0 = off
+    resume: bool = False
+
+    def validate(self) -> list[str]:
+        """Returns warnings; raises on errors (mirrors reference behavior).
+
+        Adam beta range error: GATv2_edge_based.cu:1011-1015;
+        SGD beta warning: GATv2_edge_based.cu:1017-1019.
+        """
+        warnings = []
+        if self.optimizer not in ("sgd", "adam"):
+            raise ValueError(f"Unknown optimizer: {self.optimizer}")
+        if self.optimizer == "adam":
+            if not (0.0 < self.beta1 < 1.0 and 0.0 < self.beta2 < 1.0):
+                raise ValueError(
+                    "Error: beta1 and beta2 must be in range (0,1) for Adam optimizer."
+                )
+        elif self.optimizer == "sgd":
+            if self.beta1 != 0.9 or self.beta2 != 0.999:
+                warnings.append(
+                    "Warning: beta parameters are ignored when using SGD optimizer."
+                )
+        return warnings

@@ -1,0 +1,85 @@
+"""Edge-space GATv2 attention: SDDMM score -> segment softmax -> SpMM.
+
+This is the framework's hot op, replacing the reference's four ★ kernels
+(SURVEY.md §2.3): gatv2_edge_score_kernel, compute_max_sum_attn_score,
+compute_attn_coeff, aggregate_kernel — plus their backward counterparts,
+which here come from autodiff (XLA path) or a custom VJP (Pallas path).
+
+Two implementations, selectable with `impl=`:
+  'xla'    — jnp gathers + segment reductions. XLA fuses the gather /
+             elementwise / reduce chain; correct everywhere (CPU/TPU),
+             and the correctness oracle for the Pallas path.
+  'pallas' — row-blocked fused kernel (ops/pallas_attention.py): the
+             softmax+aggregation runs one dst-node tile at a time with the
+             segment-sum expressed as an on-the-fly one-hot MXU matmul;
+             avoids materializing [E, H, D] edge features and XLA scatters.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from gatv2_tpu.ops.segment import segment_softmax, segment_sum
+
+
+def edge_attention(
+    zs: jax.Array,  # [N, H, D] src projections (X @ W_src^T)
+    zd: jax.Array,  # [N, H, D] dst projections (X @ W_dst^T)
+    a: jax.Array,  # [H, D] attention vectors
+    src: jax.Array,  # [E] int32
+    dst: jax.Array,  # [E] int32, sorted ascending; padding edges use dst >= N
+    num_nodes: int,
+    *,
+    negative_slope: float,
+    impl: str = "xla",
+    edge_tiles: Any = None,
+) -> jax.Array:
+    """Returns per-head aggregated features h [N, H, D]:
+
+        e_e   = a_h . LeakyReLU(zs[src_e] + zd[dst_e])
+        alpha = segment_softmax(e, dst)
+        h_j   = sum_{e: dst_e = j} alpha_e * zs[src_e]
+    """
+    if impl == "xla":
+        return _edge_attention_xla(
+            zs, zd, a, src, dst, num_nodes, negative_slope=negative_slope
+        )
+    if impl == "pallas":
+        from gatv2_tpu.ops.pallas_attention import edge_attention_pallas
+
+        return edge_attention_pallas(
+            zs,
+            zd,
+            a,
+            src,
+            dst,
+            num_nodes,
+            negative_slope=negative_slope,
+            edge_tiles=edge_tiles,
+        )
+    raise ValueError(f"unknown impl {impl!r}; expected 'xla' or 'pallas'")
+
+
+def _edge_attention_xla(
+    zs, zd, a, src, dst, num_nodes, *, negative_slope
+) -> jax.Array:
+    zs_e = jnp.take(zs, src, axis=0)  # [E, H, D]
+    zd_e = jnp.take(zd, jnp.minimum(dst, num_nodes - 1), axis=0)
+    s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
+    e = jnp.einsum("ehd,hd->eh", s, a)  # [E, H] attention logits
+    alpha = segment_softmax(e, dst, num_nodes)  # [E, H]
+    msgs = alpha[:, :, None] * zs_e  # [E, H, D]
+    return segment_sum(msgs, dst, num_nodes)  # [N, H, D]
+
+
+def edge_scores(
+    zs, zd, a, src, dst, num_nodes, *, negative_slope
+) -> jax.Array:
+    """Raw pre-softmax scores e [E, H] — exposed for tests/parity checks."""
+    zs_e = jnp.take(zs, src, axis=0)
+    zd_e = jnp.take(zd, jnp.minimum(dst, num_nodes - 1), axis=0)
+    s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
+    return jnp.einsum("ehd,hd->eh", s, a)

@@ -1,0 +1,139 @@
+"""Training driver: jit-compiled full-graph train step + epoch loop.
+
+Replaces the reference's `main()` epoch loop (GATv2_edge_based.cu:1370-1642),
+which launches ~20 kernels per epoch with a cudaDeviceSynchronize after each.
+Here the whole epoch body — forward, loss, backward, optional clip, update —
+is ONE jit-compiled XLA program; the only host crossing per epoch is
+fetching the (loss, accuracy) scalars for printing, matching the reference's
+console contract:
+
+    Epoch 1
+    Avg Loss: 1.791234, Accuracy: 54.32%  total time: 6372.27 ms
+    (README.md:128-133)
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gatv2_tpu.config import ModelConfig, TrainConfig
+from gatv2_tpu.data.graph import Graph
+from gatv2_tpu.models import gatv2
+from gatv2_tpu.train import optim
+
+
+def make_train_step(
+    model_config: ModelConfig,
+    train_config: TrainConfig,
+    *,
+    edge_tiles: Any = None,
+    donate: bool = True,
+) -> Callable:
+    """Builds jit(train_step)(params, opt_state, t, features, src, dst, labels)
+    -> (params, opt_state, loss, acc)."""
+
+    def step(params, opt_state, t, features, src, dst, labels):
+        grad_fn = jax.value_and_grad(gatv2.loss_fn, has_aux=True)
+        (loss, acc), grads = grad_fn(
+            params,
+            features,
+            src,
+            dst,
+            labels,
+            model_config,
+            impl=train_config.impl,
+            edge_tiles=edge_tiles,
+        )
+        params, opt_state = optim.apply_updates(
+            params, grads, opt_state, t, train_config
+        )
+        return params, opt_state, loss, acc
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(
+    model_config: ModelConfig, train_config: TrainConfig, *, edge_tiles: Any = None
+) -> Callable:
+    def eval_step(params, features, src, dst, labels):
+        return gatv2.loss_fn(
+            params,
+            features,
+            src,
+            dst,
+            labels,
+            model_config,
+            impl=train_config.impl,
+            edge_tiles=edge_tiles,
+        )
+
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    """Full-graph trainer with the reference's observable behavior."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        model_config: ModelConfig,
+        train_config: TrainConfig,
+        *,
+        log_fn: Callable[[str], None] = print,
+        metrics_sink: Any = None,
+    ):
+        self.graph = graph
+        self.model_config = model_config
+        self.train_config = train_config
+        self.log = log_fn
+        self.metrics_sink = metrics_sink
+
+        pe = graph.padded_edges(128)
+        self.features = jnp.asarray(graph.features)
+        self.src = jnp.asarray(pe.src)
+        self.dst = jnp.asarray(pe.dst)
+        self.labels = jnp.asarray(graph.labels)
+
+        seed = train_config.seed
+        if seed is None:
+            seed = int(time.time())  # reference seeds with time(NULL), E:1305
+        self.key = jax.random.PRNGKey(seed)
+        self.params = gatv2.init_params(model_config, self.key)
+        self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
+        self.epoch = 0  # completed epochs
+        self._step = make_train_step(model_config, train_config)
+
+    def run(self, epochs: int | None = None) -> dict[str, float]:
+        epochs = epochs if epochs is not None else self.train_config.epochs
+        last = {}
+        for _ in range(epochs):
+            self.epoch += 1
+            t0 = time.perf_counter()
+            self.params, self.opt_state, loss, acc = self._step(
+                self.params,
+                self.opt_state,
+                jnp.asarray(self.epoch, jnp.int32),
+                self.features,
+                self.src,
+                self.dst,
+                self.labels,
+            )
+            loss = float(loss)
+            acc = float(acc)
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            self.log(f"Epoch {self.epoch}")
+            self.log(
+                f"Avg Loss: {loss:.6f}, Accuracy: {acc * 100.0:.2f}%  "
+                f"total time: {dt_ms:.2f} ms"
+            )
+            last = {"epoch": self.epoch, "loss": loss, "accuracy": acc, "ms": dt_ms}
+            if self.metrics_sink is not None:
+                self.metrics_sink.write(last)
+        return last

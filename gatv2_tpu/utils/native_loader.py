@@ -1,0 +1,117 @@
+"""ctypes bindings to the native C++ text parser (native/loader.cpp).
+
+The reference's data layer is host C++ (`load_features` /
+`load_int_array`, GATv2_edge_based.cu:24-64) — single-threaded
+istringstream parsing. Our native equivalent is a multi-threaded C++
+parser for the whitespace-number files, exposed via a tiny C ABI and
+loaded here with ctypes. If the shared library has not been built (or
+fails to load), callers fall back to numpy parsing; both paths produce
+identical arrays.
+
+Build: `make -C native` (or `python -m gatv2_tpu.utils.native_loader`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
+_LIB_PATH = _REPO_ROOT / "native" / "libgatv2_loader.so"
+
+_lib = None
+_load_attempted = False
+
+
+def _get_lib():
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not _LIB_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.parse_floats.restype = ctypes.c_longlong
+        lib.parse_floats.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+        ]
+        lib.parse_ints.restype = ctypes.c_longlong
+        lib.parse_ints.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_longlong,
+        ]
+        lib.count_numbers.restype = ctypes.c_longlong
+        lib.count_numbers.argtypes = [ctypes.c_char_p]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def build(verbose: bool = False) -> bool:
+    """Compile the native loader with g++. Returns True on success."""
+    native_dir = _REPO_ROOT / "native"
+    try:
+        subprocess.run(
+            ["make", "-C", str(native_dir)],
+            check=True,
+            capture_output=not verbose,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    global _load_attempted
+    _load_attempted = False
+    return available()
+
+
+def parse_float_file(path: os.PathLike) -> np.ndarray | None:
+    """Parse a whitespace-float file. None if native lib unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    p = str(path).encode()
+    n = lib.count_numbers(p)
+    if n < 0:
+        raise IOError(f"native loader: cannot read {path}")
+    out = np.empty(n, dtype=np.float32)
+    got = lib.parse_floats(
+        p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+    )
+    if got != n:
+        raise IOError(f"native loader: parsed {got}/{n} floats from {path}")
+    return out
+
+
+def parse_int_file(path: os.PathLike) -> np.ndarray | None:
+    """Parse a whitespace-int file. None if native lib unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    p = str(path).encode()
+    n = lib.count_numbers(p)
+    if n < 0:
+        raise IOError(f"native loader: cannot read {path}")
+    out = np.empty(n, dtype=np.int32)
+    got = lib.parse_ints(p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n)
+    if got != n:
+        raise IOError(f"native loader: parsed {got}/{n} ints from {path}")
+    return out
+
+
+if __name__ == "__main__":
+    ok = build(verbose=True)
+    print(f"native loader built: {ok}", file=sys.stderr)
+    sys.exit(0 if ok else 1)

@@ -1,0 +1,67 @@
+"""CLI parity tests: flags, defaults, validation, config echo format."""
+
+import pytest
+
+from gatv2_tpu import cli
+
+
+def test_defaults_match_reference():
+    mc, tc, _ = cli.parse_args([])
+    assert mc.num_layers == 2
+    assert tc.epochs == 200
+    assert tc.optimizer == "sgd"
+    assert tc.lr == pytest.approx(1e-4)
+    assert tc.beta1 == 0.9 and tc.beta2 == 0.999
+    assert tc.clip is False
+    assert tc.dataset == "pubmed"
+
+
+def test_full_flag_set_readme_example():
+    mc, tc, _ = cli.parse_args(
+        "--num-layers 3 --heads 4,1,1 --outdims 64,32,16 --epochs 200 "
+        "--optimizer adam --beta1 0.9 --beta2 0.999 --lr 0.01 --clip "
+        "--dataset citeseer --data-root /data/graphs".split()
+    )
+    assert mc.num_layers == 3
+    assert mc.heads == (4, 1, 1)
+    assert mc.out_dims == (64, 32, 16)
+    assert tc.optimizer == "adam"
+    assert tc.clip is True
+    assert tc.dataset == "citeseer"
+
+
+def test_order_insensitive_parsing():
+    """Improvement over the reference's order-sensitivity (README.md:136-140)."""
+    mc, _, _ = cli.parse_args("--heads 4,1 --outdims 8,8 --num-layers 2".split())
+    assert mc.heads == (4, 1)
+
+
+def test_wrong_heads_count_errors():
+    with pytest.raises(SystemExit):
+        cli.parse_args("--num-layers 3 --heads 4,1 --outdims 8,8,8".split())
+
+
+def test_adam_beta_out_of_range_errors():
+    """Mirrors GATv2_edge_based.cu:1011-1015."""
+    with pytest.raises(SystemExit):
+        cli.parse_args("--optimizer adam --beta1 1.5".split())
+
+
+def test_sgd_with_betas_warns(capsys):
+    """Mirrors GATv2_edge_based.cu:1017-1019."""
+    cli.parse_args("--optimizer sgd --beta1 0.5".split())
+    assert "ignored" in capsys.readouterr().err
+
+
+def test_config_echo_format():
+    mc, tc, _ = cli.parse_args(
+        "--num-layers 3 --heads 4,1,1 --outdims 64,32,16 --optimizer adam "
+        "--lr 0.01 --clip".split()
+    )
+    echo = cli.echo_config(mc, tc)
+    assert "Number of layers: 3" in echo
+    assert "Attention heads: [4, 1, 1]" in echo
+    assert "Output dimensions: [64, 32, 16]" in echo
+    assert "Gradient clipping: true" in echo
+    assert "Optimizer: adam" in echo
+    assert "Learning rate: 0.01" in echo

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Training entry point — the counterpart of the reference's `./train_node` /
+`./train_edge` executables (GATv2_edge_based.cu:927 `main`).
+
+Example (mirrors README.md:107):
+    python train.py --num-layers 3 --heads 4,1,1 --outdims 64,32,16 \
+        --epochs 200 --optimizer adam --beta1 0.9 --beta2 0.999 --lr 0.01 \
+        --clip --dataset citeseer --data-root /data/graphs
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import jax
+
+
+def main(argv: list[str] | None = None) -> int:
+    from gatv2_tpu import cli
+    from gatv2_tpu.data.io import load_dataset, resolve_dataset_dir
+    from gatv2_tpu.train.loop import Trainer
+    from gatv2_tpu.train import checkpoint as ckpt
+    from gatv2_tpu.utils.metrics import JsonlSink, device_memory_report
+
+    model_config, train_config, args = cli.parse_args(argv)
+
+    print(cli.echo_config(model_config, train_config))
+    data_root = args.data_root  # None -> DATA_ROOT env or ./data
+    dataset_dir = resolve_dataset_dir(train_config.dataset, data_root)
+    print(f"Using dataset: {train_config.dataset}")
+    print(f"Dataset path: {dataset_dir}/")
+
+    graph = load_dataset(train_config.dataset, data_root)
+    model_config = dataclasses.replace(
+        model_config, num_classes=graph.num_classes, in_dim=graph.feature_dim
+    )
+    print(f"Max degree = {graph.max_degree}")
+    print(f"Number of classes = {graph.num_classes}")
+    print(
+        f"Graph loaded: {graph.num_nodes} nodes, {graph.num_edges} edges, "
+        f"input_feature_vector_dim = {graph.feature_dim}"
+    )
+    mem_before = device_memory_report()
+
+    sink = JsonlSink(train_config.log_file) if train_config.log_file else None
+    trainer = Trainer(graph, model_config, train_config, metrics_sink=sink)
+
+    if train_config.resume and train_config.checkpoint_dir:
+        if ckpt.restore_into(train_config.checkpoint_dir, trainer):
+            print(f"Resumed from checkpoint at epoch {trainer.epoch}")
+
+    mem_after = device_memory_report()
+    for dev in mem_after:
+        used = (mem_after[dev] - mem_before.get(dev, 0)) / 1e6
+        print(f"Device memory allocated on {dev}: {used:.1f} MB")
+
+    remaining = train_config.epochs - trainer.epoch
+    every = train_config.checkpoint_every
+    if train_config.checkpoint_dir and every > 0:
+        while trainer.epoch < train_config.epochs:
+            n = min(every, train_config.epochs - trainer.epoch)
+            trainer.run(n)
+            ckpt.save(
+                train_config.checkpoint_dir,
+                trainer.params,
+                trainer.opt_state,
+                trainer.epoch,
+            )
+    elif remaining > 0:
+        trainer.run(remaining)
+        if train_config.checkpoint_dir:
+            ckpt.save(
+                train_config.checkpoint_dir,
+                trainer.params,
+                trainer.opt_state,
+                trainer.epoch,
+            )
+    if sink is not None:
+        sink.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
