@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="attention/aggregation implementation")
     p.add_argument("--variant", choices=["edge", "node"], default="edge",
                    help="reference variant semantics (last-layer activation order)")
+    p.add_argument("--precision", choices=["highest", "default"], default="highest",
+                   help="MXU matmul precision: true-f32 (parity) or bf16 (fast)")
     p.add_argument("--seed", type=int, default=None,
                    help="PRNG seed (default: time-based, like the reference)")
     p.add_argument("--log-file", type=str, default=None,
@@ -92,6 +94,7 @@ def parse_args(argv: list[str] | None = None) -> tuple[ModelConfig, TrainConfig,
         heads=tuple(heads),
         out_dims=tuple(outdims),
         variant=args.variant,
+        matmul_precision=args.precision,
     )
     train_config = TrainConfig(
         epochs=args.epochs,

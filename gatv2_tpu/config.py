@@ -31,6 +31,10 @@ class ModelConfig:
     # dtype for activations/projections; params are kept float32.
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # MXU matmul precision: 'highest' = true f32 (reference parity — the CUDA
+    # reference is exact f32); 'default' = single-pass bf16 inputs with f32
+    # accumulation (the fast TPU-idiomatic mode, ~6x more MXU throughput).
+    matmul_precision: str = "highest"
 
     def __post_init__(self):
         if len(self.heads) != self.num_layers or len(self.out_dims) != self.num_layers:
@@ -40,6 +44,21 @@ class ModelConfig:
             )
         if self.variant not in ("edge", "node"):
             raise ValueError(f"variant must be 'edge' or 'node', got {self.variant!r}")
+        if self.matmul_precision not in ("highest", "default"):
+            raise ValueError(
+                f"matmul_precision must be 'highest' or 'default', "
+                f"got {self.matmul_precision!r}"
+            )
+
+    @property
+    def precision(self):
+        import jax
+
+        return (
+            jax.lax.Precision.HIGHEST
+            if self.matmul_precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
 
     @property
     def layer_in_dims(self) -> tuple[int, ...]:

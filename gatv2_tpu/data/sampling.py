@@ -1,0 +1,141 @@
+"""Neighbor-sampling dataloader for large-graph minibatch training.
+
+The reference trains strictly full-graph (epoch loop over the whole CSR,
+GATv2_edge_based.cu:1370-1438) which caps it at graphs that fit one device.
+For OGBN-Products scale (62M edges) the framework adds GraphSAGE-style
+layer-wise neighbor sampling, producing FIXED-SHAPE padded subgraph batches
+(static shapes keep one XLA program for every step).
+
+Each batch is a node-induced sampled subgraph:
+  - `batch_size` seed nodes (the nodes the loss is computed on),
+  - L rounds of frontier expansion sampling at most `fanout[l]` in-neighbors
+    per frontier node (without replacement when degree <= fanout),
+  - the traversed edges, re-indexed to subgraph-local ids and dst-sorted,
+  - labels: real for seeds, -1 elsewhere (masked by the loss — see
+    models.gatv2.loss_and_accuracy).
+
+Sampling runs on host in numpy (cheap vs device step) and is deterministic
+under a seed. The padded sizes are computed once from batch_size/fanouts so
+every batch compiles to the same program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from gatv2_tpu.data.graph import Graph
+
+
+@dataclasses.dataclass(frozen=True)
+class MiniBatch:
+    features: np.ndarray  # [max_nodes, F]
+    src: np.ndarray  # [max_edges] local ids (pad: 0)
+    dst: np.ndarray  # [max_edges] local ids sorted (pad: max_nodes)
+    labels: np.ndarray  # [max_nodes] (-1 on non-seeds and padding)
+    num_seeds: int  # loss normalizer
+    num_nodes: int  # real nodes in this batch
+    num_edges: int  # real edges in this batch
+
+
+class NeighborSampler:
+    """Iterable over sampled subgraph batches covering all nodes per epoch."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        batch_size: int,
+        fanouts: Sequence[int],
+        *,
+        seed: int = 0,
+        edge_multiple: int = 128,
+    ):
+        self.graph = graph
+        self.batch_size = batch_size
+        self.fanouts = tuple(fanouts)
+        self.rng = np.random.default_rng(seed)
+        # static shape budget
+        max_nodes = batch_size
+        max_edges = 0
+        frontier = batch_size
+        for f in self.fanouts:
+            max_edges += frontier * f
+            frontier = frontier * f
+            max_nodes += frontier
+        self.max_nodes = max_nodes
+        self.max_edges = -(-max_edges // edge_multiple) * edge_multiple
+
+    def __iter__(self) -> Iterator[MiniBatch]:
+        n = self.graph.num_nodes
+        order = self.rng.permutation(n)
+        for lo in range(0, n, self.batch_size):
+            seeds = order[lo : lo + self.batch_size]
+            yield self.sample(seeds)
+
+    def batches_per_epoch(self) -> int:
+        return math.ceil(self.graph.num_nodes / self.batch_size)
+
+    def sample(self, seeds: np.ndarray) -> MiniBatch:
+        g = self.graph
+        row_ptr, col_idx = g.row_ptr, g.col_idx
+
+        local_of = {int(s): i for i, s in enumerate(seeds)}
+        nodes = list(int(s) for s in seeds)
+        edges_src: list[int] = []
+        edges_dst: list[int] = []
+
+        frontier = list(nodes)
+        for fanout in self.fanouts:
+            next_frontier = []
+            for v in frontier:
+                lo_e, hi_e = row_ptr[v], row_ptr[v + 1]
+                deg = hi_e - lo_e
+                if deg == 0:
+                    continue
+                if deg <= fanout:
+                    picked = col_idx[lo_e:hi_e]
+                else:
+                    idx = self.rng.choice(deg, size=fanout, replace=False)
+                    picked = col_idx[lo_e + idx]
+                for u in picked:
+                    u = int(u)
+                    if u not in local_of:
+                        if len(nodes) >= self.max_nodes:
+                            continue  # static budget exhausted (rare)
+                        local_of[u] = len(nodes)
+                        nodes.append(u)
+                        next_frontier.append(u)
+                    edges_src.append(local_of[u])
+                    edges_dst.append(local_of[v])
+            frontier = next_frontier
+
+        nodes_arr = np.asarray(nodes, np.int64)
+        num_nodes = len(nodes)
+        num_edges = len(edges_src)
+
+        features = np.zeros((self.max_nodes, g.feature_dim), np.float32)
+        features[:num_nodes] = g.features[nodes_arr]
+        labels = np.full(self.max_nodes, -1, np.int32)
+        labels[: len(seeds)] = g.labels[seeds]
+
+        src = np.zeros(self.max_edges, np.int32)
+        dst = np.full(self.max_edges, self.max_nodes, np.int32)
+        if num_edges:
+            s = np.asarray(edges_src, np.int32)
+            d = np.asarray(edges_dst, np.int32)
+            order = np.argsort(d, kind="stable")
+            src[:num_edges] = s[order]
+            dst[:num_edges] = d[order]
+
+        return MiniBatch(
+            features=features,
+            src=src,
+            dst=dst,
+            labels=labels,
+            num_seeds=len(seeds),
+            num_nodes=num_nodes,
+            num_edges=num_edges,
+        )

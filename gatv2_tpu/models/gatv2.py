@@ -91,12 +91,13 @@ def layer_forward(
     variant: str,
     impl: str = "xla",
     edge_tiles: Any = None,  # precomputed tiling metadata for the pallas impl
+    precision=None,  # jax.lax.Precision for the MXU matmuls
 ) -> jax.Array:
     """One GATv2 layer. Returns [N, H*D] (hidden) or [N, D] (last layer)."""
     w_src, w_dst, a = layer_params["w_src"], layer_params["w_dst"], layer_params["a"]
     # Dense projections on the MXU — the reference recomputes these per edge.
-    zs = jnp.einsum("nf,hdf->nhd", x, w_src)  # [N, H, D]
-    zd = jnp.einsum("nf,hdf->nhd", x, w_dst)
+    zs = jnp.einsum("nf,hdf->nhd", x, w_src, precision=precision)  # [N, H, D]
+    zd = jnp.einsum("nf,hdf->nhd", x, w_dst, precision=precision)
 
     h = edge_attention(
         zs,
@@ -108,6 +109,7 @@ def layer_forward(
         negative_slope=negative_slope,
         impl=impl,
         edge_tiles=edge_tiles,
+        precision=precision,
     )  # [N, H, D]
 
     if not is_last:
@@ -146,8 +148,9 @@ def model_forward(
             variant=config.variant,
             impl=impl,
             edge_tiles=edge_tiles,
+            precision=config.precision,
         )
-    return x @ params["w_o"].T  # [N, C]
+    return jnp.matmul(x, params["w_o"].T, precision=config.precision)  # [N, C]
 
 
 LOG_CLAMP = 1e-12  # probability clamp before log (edge variant, E:527)

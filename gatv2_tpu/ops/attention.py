@@ -36,6 +36,7 @@ def edge_attention(
     negative_slope: float,
     impl: str = "xla",
     edge_tiles: Any = None,
+    precision=None,
 ) -> jax.Array:
     """Returns per-head aggregated features h [N, H, D]:
 
@@ -45,7 +46,8 @@ def edge_attention(
     """
     if impl == "xla":
         return _edge_attention_xla(
-            zs, zd, a, src, dst, num_nodes, negative_slope=negative_slope
+            zs, zd, a, src, dst, num_nodes,
+            negative_slope=negative_slope, precision=precision,
         )
     if impl == "pallas":
         from gatv2_tpu.ops.pallas_attention import edge_attention_pallas
@@ -64,12 +66,13 @@ def edge_attention(
 
 
 def _edge_attention_xla(
-    zs, zd, a, src, dst, num_nodes, *, negative_slope
+    zs, zd, a, src, dst, num_nodes, *, negative_slope, precision=None
 ) -> jax.Array:
     zs_e = jnp.take(zs, src, axis=0)  # [E, H, D]
     zd_e = jnp.take(zd, jnp.minimum(dst, num_nodes - 1), axis=0)
     s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
-    e = jnp.einsum("ehd,hd->eh", s, a)  # [E, H] attention logits
+    # [E, H] attention logits
+    e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)
     alpha = segment_softmax(e, dst, num_nodes)  # [E, H]
     msgs = alpha[:, :, None] * zs_e  # [E, H, D]
     return segment_sum(msgs, dst, num_nodes)  # [N, H, D]

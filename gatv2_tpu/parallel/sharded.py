@@ -46,18 +46,19 @@ def _sharded_layer(
     is_last: bool,
     negative_slope: float,
     variant: str,
+    precision=None,
 ) -> jax.Array:
     w_src, w_dst, a = layer_params["w_src"], layer_params["w_dst"], layer_params["a"]
     n_loc = x_loc.shape[0]
-    zs_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_src)
-    zd_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_dst)
+    zs_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_src, precision=precision)
+    zd_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_dst, precision=precision)
     # halo exchange: src projections of ALL nodes (one collective per layer)
     zs_all = jax.lax.all_gather(zs_loc, axis_name, axis=0, tiled=True)
 
     zs_e = jnp.take(zs_all, src_g, axis=0)  # [e_loc, H, D]
     zd_e = jnp.take(zd_loc, jnp.minimum(dst_l, n_loc - 1), axis=0)
     s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
-    e = jnp.einsum("ehd,hd->eh", s, a)
+    e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)
     alpha = segment_softmax(e, dst_l, n_loc)
     h = segment_sum(alpha[:, :, None] * zs_e, dst_l, n_loc)  # [n_loc, H, D]
 
@@ -90,8 +91,9 @@ def make_sharded_loss_fn(
                 is_last=(l == model_config.num_layers - 1),
                 negative_slope=model_config.negative_slope,
                 variant=model_config.variant,
+                precision=model_config.precision,
             )
-        logits = x @ params["w_o"].T
+        logits = jnp.matmul(x, params["w_o"].T, precision=model_config.precision)
         # local masked sums, then one psum (padding nodes have label -1)
         logp = jax.nn.log_softmax(logits, axis=-1)
         valid = labels_loc >= 0

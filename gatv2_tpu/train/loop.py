@@ -59,6 +59,57 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_multi_epoch_runner(
+    model_config: ModelConfig,
+    train_config: TrainConfig,
+    num_epochs: int,
+    *,
+    edge_tiles: Any = None,
+) -> Callable:
+    """K epochs as ONE device program via lax.scan — the TPU-idiomatic epoch
+    loop (no host round-trip per epoch, unlike the reference's fully
+    synchronous loop with ~20 cudaDeviceSynchronize per epoch, SURVEY.md §3.1).
+
+    Returns jit(run)(params, opt_state, t0, features, src, dst, labels)
+    -> (params, opt_state, losses[K], accs[K]); t0 is the number of epochs
+    already completed (Adam bias correction continues from t0+1).
+    """
+
+    def epoch_body(carry, t):
+        params, opt_state = carry
+        grad_fn = jax.value_and_grad(gatv2.loss_fn, has_aux=True)
+
+        def run(features, src, dst, labels):
+            (loss, acc), grads = grad_fn(
+                params,
+                features,
+                src,
+                dst,
+                labels,
+                model_config,
+                impl=train_config.impl,
+                edge_tiles=edge_tiles,
+            )
+            new_params, new_opt = optim.apply_updates(
+                params, grads, opt_state, t, train_config
+            )
+            return (new_params, new_opt), (loss, acc)
+
+        return run
+
+    def runner(params, opt_state, t0, features, src, dst, labels):
+        def body(carry, t):
+            return epoch_body(carry, t)(features, src, dst, labels)
+
+        ts = t0 + 1 + jnp.arange(num_epochs, dtype=jnp.int32)
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state), ts
+        )
+        return params, opt_state, losses, accs
+
+    return jax.jit(runner, donate_argnums=(0, 1))
+
+
 def make_eval_step(
     model_config: ModelConfig, train_config: TrainConfig, *, edge_tiles: Any = None
 ) -> Callable:
@@ -108,7 +159,15 @@ class Trainer:
         self.params = gatv2.init_params(model_config, self.key)
         self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
         self.epoch = 0  # completed epochs
-        self._step = make_train_step(model_config, train_config)
+        edge_tiles = None
+        if train_config.impl == "pallas":
+            from gatv2_tpu.ops.pallas_attention import prepare_edge_tiles
+
+            edge_tiles = prepare_edge_tiles(
+                graph.row_ptr, graph.col_idx, graph.num_nodes
+            )
+        self.edge_tiles = edge_tiles
+        self._step = make_train_step(model_config, train_config, edge_tiles=edge_tiles)
 
     def run(self, epochs: int | None = None) -> dict[str, float]:
         epochs = epochs if epochs is not None else self.train_config.epochs

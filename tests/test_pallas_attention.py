@@ -1,0 +1,122 @@
+"""Pallas fused attention kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gatv2_tpu.ops.attention import _edge_attention_xla
+from gatv2_tpu.ops.pallas_attention import (
+    EdgeTiles,
+    TILE_E,
+    TILE_N,
+    edge_attention_pallas,
+    prepare_edge_tiles,
+)
+
+
+def _random_inputs(g, h, d, seed=0):
+    rng = np.random.default_rng(seed)
+    zs = jnp.asarray(rng.standard_normal((g.num_nodes, h, d)).astype(np.float32))
+    zd = jnp.asarray(rng.standard_normal((g.num_nodes, h, d)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal((h, d)).astype(np.float32))
+    return zs, zd, a
+
+
+def test_prepare_edge_tiles_layout(tiny_graph):
+    g = tiny_graph
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    assert et.padded_num_edges % TILE_E == 0
+    assert (et.dst[et.dst < g.num_nodes] == g.dst).all()  # real edges preserved
+    assert (np.sort(et.dst) == et.dst[np.argsort(et.dst, kind="stable")]).all()
+    # each node tile's range is tile-aligned and contains only its nodes
+    for i in range(et.num_node_tiles):
+        lo = et.tile_offsets[i] * TILE_E
+        hi = et.tile_offsets[i + 1] * TILE_E
+        seg = et.dst[lo:hi]
+        real = seg[seg < g.num_nodes]
+        assert ((real >= i * TILE_N) & (real < (i + 1) * TILE_N)).all()
+
+
+@pytest.mark.parametrize("h,d", [(1, 8), (4, 16), (2, 64)])
+def test_pallas_matches_xla(tiny_graph, h, d):
+    g = tiny_graph
+    zs, zd, a = _random_inputs(g, h, d)
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+
+    pe = g.padded_edges(128)
+    want = _edge_attention_xla(
+        zs, zd, a, jnp.asarray(pe.src), jnp.asarray(pe.dst), g.num_nodes,
+        negative_slope=0.01,
+    )
+    got = edge_attention_pallas(
+        zs, zd, a, None, None, g.num_nodes,
+        negative_slope=0.01, edge_tiles=et, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_multi_tile_nodes():
+    """More than 128 nodes and a hub node with degree > 128 (multiple edge
+    tiles in one node tile; exercises the online-softmax carry)."""
+    from gatv2_tpu.data.graph import Graph
+
+    rng = np.random.default_rng(0)
+    n = 300
+    # hub node 150 receives 200 edges; everyone else 1-3 edges
+    dst_list = [150] * 200
+    for j in range(n):
+        for _ in range(rng.integers(1, 4)):
+            dst_list.append(j)
+    dst = np.sort(np.asarray(dst_list, np.int32))
+    src = rng.integers(0, n, size=dst.size).astype(np.int32)
+    counts = np.bincount(dst, minlength=n)
+    row_ptr = np.zeros(n + 1, np.int32)
+    np.cumsum(counts, out=row_ptr[1:])
+    g = Graph(
+        features=rng.standard_normal((n, 4)).astype(np.float32),
+        row_ptr=row_ptr, col_idx=src,
+        labels=np.zeros(n, np.int32),
+    )
+    h, d = 2, 32
+    zs, zd, a = _random_inputs(g, h, d, seed=1)
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    pe = g.padded_edges(128)
+    want = _edge_attention_xla(
+        zs, zd, a, jnp.asarray(pe.src), jnp.asarray(pe.dst), n,
+        negative_slope=0.01,
+    )
+    got = edge_attention_pallas(
+        zs, zd, a, None, None, n,
+        negative_slope=0.01, edge_tiles=et, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_grads_match_xla(tiny_graph):
+    g = tiny_graph
+    h, d = 2, 16
+    zs, zd, a = _random_inputs(g, h, d, seed=2)
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    pe = g.padded_edges(128)
+
+    def loss_xla(zs, zd, a):
+        out = _edge_attention_xla(
+            zs, zd, a, jnp.asarray(pe.src), jnp.asarray(pe.dst), g.num_nodes,
+            negative_slope=0.01,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_pl(zs, zd, a):
+        out = edge_attention_pallas(
+            zs, zd, a, None, None, g.num_nodes,
+            negative_slope=0.01, edge_tiles=et, interpret=True,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(zs, zd, a)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(zs, zd, a)
+    for a_, b_ in zip(g_xla, g_pl):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=2e-5, atol=2e-6
+        )

@@ -1,0 +1,141 @@
+"""Neighbor sampling + minibatch training (single-device and data-parallel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gatv2_tpu.config import ModelConfig, TrainConfig
+from gatv2_tpu.data.sampling import NeighborSampler
+from gatv2_tpu.models.gatv2 import init_params
+from gatv2_tpu.parallel.mesh import make_mesh
+from gatv2_tpu.train import optim
+from gatv2_tpu.train.minibatch import (
+    make_dp_minibatch_step,
+    make_minibatch_step,
+    stack_batches,
+)
+
+
+def _cfg(graph):
+    return ModelConfig(
+        num_layers=2, heads=(2, 1), out_dims=(8, 8),
+        num_classes=graph.num_classes, in_dim=graph.feature_dim,
+    )
+
+
+def test_sampler_shapes_and_validity(learnable_graph):
+    g = learnable_graph
+    sampler = NeighborSampler(g, batch_size=32, fanouts=(5, 5), seed=0)
+    batches = list(sampler)
+    assert len(batches) == sampler.batches_per_epoch()
+    seen_seeds = 0
+    for b in batches:
+        assert b.features.shape == (sampler.max_nodes, g.feature_dim)
+        assert b.src.shape == (sampler.max_edges,)
+        # real edges reference real local nodes; dst sorted
+        real = b.dst < sampler.max_nodes
+        assert (b.dst[real][:-1] <= b.dst[real][1:]).all() if real.any() else True
+        assert (b.src[: b.num_edges] < b.num_nodes).all()
+        assert (b.dst[: b.num_edges] < b.num_nodes).all()
+        seen_seeds += b.num_seeds
+        # sampled edges exist in the original graph
+        for k in range(min(10, b.num_edges)):
+            pass  # structural containment is checked via training behavior
+    assert seen_seeds == g.num_nodes  # epoch covers every node as seed
+
+
+def test_sampled_edges_exist_in_graph(learnable_graph):
+    g = learnable_graph
+    sampler = NeighborSampler(g, batch_size=16, fanouts=(4,), seed=1)
+    b = next(iter(sampler))
+    # reconstruct global ids: node i of the batch is... verify via features
+    # (features are unique with overwhelming probability)
+    for k in range(b.num_edges):
+        s_feat = b.features[b.src[k]]
+        d_feat = b.features[b.dst[k]]
+        s_glob = np.where((g.features == s_feat).all(axis=1))[0]
+        d_glob = np.where((g.features == d_feat).all(axis=1))[0]
+        assert s_glob.size == 1 and d_glob.size == 1
+        lo, hi = g.row_ptr[d_glob[0]], g.row_ptr[d_glob[0] + 1]
+        assert s_glob[0] in g.col_idx[lo:hi]
+        if k > 20:
+            break
+
+
+def test_minibatch_training_learns(learnable_graph):
+    g = learnable_graph
+    config = _cfg(g)
+    tc = TrainConfig(optimizer="adam", lr=0.01, seed=0)
+    sampler = NeighborSampler(g, batch_size=64, fanouts=(8, 4), seed=0)
+    params = init_params(config, jax.random.PRNGKey(0))
+    opt_state = optim.init_opt_state(params, "adam")
+    step = make_minibatch_step(config, tc)
+
+    t, losses = 0, []
+    for epoch in range(8):
+        for b in sampler:
+            t += 1
+            params, opt_state, loss, acc = step(
+                params, opt_state, jnp.asarray(t, jnp.int32),
+                jnp.asarray(b.features), jnp.asarray(b.src),
+                jnp.asarray(b.dst), jnp.asarray(b.labels),
+                jnp.asarray(b.num_seeds, jnp.int32),
+            )
+            losses.append(float(loss))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_dp_minibatch_step(learnable_graph):
+    g = learnable_graph
+    config = _cfg(g)
+    tc = TrainConfig(optimizer="adam", lr=0.01, seed=0)
+    mesh = make_mesh(4, axis_name="data")
+    sampler = NeighborSampler(g, batch_size=16, fanouts=(4, 4), seed=0)
+    it = iter(sampler)
+    batches = [next(it) for _ in range(4)]
+
+    params = init_params(config, jax.random.PRNGKey(0))
+    opt_state = optim.init_opt_state(params, "adam")
+    step = make_dp_minibatch_step(config, tc, mesh)
+    args = stack_batches(batches, mesh)
+    params, opt_state, loss, acc = step(
+        params, opt_state, jnp.asarray(1, jnp.int32), *args
+    )
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(acc) <= 1.0
+
+
+def test_dp_grads_equal_mean_of_local_grads(learnable_graph):
+    """DP step result == average of per-batch grads applied once."""
+    g = learnable_graph
+    config = _cfg(g)
+    tc = TrainConfig(optimizer="sgd", lr=0.1, seed=0)
+    mesh = make_mesh(2, axis_name="data")
+    sampler = NeighborSampler(g, batch_size=16, fanouts=(4,), seed=3)
+    it = iter(sampler)
+    batches = [next(it), next(it)]
+
+    params = init_params(config, jax.random.PRNGKey(1))
+    opt_state = optim.init_opt_state(params, "sgd")
+
+    from gatv2_tpu.models.gatv2 import loss_fn
+
+    grads = []
+    for b in batches:
+        grads.append(
+            jax.grad(
+                lambda p: loss_fn(
+                    p, jnp.asarray(b.features), jnp.asarray(b.src),
+                    jnp.asarray(b.dst), jnp.asarray(b.labels), config,
+                    num_valid=b.num_seeds,
+                )[0]
+            )(params)
+        )
+    mean_grads = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    want = jax.tree.map(lambda p, g_: p - 0.1 * g_, params, mean_grads)
+
+    step = make_dp_minibatch_step(config, tc, mesh, donate=False)
+    args = stack_batches(batches, mesh)
+    got, _, _, _ = step(params, opt_state, jnp.asarray(1, jnp.int32), *args)
+    for a, b_ in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-7)
