@@ -93,7 +93,30 @@ def test_pallas_multi_tile_nodes():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 
-def test_pallas_grads_match_xla(tiny_graph):
+def test_src_sorted_tiling_layout(tiny_graph):
+    """The backward's transpose-graph (CSC-view) tiling is consistent."""
+    g = tiny_graph
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    assert et.src_sorted_ids is not None
+    e2 = et.src_sorted_ids.shape[0]
+    assert e2 % TILE_E == 0 and et.gather_perm.shape == (e2,)
+    real = et.src_sorted_ids < g.num_nodes
+    # every real edge of the dst layout appears exactly once
+    assert real.sum() == (et.dst < g.num_nodes).sum()
+    # gather_perm points each src-sorted slot at an edge with that src id
+    assert (et.src[et.gather_perm[real]] == et.src_sorted_ids[real]).all()
+    assert (et.dst[et.gather_perm[real]] < g.num_nodes).all()
+    # per-tile ranges hold only that tile's src nodes, tile-aligned
+    for i in range(et.num_node_tiles):
+        lo = et.src_tile_offsets[i] * TILE_E
+        hi = et.src_tile_offsets[i + 1] * TILE_E
+        seg = et.src_sorted_ids[lo:hi]
+        r = seg[seg < g.num_nodes]
+        assert ((r >= i * TILE_N) & (r < (i + 1) * TILE_N)).all()
+
+
+@pytest.mark.parametrize("bwd_impl", ["pallas", "xla"])
+def test_pallas_grads_match_xla(tiny_graph, bwd_impl):
     g = tiny_graph
     h, d = 2, 16
     zs, zd, a = _random_inputs(g, h, d, seed=2)
@@ -111,6 +134,7 @@ def test_pallas_grads_match_xla(tiny_graph):
         out = edge_attention_pallas(
             zs, zd, a, None, None, g.num_nodes,
             negative_slope=0.01, edge_tiles=et, interpret=True,
+            bwd_impl=bwd_impl,
         )
         return jnp.sum(jnp.sin(out))
 
@@ -119,4 +143,57 @@ def test_pallas_grads_match_xla(tiny_graph):
     for a_, b_ in zip(g_xla, g_pl):
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_pallas_bwd_multi_tile_hub():
+    """Pallas backward on a graph with >128 nodes, a degree-200 dst hub
+    (multi-edge-tile online stats in the bwd recompute) and a src hub
+    (multi-edge-tile segment sum in the d_zs kernel)."""
+    from gatv2_tpu.data.graph import Graph
+
+    rng = np.random.default_rng(3)
+    n = 300
+    dst_list = [150] * 200  # dst hub
+    for j in range(n):
+        for _ in range(rng.integers(1, 4)):
+            dst_list.append(j)
+    dst = np.sort(np.asarray(dst_list, np.int32))
+    src = rng.integers(0, n, size=dst.size).astype(np.int32)
+    src[: src.size // 2] = 42  # src hub feeding many dst segments
+    counts = np.bincount(dst, minlength=n)
+    row_ptr = np.zeros(n + 1, np.int32)
+    np.cumsum(counts, out=row_ptr[1:])
+    g = Graph(
+        features=rng.standard_normal((n, 4)).astype(np.float32),
+        row_ptr=row_ptr, col_idx=src,
+        labels=np.zeros(n, np.int32),
+    )
+    h, d = 2, 32
+    zs, zd, a = _random_inputs(g, h, d, seed=4)
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    pe = g.padded_edges(128)
+
+    def loss_xla(zs, zd, a):
+        out = _edge_attention_xla(
+            zs, zd, a, jnp.asarray(pe.src), jnp.asarray(pe.dst), n,
+            negative_slope=0.01,
+        )
+        return jnp.sum(jnp.cos(out))
+
+    def loss_pl(zs, zd, a):
+        out = edge_attention_pallas(
+            zs, zd, a, None, None, n,
+            negative_slope=0.01, edge_tiles=et, interpret=True,
+        )
+        return jnp.sum(jnp.cos(out))
+
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(zs, zd, a)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(zs, zd, a)
+    for a_, b_ in zip(g_xla, g_pl):
+        # tolerances dominated by f32 summation-order differences over the
+        # 200-edge hub segment (cancellation in alpha*(dalpha - r); d_a sums
+        # ~1000 edge terms in per-tile order vs XLA's reduction tree)
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=2e-5
         )
