@@ -42,7 +42,7 @@ CONFIGS = {
 
 
 def bench_config(
-    name, *, k1=8, k2=40, reps=3, impl="xla", seed=0, precision="highest"
+    name, *, k1=8, k2=40, reps=3, impl="pallas", seed=0, precision="highest"
 ):
     import jax
     import jax.numpy as jnp
@@ -113,7 +113,7 @@ def bench_config(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="citeseer3", choices=list(CONFIGS))
-    ap.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--precision", default="highest", choices=["highest", "default"])
     ap.add_argument("--all", action="store_true", help="bench every config (stderr)")
     args = ap.parse_args()

@@ -56,8 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="attention/aggregation implementation")
     p.add_argument("--variant", choices=["edge", "node"], default="edge",
                    help="reference variant semantics (last-layer activation order)")
-    p.add_argument("--precision", choices=["highest", "default"], default="highest",
-                   help="MXU matmul precision: true-f32 (parity) or bf16 (fast)")
+    p.add_argument("--precision", choices=["highest", "high", "default"], default="highest",
+                   help="MXU matmul precision: true-f32 (parity), bf16x3 "
+                        "(near-f32, ~2x faster), or bf16 (fastest)")
     p.add_argument("--seed", type=int, default=None,
                    help="PRNG seed (default: time-based, like the reference)")
     p.add_argument("--log-file", type=str, default=None,

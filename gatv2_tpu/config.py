@@ -44,9 +44,9 @@ class ModelConfig:
             )
         if self.variant not in ("edge", "node"):
             raise ValueError(f"variant must be 'edge' or 'node', got {self.variant!r}")
-        if self.matmul_precision not in ("highest", "default"):
+        if self.matmul_precision not in ("highest", "high", "default"):
             raise ValueError(
-                f"matmul_precision must be 'highest' or 'default', "
+                f"matmul_precision must be 'highest', 'high' or 'default', "
                 f"got {self.matmul_precision!r}"
             )
 
@@ -54,11 +54,11 @@ class ModelConfig:
     def precision(self):
         import jax
 
-        return (
-            jax.lax.Precision.HIGHEST
-            if self.matmul_precision == "highest"
-            else jax.lax.Precision.DEFAULT
-        )
+        return {
+            "highest": jax.lax.Precision.HIGHEST,  # exact f32 (parity mode)
+            "high": jax.lax.Precision.HIGH,  # bf16x3 passes, ~f32 accuracy
+            "default": jax.lax.Precision.DEFAULT,  # bf16 in, f32 accumulate
+        }[self.matmul_precision]
 
     @property
     def layer_in_dims(self) -> tuple[int, ...]:

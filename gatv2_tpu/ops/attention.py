@@ -50,8 +50,16 @@ def edge_attention(
             negative_slope=negative_slope, precision=precision,
         )
     if impl == "pallas":
+        import jax.lax as lax
+
         from gatv2_tpu.ops.pallas_attention import edge_attention_pallas
 
+        prec_name = {
+            lax.Precision.HIGHEST: "highest",
+            lax.Precision.HIGH: "high",
+            lax.Precision.DEFAULT: "default",
+            None: "highest",
+        }[precision]
         return edge_attention_pallas(
             zs,
             zd,
@@ -61,6 +69,7 @@ def edge_attention(
             num_nodes,
             negative_slope=negative_slope,
             edge_tiles=edge_tiles,
+            precision=prec_name,
         )
     raise ValueError(f"unknown impl {impl!r}; expected 'xla' or 'pallas'")
 

@@ -1,50 +1,51 @@
-"""Fused GATv2 attention Pallas kernel (TPU).
+"""Fused GATv2 attention Pallas kernels (TPU), forward and backward.
 
-Replaces the reference's four-kernel edge pipeline (score -> max/sumexp ->
-normalize -> atomicAdd aggregate, GATv2_edge_based.cu:1386-1428) with ONE
-row-blocked kernel that processes 128 destination nodes at a time and
-streams their (dst-sorted) edges through VMEM in 128-edge tiles:
+Replaces the reference's per-edge CUDA pipeline — forward: score ->
+max/sumexp -> normalize -> atomicAdd aggregate (GATv2_edge_based.cu:1386-1428);
+backward: grad-alpha SDDMM, O(sum deg^2) softmax Jacobian, parameter-grad
+and feature-grad atomic scatters (GATv2_edge_based.cu:612-874) — with
+row-blocked kernels that process 128 destination nodes at a time and stream
+their (dst-sorted) edges through VMEM in double-buffered 128-edge tiles.
 
-  per edge tile (flash-attention-style ONLINE softmax):
-    s      = LeakyReLU(zs_e + zd_e)                 # [TE, HD]  VPU
-    scT    = a_sel^T . s^T                          # [128, TE] MXU (per-head dot)
-    M      = (dst_e == node_ids)                    # [TN, TE]  the one-hot
+Forward (flash-attention-style ONLINE softmax per edge tile):
+    M      = (dst_e == node_ids)                    # [TN, TE] one-hot
                                                     # selection "matrix"
+    zd_e   = M^T . zd_tile                          # dst gather = MXU matmul
+    s      = LeakyReLU(zs_e + zd_e)                 # [TE, HD]  VPU
+    scT    = a_sel^T . s^T                          # [128, TE] MXU per-head dot
     new_m  = max(m, rowwise masked max of scT)      # running per-(node,head) max
     p      = exp(clip(sc - M^T.new_m, -80, 0))      # [TE, 128]
     l      = exp(m - new_m) * l + M . p             # running sum-exp  (MXU)
     acc    = exp(m - new_m)*acc + M . (p_rep * zs)  # running aggregate (MXU)
-  out = acc / (l_rep + 1e-8)
+  out = acc / (l_rep + 1e-8);  (m, l) are emitted as residuals for backward.
+
+Backward (custom_vjp, two selectable implementations):
+  - 'pallas' (default): a dst-tiled 2-pass gradient kernel consuming the
+    forward's (m, l) residuals (segment term -> d_zd / d_a / per-edge packet)
+    plus a src-tiled segment-sum kernel over the transpose-graph (CSC-view)
+    tiling for d_zs. Every segment reduction is a one-hot MXU matmul and the
+    softmax Jacobian uses the O(E) identity
+        dL/de_ij = alpha_ij (dL/dalpha_ij - sum_k alpha_kj dL/dalpha_kj)
+    (SURVEY.md §3.5.3) instead of the reference's per-edge neighborhood loop
+    (compute_grad_attn_score_kernel, GATv2_edge_based.cu:654-696).
+  - 'xla': rematerializes the XLA formulation and uses its autodiff
+    transpose (scatter-based; the correctness oracle).
 
 Key TPU-native ideas:
-  - the per-destination segment reduction is an MXU matmul against the
-    on-the-fly one-hot matrix M — deterministic, no atomics (the CUDA
-    reference's atomicAdd scatter is the #2 hotspot, SURVEY.md §3.5);
-  - edges are padded PER NODE TILE to 128-edge boundaries (prepare_edge_tiles)
-    so every DMA is tile-aligned; padding edges carry dst=num_nodes and are
-    annihilated by M;
+  - per-destination segment reductions AND the dst-side gathers (zd, g) are
+    MXU matmuls against the on-the-fly one-hot matrix M — deterministic, no
+    atomics (the CUDA reference's atomicAdd scatter is the #2 hotspot,
+    SURVEY.md §3.5), and no [E, HD] dst gather ever touches HBM;
+  - edges are padded PER NODE TILE to 128-edge boundaries
+    (prepare_edge_tiles) so every DMA is tile-aligned; padding edges carry
+    dst=num_nodes and are annihilated by M;
+  - all HBM edge streams are double-buffered (DMA for tile k+1 issued before
+    computing tile k);
   - per-head broadcasts (max gather, head->feature expansion) are also
     matmuls (M^T . m and p . R with R[h, h*D+d] = 1), avoiding unsupported
     lane reshapes;
   - numerics match ops/segment.py: exponent clip at -80, denominator +1e-8
     (reference N:446-447, E:379).
-
-The backward pass is a custom_vjp with TWO selectable implementations:
-  - 'pallas' (default): fused Pallas gradient kernels (below) — a dst-tiled
-    3-pass kernel (recompute max/sum-exp online -> softmax-Jacobian segment
-    term -> d_zd / d_a / per-edge packet) plus a src-tiled segment-sum kernel
-    for d_zs. The reference hand-derives the same math as 5 CUDA kernels with
-    atomicAdd scatters (kernel_grad_atten_coeff E:612-651,
-    compute_grad_attn_score_kernel E:654-696 — O(sum deg^2)!,
-    compute_grad_parameters_kernel E:698-798,
-    compute_features_input_gradients E:801-874); here every segment
-    reduction is a one-hot MXU matmul and the softmax Jacobian uses the
-    O(E) identity  dL/de_ij = alpha_ij (dL/dalpha_ij - sum_k alpha_kj
-    dL/dalpha_kj)  (SURVEY.md §3.5.3). No residuals are saved from the
-    forward: the backward recomputes scores/softmax stats from zs/zd (the
-    same remat trade the flash-attention backward makes).
-  - 'xla': rematerializes the XLA formulation and uses its autodiff
-    transpose (scatter-based; the correctness oracle).
 """
 
 from __future__ import annotations
@@ -59,11 +60,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 128  # destination nodes per grid step
-TILE_E = 128  # edges per inner step
+TILE_E = 128  # default edges per inner step (see prepare_edge_tiles)
+# Per-edge-tile fixed overhead (loop control + DMA issue latency), expressed
+# in edge-equivalents of MXU work, for the auto tile_e selection below.
+_TILE_COST_EDGE_EQUIV = 160
 
 NEG_INF = -1e30
 SOFTMAX_EPS = 1e-8
 EXP_CLAMP = -80.0
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,  # exact f32 (6-pass), parity mode
+    # Mosaic has no HIGH (bf16x3) lowering for dot_general yet; inside the
+    # kernels 'high' falls back to exact f32 (the XLA-side dense projections
+    # still run bf16x3 under 'high').
+    "high": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,  # bf16 inputs, f32 accumulation
+}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +103,7 @@ class EdgeTiles:
     src_sorted_ids: np.ndarray | None = None  # [E2_pad] int32
     gather_perm: np.ndarray | None = None  # [E2_pad] int32
     src_tile_offsets: np.ndarray | None = None  # [T+1] int32, edge-tile units
+    tile_e: int = TILE_E  # edges per inner step (static kernel parameter)
 
     @property
     def padded_num_edges(self) -> int:
@@ -98,8 +114,34 @@ class EdgeTiles:
         return self.num_node_tiles * TILE_N
 
 
-def prepare_edge_tiles(row_ptr: np.ndarray, col_idx: np.ndarray, num_nodes: int) -> EdgeTiles:
-    """Build the tile-aligned edge arrays from CSR (host-side, once per graph)."""
+def _auto_tile_e(counts_d: np.ndarray, counts_s: np.ndarray) -> int:
+    """Pick edges-per-inner-step. Measured on v5e: the backward kernels are
+    MXU-bound, so padded edges cost linearly, while only the forward gains
+    from fewer (per-tile fixed overhead) iterations — so take the largest
+    tile whose padding overhead stays under ~4%."""
+    base = None
+    best = TILE_E
+    for te in (128, 256, 512):
+        padded = 0
+        for counts in (counts_d, counts_s):
+            padded += int(np.sum(-(-counts // te))) * te
+        if te == 128:
+            base = max(padded, 1)
+        elif padded <= 1.04 * base:
+            best = te
+    return best
+
+
+def prepare_edge_tiles(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    num_nodes: int,
+    tile_e: int | None = None,
+) -> EdgeTiles:
+    """Build the tile-aligned edge arrays from CSR (host-side, once per graph).
+
+    tile_e=None auto-selects the edge-tile size from the degree profile.
+    """
     row_ptr = np.asarray(row_ptr, np.int64)
     num_node_tiles = max(1, -(-num_nodes // TILE_N))
     degrees = np.diff(row_ptr)
@@ -110,18 +152,26 @@ def prepare_edge_tiles(row_ptr: np.ndarray, col_idx: np.ndarray, num_nodes: int)
         lo = row_ptr[i * TILE_N]
         hi = row_ptr[min((i + 1) * TILE_N, num_nodes)]
         counts.append(int(hi - lo))
-    padded = [-(-c // TILE_E) * TILE_E for c in counts]
+    counts = np.asarray(counts, np.int64)
+    src_counts = np.bincount(
+        np.minimum(col_idx, num_nodes - 1) // TILE_N, minlength=num_node_tiles
+    )
+    if tile_e is None:
+        tile_e = _auto_tile_e(counts, src_counts)
+    te = tile_e
+
+    padded = -(-counts // te) * te
     tile_offsets = np.zeros(num_node_tiles + 1, np.int32)
-    np.cumsum(np.asarray(padded) // TILE_E, out=tile_offsets[1:])
-    e_pad = int(tile_offsets[-1]) * TILE_E
-    e_pad = max(e_pad, TILE_E)
+    np.cumsum(padded // te, out=tile_offsets[1:])
+    e_pad = int(tile_offsets[-1]) * te
+    e_pad = max(e_pad, te)
 
     src = np.zeros(e_pad, np.int32)
     dst = np.full(e_pad, num_nodes, np.int32)
     for i in range(num_node_tiles):
         lo = int(row_ptr[i * TILE_N])
-        c = counts[i]
-        o = int(tile_offsets[i]) * TILE_E
+        c = int(counts[i])
+        o = int(tile_offsets[i]) * te
         src[o : o + c] = col_idx[lo : lo + c]
         dst[o : o + c] = dst_all[lo : lo + c]
 
@@ -136,15 +186,15 @@ def prepare_edge_tiles(row_ptr: np.ndarray, col_idx: np.ndarray, num_nodes: int)
     tile_of_edge = src_sorted // TILE_N
     counts2 = np.bincount(tile_of_edge, minlength=num_node_tiles)
     starts2 = np.concatenate([[0], np.cumsum(counts2)])
-    padded2 = -(-counts2 // TILE_E) * TILE_E
+    padded2 = -(-counts2 // te) * te
     src_tile_offsets = np.zeros(num_node_tiles + 1, np.int32)
-    np.cumsum(padded2 // TILE_E, out=src_tile_offsets[1:])
-    e2_pad = max(int(src_tile_offsets[-1]) * TILE_E, TILE_E)
+    np.cumsum(padded2 // te, out=src_tile_offsets[1:])
+    e2_pad = max(int(src_tile_offsets[-1]) * te, te)
     src_sorted_ids = np.full(e2_pad, num_nodes, np.int32)
     gather_perm = np.zeros(e2_pad, np.int32)
     for i in range(num_node_tiles):
         c = int(counts2[i])
-        s, o = int(starts2[i]), int(src_tile_offsets[i]) * TILE_E
+        s, o = int(starts2[i]), int(src_tile_offsets[i]) * te
         src_sorted_ids[o : o + c] = src_sorted[s : s + c]
         gather_perm[o : o + c] = pos_sorted[s : s + c]
 
@@ -157,6 +207,7 @@ def prepare_edge_tiles(row_ptr: np.ndarray, col_idx: np.ndarray, num_nodes: int)
         src_sorted_ids=src_sorted_ids,
         gather_perm=gather_perm,
         src_tile_offsets=src_tile_offsets,
+        tile_e=te,
     )
 
 
@@ -164,25 +215,28 @@ def _attention_kernel(
     # scalar prefetch
     tile_offsets_ref,  # [T+1] int32 (edge-tile units)
     # inputs
-    zs_hbm,  # [E_pad, HD] ANY
-    zd_hbm,  # [E_pad, HD] ANY
-    dst_hbm,  # [E_tiles, TILE_E] int32 ANY
+    zs_hbm,  # [E_pad, HD] ANY (gathered src projections)
+    dst_hbm,  # [1, E_pad] int32 ANY
+    zd_ref,  # [TILE_N, HD] VMEM blocked — dst projections for this tile
     a_sel_ref,  # [HD, 128] VMEM  (a_sel[h*D+d, h] = a[h,d])
     r_ref,  # [128, HD] VMEM  (r[h, h*D+d] = 1)
     # outputs (grid-blocked)
     out_ref,  # [TILE_N, HD] VMEM
+    m_out_ref,  # [TILE_N, 128] VMEM — final per-(node, head) max (bwd residual)
+    l_out_ref,  # [TILE_N, 128] VMEM — final per-(node, head) sum-exp
     # scratch
-    zs_t,  # [TILE_E, HD]
-    zd_t,  # [TILE_E, HD]
-    dst_t,  # [1, TILE_E] int32
+    zs_t,  # [2, tile_e, HD] double-buffered edge stream
+    dst_t,  # [2, 1, tile_e] int32
     m_scr,  # [TILE_N, 128]
     l_scr,  # [TILE_N, 128]
     acc_scr,  # [TILE_N, HD]
     tmax_scr,  # [TILE_N, 128]
-    sems,  # DMA semaphores (3,)
+    sems,  # DMA semaphores (2, 2)
     *,
     num_heads: int,
     negative_slope: float,
+    precision=_HIGHEST,
+    tile_e: int = TILE_E,
 ):
     i = pl.program_id(0)
     t0 = tile_offsets_ref[i]
@@ -196,32 +250,53 @@ def _attention_kernel(
     tmax_scr[:] = jnp.full(tmax_scr.shape, NEG_INF, jnp.float32)
 
     node_base = i * TILE_N
-    node_ids = node_base + jax.lax.broadcasted_iota(jnp.int32, (TILE_N, TILE_E), 0)
+    node_ids = node_base + jax.lax.broadcasted_iota(jnp.int32, (TILE_N, tile_e), 0)
+
+    def dmas(slot, k):
+        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
+        return (
+            pltpu.make_async_copy(
+                zs_hbm.at[pl.ds(off, tile_e), :], zs_t.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                dst_hbm.at[:, pl.ds(off, tile_e)], dst_t.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    @pl.when(ntiles > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
 
     def body(k, _):
-        off = pl.multiple_of((t0 + k) * TILE_E, TILE_E)
-        cp1 = pltpu.make_async_copy(zs_hbm.at[pl.ds(off, TILE_E), :], zs_t, sems.at[0])
-        cp2 = pltpu.make_async_copy(zd_hbm.at[pl.ds(off, TILE_E), :], zd_t, sems.at[1])
-        cp3 = pltpu.make_async_copy(dst_hbm.at[pl.ds(t0 + k, 1), :], dst_t, sems.at[2])
-        cp1.start()
-        cp2.start()
-        cp3.start()
-        cp1.wait()
-        cp2.wait()
-        cp3.wait()
+        slot = jax.lax.rem(k, 2)
 
-        s = zs_t[:] + zd_t[:]
+        @pl.when(k + 1 < ntiles)
+        def _():
+            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
+                cp.start()
+
+        for cp in dmas(slot, k):
+            cp.wait()
+
+        dst_k = dst_t[slot]  # [1, tile_e]
+        mask = dst_k == node_ids  # [TILE_N, tile_e]
+        mask_f = mask.astype(jnp.float32)
+        # dst-side gather as a matmul: zd_e = M^T . zd_tile
+        zd_e = jax.lax.dot_general(
+            mask_f, zd_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [tile_e, HD]  (padding edges -> 0)
+        s = zs_t[slot] + zd_e
         s = jnp.where(s > 0, s, negative_slope * s)
         # per-head attention dot, transposed: scT[h, e] = sum_f a_sel[f, h] s[e, f]
         sc_t = jax.lax.dot_general(
             a_sel_ref[:], s,
             dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [128, TILE_E]
-
-        mask = dst_t[:] == node_ids  # [TILE_N, TILE_E] (dst_t broadcasts row 0)
-        mask_f = mask.astype(jnp.float32)
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [128, tile_e]
 
         # masked per-(node, head) max of this tile
         for h in range(num_heads):
@@ -236,32 +311,28 @@ def _attention_kernel(
         m_g = jax.lax.dot_general(
             new_m, mask_f,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [128, TILE_E]
-        p_t = jnp.exp(jnp.clip(sc_t - m_g, EXP_CLAMP, 0.0))  # [128(h), TILE_E]
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [128, tile_e]
+        p_t = jnp.exp(jnp.clip(sc_t - m_g, EXP_CLAMP, 0.0))  # [128(h), tile_e]
 
         # l += M . p : contract edge dims
         l_scr[:] = c * l_scr[:] + jax.lax.dot_general(
             mask_f, p_t,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         # expand p to feature lanes: p_rep[e, h*D+d] = p[h, e]
         p_rep = jax.lax.dot_general(
             p_t, r_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TILE_E, HD]
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [tile_e, HD]
         c_rep = jnp.dot(
-            c, r_ref[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            c, r_ref[:], preferred_element_type=jnp.float32, precision=precision
         )  # [TILE_N, HD]
         acc_scr[:] = c_rep * acc_scr[:] + jnp.dot(
-            mask_f, p_rep * zs_t[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            mask_f, p_rep * zs_t[slot],
+            preferred_element_type=jnp.float32, precision=precision,
         )
         m_scr[:] = new_m
         return 0
@@ -269,34 +340,37 @@ def _attention_kernel(
     jax.lax.fori_loop(0, ntiles, body, 0)
 
     l_rep = jnp.dot(
-        l_scr[:], r_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        l_scr[:], r_ref[:], preferred_element_type=jnp.float32, precision=precision
     )
     out_ref[:] = acc_scr[:] / (l_rep + SOFTMAX_EPS)
+    m_out_ref[:] = m_scr[:]
+    l_out_ref[:] = l_scr[:]
 
 
 def _pallas_forward(
-    zs_e: jax.Array,  # [E_pad, HD] gathered src projections
-    zd_e: jax.Array,  # [E_pad, HD] gathered dst projections
+    zs_e: jax.Array,  # [E_pad, HD] gathered src projections (lane-padded)
+    zd_pad: jax.Array,  # [T*TILE_N, HD] dst projections (node+lane padded)
     a: jax.Array,  # [H, D]
     edge_tiles: EdgeTiles,
     negative_slope: float,
     *,
     interpret: bool = False,
-) -> jax.Array:
+    precision: str = "highest",
+):
     num_heads, d = a.shape
-    # zs_e/zd_e arrive lane-padded to a 128 multiple (HBM slices must be
-    # 128-lane aligned). Padding lanes map to no head (a_sel rows / r_mat
-    # cols zero), so they stay inert.
+    # zs_e arrives lane-padded to a 128 multiple (HBM slices must be 128-lane
+    # aligned). Padding lanes map to no head (a_sel rows / r_mat cols zero),
+    # so they stay inert.
     hd = zs_e.shape[1]
     assert hd % 128 == 0 and hd >= num_heads * d
     e_pad = edge_tiles.padded_num_edges
     t = edge_tiles.num_node_tiles
+    te = edge_tiles.tile_e
 
     # head-selection matrices (constants wrt the graph; a_sel carries `a`)
     a_sel, r_mat, _ = _head_matrices(a, hd)
 
-    dst_tiles = jnp.asarray(edge_tiles.dst).reshape(e_pad // TILE_E, TILE_E)
+    dst_tiles = jnp.asarray(edge_tiles.dst).reshape(1, e_pad)
     tile_offsets = jnp.asarray(edge_tiles.tile_offsets)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -304,44 +378,56 @@ def _pallas_forward(
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zs_e
-            pl.BlockSpec(memory_space=pl.ANY),  # zd_e
             pl.BlockSpec(memory_space=pl.ANY),  # dst tiles
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
         ],
-        out_specs=pl.BlockSpec(
-            (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((TILE_E, hd), jnp.float32),
-            pltpu.VMEM((TILE_E, hd), jnp.float32),
-            pltpu.VMEM((1, TILE_E), jnp.int32),
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, 1, te), jnp.int32),
             pltpu.VMEM((TILE_N, 128), jnp.float32),
             pltpu.VMEM((TILE_N, 128), jnp.float32),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
             pltpu.VMEM((TILE_N, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = functools.partial(
-        _attention_kernel, num_heads=num_heads, negative_slope=negative_slope
+        _attention_kernel, num_heads=num_heads, negative_slope=negative_slope,
+        precision=_PRECISIONS[precision], tile_e=te,
     )
-    avg_tiles_per_node_tile = max(1, e_pad // TILE_E // t)
-    out = pl.pallas_call(
+    avg_tiles_per_node_tile = max(1, e_pad // te // t)
+    out, m_stats, l_stats = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((t * TILE_N, 128), jnp.float32),
+            jax.ShapeDtypeStruct((t * TILE_N, 128), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_pad * (hd + 3 * 128) * 2,
-            bytes_accessed=e_pad * hd * 8 + t * TILE_N * hd * 4,
+            flops=2 * e_pad * (2 * hd + 3 * 128) * 2,
+            bytes_accessed=e_pad * hd * 4 + t * TILE_N * hd * 8,
             transcendentals=e_pad * 128 * avg_tiles_per_node_tile,
         ),
         interpret=interpret,
-    )(tile_offsets, zs_e, zd_e, dst_tiles, a_sel, r_mat)
-    return out  # [T*TILE_N, HD]
+    )(tile_offsets, zs_e, dst_tiles, zd_pad, a_sel, r_mat)
+    return out, m_stats, l_stats  # [T*TILE_N, HD], 2x [T*TILE_N, 128]
 
 
 def _attention_bwd_kernel(
@@ -349,9 +435,11 @@ def _attention_bwd_kernel(
     tile_offsets_ref,  # [T+1] int32 (edge-tile units)
     # inputs
     zs_hbm,  # [E_pad, HD] ANY (gathered src projections, rematerialized)
-    zd_hbm,  # [E_pad, HD] ANY (gathered dst projections)
-    dst_hbm,  # [E_tiles, TILE_E] int32 ANY
+    dst_hbm,  # [1, E_pad] int32 ANY
+    zd_ref,  # [TILE_N, HD] VMEM blocked — dst projections for this tile
     g_ref,  # [TILE_N, HD] VMEM blocked — upstream grad dL/dh for this tile
+    m_ref,  # [TILE_N, 128] VMEM blocked — forward's per-(node, head) max
+    l_ref,  # [TILE_N, 128] VMEM blocked — forward's per-(node, head) sum-exp
     a_sel_ref,  # [HD, 128] VMEM (a_sel[h*D+d, h] = a[h,d])
     r_ref,  # [128, HD] VMEM (r[h, h*D+d] = 1)
     a_rep_ref,  # [1, HD] VMEM (a_rep[0, h*D+d] = a[h,d])
@@ -361,23 +449,20 @@ def _attention_bwd_kernel(
     #          8 sublanes only to satisfy the (8, 128) min tile)
     c1_hbm,  # [E_pad, HD] ANY — per-edge packet, scattered to src by phase 2
     # scratch
-    zs_t,  # [TILE_E, HD]
-    zd_t,  # [TILE_E, HD]
-    c1_t,  # [TILE_E, HD]
-    dst_t,  # [1, TILE_E] int32
-    m_scr,  # [TILE_N, 128] per-(node, head) running max
-    l_scr,  # [TILE_N, 128] per-(node, head) sum-exp
+    zs_t,  # [2, tile_e, HD] double-buffered edge stream
+    dst_t,  # [2, 1, tile_e] int32
+    c1_t,  # [2, tile_e, HD] double-buffered output staging
     rsum_scr,  # [TILE_N, 128] softmax-Jacobian segment term sum_k alpha*dalpha
-    tmax_scr,  # [TILE_N, 128]
-    sems,  # DMA semaphores (4,)
+    sems,  # DMA semaphores (2, 3): [slot, 0]=zs, [slot, 1]=dst, [slot, 2]=c1
     *,
     num_heads: int,
     negative_slope: float,
+    precision=_HIGHEST,
+    tile_e: int = TILE_E,
 ):
-    """dst-tiled fused backward. Three streaming passes over the tile's edges:
+    """dst-tiled fused backward. The forward's per-(dst, head) softmax stats
+    (m, l) arrive as residuals; two streaming passes over the tile's edges:
 
-      A) online recompute of the per-(dst, head) softmax stats (m, l) —
-         identical math to the forward kernel;
       B) dalpha_e = <g[dst_e], zs[src_e]>_h; accumulate the segment term
          r_j = sum_{k in N(j)} alpha_k * dalpha_k;
       C) de_e = alpha_e (dalpha_e - r[dst_e]); ds_e = (de ⊗ a) * LReLU'(s);
@@ -385,167 +470,161 @@ def _attention_bwd_kernel(
          c1_e = alpha_e * g[dst_e] + ds_e  (consumed by _segsum_src_kernel).
 
     Padding edges (dst == num_nodes) produce exact zeros in every output:
-    their mask column is zero, so g_e, m_g, l_g, r_g gather to 0, hence
+    their mask column is zero, so zd_e, g_e, m_g, l_g, r_g gather to 0, hence
     dalpha = 0, de = alpha * (0 - 0) = 0, and c1 = alpha_rep * 0 + 0 = 0.
     """
     i = pl.program_id(0)
     t0 = tile_offsets_ref[i]
     ntiles = tile_offsets_ref[i + 1] - t0
 
-    m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
-    l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
     rsum_scr[:] = jnp.zeros(rsum_scr.shape, jnp.float32)
-    tmax_scr[:] = jnp.full(tmax_scr.shape, NEG_INF, jnp.float32)
     dzd_ref[:] = jnp.zeros(dzd_ref.shape, jnp.float32)
     da_ref[:] = jnp.zeros(da_ref.shape, jnp.float32)
 
     node_base = i * TILE_N
-    node_ids = node_base + jax.lax.broadcasted_iota(jnp.int32, (TILE_N, TILE_E), 0)
+    node_ids = node_base + jax.lax.broadcasted_iota(jnp.int32, (TILE_N, tile_e), 0)
 
-    def load_tile(k):
-        off = pl.multiple_of((t0 + k) * TILE_E, TILE_E)
-        cp1 = pltpu.make_async_copy(zs_hbm.at[pl.ds(off, TILE_E), :], zs_t, sems.at[0])
-        cp2 = pltpu.make_async_copy(zd_hbm.at[pl.ds(off, TILE_E), :], zd_t, sems.at[1])
-        cp3 = pltpu.make_async_copy(dst_hbm.at[pl.ds(t0 + k, 1), :], dst_t, sems.at[2])
-        cp1.start()
-        cp2.start()
-        cp3.start()
-        cp1.wait()
-        cp2.wait()
-        cp3.wait()
-
-    def scores_headmajor():
-        """sc_t[h, e] (head-major, for the masked-max pass)."""
-        s = zs_t[:] + zd_t[:]
-        s = jnp.where(s > 0, s, negative_slope * s)
-        return jax.lax.dot_general(
-            a_sel_ref[:], s,
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [128, TILE_E]
-
-    # ---- pass A: online (m, l) recompute -------------------------------
-    def body_a(k, _):
-        load_tile(k)
-        sc_t = scores_headmajor()
-        mask = dst_t[:] == node_ids
-        mask_f = mask.astype(jnp.float32)
-        for h in range(num_heads):
-            tmax_scr[:, h : h + 1] = jnp.max(
-                jnp.where(mask, sc_t[h : h + 1, :], NEG_INF), axis=1, keepdims=True
-            )
-        m_prev = m_scr[:]
-        new_m = jnp.maximum(m_prev, tmax_scr[:])
-        c = jnp.exp(m_prev - new_m)
-        m_g = jax.lax.dot_general(
-            new_m, mask_f,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [128, TILE_E]
-        p_t = jnp.exp(jnp.clip(sc_t - m_g, EXP_CLAMP, 0.0))
-        l_scr[:] = c * l_scr[:] + jax.lax.dot_general(
-            mask_f, p_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+    def dmas(slot, k):
+        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
+        return (
+            pltpu.make_async_copy(
+                zs_hbm.at[pl.ds(off, tile_e), :], zs_t.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                dst_hbm.at[:, pl.ds(off, tile_e)], dst_t.at[slot],
+                sems.at[slot, 1],
+            ),
         )
-        m_scr[:] = new_m
-        return 0
 
-    jax.lax.fori_loop(0, ntiles, body_a, 0)
+    def c1_dma(slot, k):
+        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
+        return pltpu.make_async_copy(
+            c1_t.at[slot], c1_hbm.at[pl.ds(off, tile_e), :], sems.at[slot, 2]
+        )
 
-    def edge_alpha_dalpha(mask_f):
-        """Recompute (alpha_e, dalpha_e, s, g_e) edge-major [TILE_E, ...]."""
-        s_raw = zs_t[:] + zd_t[:]
+    def start_first():
+        @pl.when(ntiles > 0)
+        def _():
+            for cp in dmas(0, 0):
+                cp.start()
+
+    def edge_alpha_dalpha(slot, mask_f):
+        """Recompute (alpha_e, dalpha_e, s_raw, s_act, g_e) edge-major."""
+        zd_e = jax.lax.dot_general(
+            mask_f, zd_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [tile_e, HD]
+        s_raw = zs_t[slot] + zd_e
         s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
         sc_e = jnp.dot(
             s, a_sel_ref[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TILE_E, 128]
+            precision=precision,
+        )  # [tile_e, 128]
         m_g = jax.lax.dot_general(
-            mask_f, m_scr[:],
+            mask_f, m_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TILE_E, 128]
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [tile_e, 128]
         l_g = jax.lax.dot_general(
-            mask_f, l_scr[:],
+            mask_f, l_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
-        alpha_e = p_e / (l_g + SOFTMAX_EPS)  # [TILE_E, 128]
+        alpha_e = p_e / (l_g + SOFTMAX_EPS)  # [tile_e, 128]
         g_e = jax.lax.dot_general(
             mask_f, g_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TILE_E, HD]
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [tile_e, HD]
         dalpha_e = jax.lax.dot_general(
-            g_e * zs_t[:], r_ref[:],
+            g_e * zs_t[slot], r_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TILE_E, 128]
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [tile_e, 128]
         return alpha_e, dalpha_e, s_raw, s, g_e
 
     # ---- pass B: segment term r_j = sum alpha * dalpha ------------------
+    start_first()
+
     def body_b(k, _):
-        load_tile(k)
-        mask_f = (dst_t[:] == node_ids).astype(jnp.float32)
-        alpha_e, dalpha_e, _, _, _ = edge_alpha_dalpha(mask_f)
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < ntiles)
+        def _():
+            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
+                cp.start()
+
+        for cp in dmas(slot, k):
+            cp.wait()
+        mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
+        alpha_e, dalpha_e, _, _, _ = edge_alpha_dalpha(slot, mask_f)
         rsum_scr[:] = rsum_scr[:] + jnp.dot(
-            mask_f, alpha_e * dalpha_e, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            mask_f, alpha_e * dalpha_e,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         return 0
 
     jax.lax.fori_loop(0, ntiles, body_b, 0)
 
     # ---- pass C: de, d_zd, d_a, per-edge packet c1 ----------------------
+    start_first()
+
     def body_c(k, _):
-        load_tile(k)
-        mask_f = (dst_t[:] == node_ids).astype(jnp.float32)
-        alpha_e, dalpha_e, s_raw, s_act, g_e = edge_alpha_dalpha(mask_f)
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < ntiles)
+        def _():
+            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
+                cp.start()
+
+        for cp in dmas(slot, k):
+            cp.wait()
+        # the c1 store from iteration k-2 must have drained before we
+        # overwrite this slot's staging buffer
+        @pl.when(k >= 2)
+        def _():
+            c1_dma(slot, k - 2).wait()
+
+        mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
+        alpha_e, dalpha_e, s_raw, s_act, g_e = edge_alpha_dalpha(slot, mask_f)
         r_g = jax.lax.dot_general(
             mask_f, rsum_scr[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TILE_E, 128]
-        de_e = alpha_e * (dalpha_e - r_g)  # [TILE_E, 128]
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [tile_e, 128]
+        de_e = alpha_e * (dalpha_e - r_g)  # [tile_e, 128]
         de_rep = jnp.dot(
             de_e, r_ref[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [TILE_E, HD]
+            precision=precision,
+        )  # [tile_e, HD]
         lrelu_grad = jnp.where(s_raw > 0, 1.0, negative_slope)
-        ds = de_rep * a_rep_ref[:] * lrelu_grad  # [TILE_E, HD]
+        ds = de_rep * a_rep_ref[:] * lrelu_grad  # [tile_e, HD]
         alpha_rep = jnp.dot(
             alpha_e, r_ref[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
-        c1_t[:] = alpha_rep * g_e + ds
-        off = pl.multiple_of((t0 + k) * TILE_E, TILE_E)
-        cp = pltpu.make_async_copy(c1_t, c1_hbm.at[pl.ds(off, TILE_E), :], sems.at[3])
-        cp.start()
+        c1_t[slot] = alpha_rep * g_e + ds
+        c1_dma(slot, k).start()
         dzd_ref[:] = dzd_ref[:] + jnp.dot(
-            mask_f, ds, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            mask_f, ds, preferred_element_type=jnp.float32, precision=precision
         )
         da_tile = jnp.sum(de_rep * s_act, axis=0, keepdims=True)  # [1, HD]
-        row0 = (
-            jax.lax.broadcasted_iota(jnp.int32, da_ref.shape, 0) == 0
-        )
+        row0 = jax.lax.broadcasted_iota(jnp.int32, da_ref.shape, 0) == 0
         da_ref[:] = da_ref[:] + jnp.where(
             row0, jnp.broadcast_to(da_tile, da_ref.shape), 0.0
         )
-        cp.wait()
         return 0
 
     jax.lax.fori_loop(0, ntiles, body_c, 0)
+
+    # drain the last two c1 stores
+    def drain(k, _):
+        c1_dma(jax.lax.rem(k, 2), k).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(ntiles - 2, 0), ntiles, drain, 0)
 
 
 def _segsum_src_kernel(
@@ -553,13 +632,15 @@ def _segsum_src_kernel(
     src_tile_offsets_ref,  # [T+1] int32 (edge-tile units)
     # inputs
     c1s_hbm,  # [E2_pad, HD] ANY — c1 packets permuted to src-sorted order
-    sid_hbm,  # [E2_tiles, TILE_E] int32 ANY — src ids (num_nodes on padding)
+    sid_hbm,  # [1, E2_pad] int32 ANY — src ids (num_nodes on padding)
     # outputs
     dzs_ref,  # [TILE_N, HD] VMEM blocked
     # scratch
-    c1_t,  # [TILE_E, HD]
-    sid_t,  # [1, TILE_E] int32
-    sems,  # DMA semaphores (2,)
+    c1_t,  # [2, tile_e, HD]
+    sid_t,  # [2, 1, tile_e] int32
+    sems,  # DMA semaphores (2, 2)
+    *,
+    tile_e: int = TILE_E,
 ):
     """src-tiled segment sum: dzs[i] = sum_{e: src_e == i} c1_e.
 
@@ -572,21 +653,40 @@ def _segsum_src_kernel(
     ntiles = src_tile_offsets_ref[i + 1] - t0
     dzs_ref[:] = jnp.zeros(dzs_ref.shape, jnp.float32)
     node_ids = i * TILE_N + jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_N, TILE_E), 0
+        jnp.int32, (TILE_N, tile_e), 0
     )
 
+    def dmas(slot, k):
+        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
+        return (
+            pltpu.make_async_copy(
+                c1s_hbm.at[pl.ds(off, tile_e), :], c1_t.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                sid_hbm.at[:, pl.ds(off, tile_e)], sid_t.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    @pl.when(ntiles > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
     def body(k, _):
-        off = pl.multiple_of((t0 + k) * TILE_E, TILE_E)
-        cp1 = pltpu.make_async_copy(c1s_hbm.at[pl.ds(off, TILE_E), :], c1_t, sems.at[0])
-        cp2 = pltpu.make_async_copy(sid_hbm.at[pl.ds(t0 + k, 1), :], sid_t, sems.at[1])
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
-        mask_f = (sid_t[:] == node_ids).astype(jnp.float32)
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < ntiles)
+        def _():
+            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
+                cp.start()
+
+        for cp in dmas(slot, k):
+            cp.wait()
+        mask_f = (sid_t[slot] == node_ids).astype(jnp.float32)
         dzs_ref[:] = dzs_ref[:] + jnp.dot(
-            mask_f, c1_t[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            mask_f, c1_t[slot],
+            preferred_element_type=jnp.float32, precision=_HIGHEST,
         )
         return 0
 
@@ -611,13 +711,16 @@ def _head_matrices(a: jax.Array, hd: int):
 
 def _pallas_backward(
     zs_e: jax.Array,  # [E_pad, HD] gathered src projections (lane-padded)
-    zd_e: jax.Array,  # [E_pad, HD] gathered dst projections
+    zd_pad: jax.Array,  # [T*TILE_N, HD] dst projections (node+lane padded)
     g_pad: jax.Array,  # [T*TILE_N, HD] upstream grad (node+lane padded)
+    m_stats: jax.Array,  # [T*TILE_N, 128] forward softmax max (residual)
+    l_stats: jax.Array,  # [T*TILE_N, 128] forward softmax sum-exp (residual)
     a: jax.Array,  # [H, D]
     edge_tiles: EdgeTiles,
     negative_slope: float,
     *,
     interpret: bool = False,
+    precision: str = "highest",
 ):
     """Runs phase 1 (dst-tiled) and phase 2 (src-tiled) backward kernels.
 
@@ -627,8 +730,9 @@ def _pallas_backward(
     hd = zs_e.shape[1]
     e_pad = edge_tiles.padded_num_edges
     t = edge_tiles.num_node_tiles
+    te = edge_tiles.tile_e
     a_sel, r_mat, a_rep = _head_matrices(a, hd)
-    dst_tiles = jnp.asarray(edge_tiles.dst).reshape(e_pad // TILE_E, TILE_E)
+    dst_tiles = jnp.asarray(edge_tiles.dst).reshape(1, e_pad)
     tile_offsets = jnp.asarray(edge_tiles.tile_offsets)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -636,9 +740,11 @@ def _pallas_backward(
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zs_e
-            pl.BlockSpec(memory_space=pl.ANY),  # zd_e
             pl.BlockSpec(memory_space=pl.ANY),  # dst tiles
             pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
@@ -649,19 +755,16 @@ def _pallas_backward(
             pl.BlockSpec(memory_space=pl.ANY),  # c1 packets
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE_E, hd), jnp.float32),
-            pltpu.VMEM((TILE_E, hd), jnp.float32),
-            pltpu.VMEM((TILE_E, hd), jnp.float32),
-            pltpu.VMEM((1, TILE_E), jnp.int32),
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, 1, te), jnp.int32),
+            pltpu.VMEM((2, te, hd), jnp.float32),
             pltpu.VMEM((TILE_N, 128), jnp.float32),
-            pltpu.VMEM((TILE_N, 128), jnp.float32),
-            pltpu.VMEM((TILE_N, 128), jnp.float32),
-            pltpu.VMEM((TILE_N, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     kernel = functools.partial(
-        _attention_bwd_kernel, num_heads=num_heads, negative_slope=negative_slope
+        _attention_bwd_kernel, num_heads=num_heads, negative_slope=negative_slope,
+        precision=_PRECISIONS[precision], tile_e=te,
     )
     dzd_pad, da_parts, c1 = pl.pallas_call(
         kernel,
@@ -675,19 +778,20 @@ def _pallas_backward(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * e_pad * (3 * hd + 6 * 128) * 2,
-            bytes_accessed=e_pad * hd * 4 * 7 + t * TILE_N * hd * 8,
+            flops=2 * 2 * e_pad * (3 * hd + 6 * 128) * 2,
+            bytes_accessed=e_pad * hd * 4 * 3 + t * TILE_N * hd * 8,
             transcendentals=2 * e_pad * 128,
         ),
         interpret=interpret,
-    )(tile_offsets, zs_e, zd_e, dst_tiles, g_pad, a_sel, r_mat, a_rep)
+    )(
+        tile_offsets, zs_e, dst_tiles, zd_pad, g_pad, m_stats, l_stats,
+        a_sel, r_mat, a_rep,
+    )
 
     # phase 2: permute packets to src-sorted order, segment-sum per src tile
     e2_pad = edge_tiles.src_sorted_ids.shape[0]
     c1s = jnp.take(c1, jnp.asarray(edge_tiles.gather_perm), axis=0)
-    sid_tiles = jnp.asarray(edge_tiles.src_sorted_ids).reshape(
-        e2_pad // TILE_E, TILE_E
-    )
+    sid_tiles = jnp.asarray(edge_tiles.src_sorted_ids).reshape(1, e2_pad)
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
@@ -699,13 +803,13 @@ def _pallas_backward(
             (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE_E, hd), jnp.float32),
-            pltpu.VMEM((1, TILE_E), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, 1, te), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     dzs_pad = pl.pallas_call(
-        _segsum_src_kernel,
+        functools.partial(_segsum_src_kernel, tile_e=te),
         grid_spec=grid_spec2,
         out_shape=jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -734,6 +838,7 @@ def edge_attention_pallas(
     edge_tiles: EdgeTiles | None = None,
     interpret: bool = False,
     bwd_impl: str = "pallas",
+    precision: str = "highest",
 ) -> jax.Array:
     """Drop-in replacement for ops.attention._edge_attention_xla.
 
@@ -755,33 +860,47 @@ def edge_attention_pallas(
         bwd_impl = "xla"  # tiles built by an older prepare_edge_tiles
     src_j = jnp.asarray(edge_tiles.src)
     dst_j = jnp.asarray(edge_tiles.dst)
+    n_pad = edge_tiles.padded_num_nodes
 
     from gatv2_tpu.ops.attention import _edge_attention_xla
 
-    def _gather_edges(zs, zd):
-        n, h, d = zs.shape
+    def _lane_pad(n, h, d):
         hd_real = h * d
-        hd = -(-hd_real // 128) * 128
+        return hd_real, -(-hd_real // 128) * 128
+
+    def _gather_src(zs):
+        n, h, d = zs.shape
+        hd_real, hd = _lane_pad(n, h, d)
         zs_e = jnp.take(zs.reshape(n, hd_real), src_j, axis=0)
-        zd_e = jnp.take(
-            zd.reshape(n, hd_real), jnp.minimum(dst_j, num_nodes - 1), axis=0
-        )
         if hd != hd_real:
             zs_e = jnp.pad(zs_e, ((0, 0), (0, hd - hd_real)))
-            zd_e = jnp.pad(zd_e, ((0, 0), (0, hd - hd_real)))
-        return zs_e, zd_e, hd
+        return zs_e, hd
+
+    def _node_pad(z, hd):
+        n, h, d = z.shape
+        return jnp.zeros((n_pad, hd), jnp.float32).at[:n, : h * d].set(
+            z.reshape(n, h * d)
+        )
 
     @jax.custom_vjp
     def attn(zs, zd, a):
         n, h, d = zs.shape
-        zs_e, zd_e, _ = _gather_edges(zs, zd)
-        out = _pallas_forward(
-            zs_e, zd_e, a, edge_tiles, negative_slope, interpret=interpret
+        zs_e, hd = _gather_src(zs)
+        out, _, _ = _pallas_forward(
+            zs_e, _node_pad(zd, hd), a, edge_tiles, negative_slope,
+            interpret=interpret, precision=precision,
         )
         return out[:num_nodes, : h * d].reshape(num_nodes, h, d)
 
     def fwd(zs, zd, a):
-        return attn(zs, zd, a), (zs, zd, a)
+        n, h, d = zs.shape
+        zs_e, hd = _gather_src(zs)
+        out, m_stats, l_stats = _pallas_forward(
+            zs_e, _node_pad(zd, hd), a, edge_tiles, negative_slope,
+            interpret=interpret, precision=precision,
+        )
+        res = (zs, zd, a, m_stats, l_stats) if bwd_impl == "pallas" else (zs, zd, a)
+        return out[:num_nodes, : h * d].reshape(num_nodes, h, d), res
 
     def bwd_xla(res, g):
         zs, zd, a = res
@@ -795,16 +914,16 @@ def edge_attention_pallas(
         return vjp(g)
 
     def bwd_pallas(res, g):
-        zs, zd, a = res
+        zs, zd, a, m_stats, l_stats = res
         n, h, d = zs.shape
         hd_real = h * d
-        zs_e, zd_e, hd = _gather_edges(zs, zd)
-        n_pad = edge_tiles.padded_num_nodes
+        zs_e, hd = _gather_src(zs)
         g_pad = jnp.zeros((n_pad, hd), jnp.float32).at[:n, :hd_real].set(
             g.reshape(n, hd_real)
         )
         dzs_pad, dzd_pad, da = _pallas_backward(
-            zs_e, zd_e, g_pad, a, edge_tiles, negative_slope, interpret=interpret
+            zs_e, _node_pad(zd, hd), g_pad, m_stats, l_stats, a, edge_tiles,
+            negative_slope, interpret=interpret, precision=precision,
         )
         dzs = dzs_pad[:n, :hd_real].reshape(n, h, d)
         dzd = dzd_pad[:n, :hd_real].reshape(n, h, d)

@@ -93,6 +93,47 @@ def test_pallas_multi_tile_nodes():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("tile_e", [256, 512])
+def test_pallas_larger_edge_tiles(tiny_graph, tile_e):
+    """Explicit tile_e override: forward + backward stay correct."""
+    g = tiny_graph
+    h, d = 2, 16
+    zs, zd, a = _random_inputs(g, h, d, seed=5)
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes, tile_e=tile_e)
+    assert et.tile_e == tile_e
+    pe = g.padded_edges(128)
+    want = _edge_attention_xla(
+        zs, zd, a, jnp.asarray(pe.src), jnp.asarray(pe.dst), g.num_nodes,
+        negative_slope=0.01,
+    )
+    got = edge_attention_pallas(
+        zs, zd, a, None, None, g.num_nodes,
+        negative_slope=0.01, edge_tiles=et, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+    def loss_pl(zs, zd, a):
+        out = edge_attention_pallas(
+            zs, zd, a, None, None, g.num_nodes,
+            negative_slope=0.01, edge_tiles=et, interpret=True,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(zs, zd, a):
+        out = _edge_attention_xla(
+            zs, zd, a, jnp.asarray(pe.src), jnp.asarray(pe.dst), g.num_nodes,
+            negative_slope=0.01,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(zs, zd, a)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(zs, zd, a)
+    for a_, b_ in zip(g_xla, g_pl):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=2e-5, atol=2e-6
+        )
+
+
 def test_src_sorted_tiling_layout(tiny_graph):
     """The backward's transpose-graph (CSC-view) tiling is consistent."""
     g = tiny_graph
