@@ -1,12 +1,11 @@
-"""Sharded full-graph training: shard_map over the 'graph' mesh axis.
+"""Sharded full-graph training: shard_map over a ('graph', 'head') mesh.
 
-Design (SURVEY.md §2.5 'SP/CP' row — the reference has no distributed path
-at all, this is new capability):
+Design (SURVEY.md §2.5 — the reference has no distributed path at all, this
+is new capability):
 
+  graph axis — edge/sequence-parallel analog:
   - node features / labels / edge arrays are sharded on axis 0 over the
     'graph' axis (see parallel/partition.py for the layout);
-  - model parameters are REPLICATED; their gradients are psum'd by the
-    autodiff transpose of the replicated capture (shard_map handles this);
   - per layer, each device computes its nodes' projections zs/zd locally
     (dense MXU matmuls on [N/S, F] blocks), then `all_gather`s the src-side
     projections over ICI — the halo exchange. Attention scores, segment
@@ -15,9 +14,21 @@ at all, this is new capability):
   - loss/accuracy are local sums + one psum, normalized by the REAL node
     count (padding nodes carry label -1 and are masked).
 
-Differentiation happens OUTSIDE shard_map (jax.value_and_grad of a function
-whose body is shard_map'ped), so XLA transposes the all_gather into a
-reduce_scatter in the backward pass automatically.
+  head axis — tensor parallelism (heads are embarrassingly parallel; the
+  reference's layouts are head-major for the same reason, e.g. attn_score
+  [H, E], GATv2_edge_based.cu:297):
+  - each layer's W_src/W_dst/a are sharded on their leading head dim when
+    the layer's head count divides the axis size, else replicated (and the
+    layer computed redundantly — e.g. the 1-head last layer);
+  - hidden layers all_gather the per-head outputs over 'head' to form the
+    concat [n_loc, H*D] every shard needs for the next projection;
+  - the last layer's head average is a psum over 'head'.
+
+Model parameters not sharded on 'head' are REPLICATED; their gradients are
+psum'd by the autodiff transpose of the replicated capture (shard_map
+handles this). Differentiation happens OUTSIDE shard_map (jax.value_and_grad
+of a function whose body is shard_map'ped), so XLA transposes the
+all_gathers into reduce_scatters in the backward pass automatically.
 """
 
 from __future__ import annotations
@@ -36,6 +47,36 @@ from gatv2_tpu.parallel.partition import PartitionedGraph
 from gatv2_tpu.train import optim
 
 
+def _head_axis_size(mesh: Mesh, head_axis: str | None) -> int:
+    if head_axis is None or head_axis not in mesh.axis_names:
+        return 1
+    return mesh.shape[head_axis]
+
+
+def _layer_head_sharded(num_heads: int, head_size: int) -> bool:
+    return head_size > 1 and num_heads % head_size == 0
+
+
+def param_specs(
+    model_config: ModelConfig, mesh: Mesh, *, head_axis: str | None = "head"
+):
+    """PartitionSpec pytree for GATv2Params: head-TP where divisible."""
+    hs = _head_axis_size(mesh, head_axis)
+    layers = []
+    for h in model_config.heads:
+        if _layer_head_sharded(h, hs):
+            layers.append(
+                {
+                    "w_src": P(head_axis, None, None),
+                    "w_dst": P(head_axis, None, None),
+                    "a": P(head_axis, None),
+                }
+            )
+        else:
+            layers.append({"w_src": P(), "w_dst": P(), "a": P()})
+    return {"layers": tuple(layers), "w_o": P()}
+
+
 def _sharded_layer(
     layer_params,
     x_loc: jax.Array,  # [n_loc, F] this shard's node features
@@ -43,6 +84,9 @@ def _sharded_layer(
     dst_l: jax.Array,  # [e_loc] local dst ids (n_loc = padding)
     *,
     axis_name: str,
+    head_axis: str | None,
+    head_sharded: bool,
+    num_heads_global: int,
     is_last: bool,
     negative_slope: float,
     variant: str,
@@ -50,23 +94,35 @@ def _sharded_layer(
 ) -> jax.Array:
     w_src, w_dst, a = layer_params["w_src"], layer_params["w_dst"], layer_params["a"]
     n_loc = x_loc.shape[0]
+    # local (head-shard's) projections — dense MXU matmuls
     zs_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_src, precision=precision)
     zd_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_dst, precision=precision)
     # halo exchange: src projections of ALL nodes (one collective per layer)
     zs_all = jax.lax.all_gather(zs_loc, axis_name, axis=0, tiled=True)
 
-    zs_e = jnp.take(zs_all, src_g, axis=0)  # [e_loc, H, D]
+    zs_e = jnp.take(zs_all, src_g, axis=0)  # [e_loc, H_loc, D]
     zd_e = jnp.take(zd_loc, jnp.minimum(dst_l, n_loc - 1), axis=0)
     s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
     e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)
     alpha = segment_softmax(e, dst_l, n_loc)
-    h = segment_sum(alpha[:, :, None] * zs_e, dst_l, n_loc)  # [n_loc, H, D]
+    h = segment_sum(alpha[:, :, None] * zs_e, dst_l, n_loc)  # [n_loc, H_loc, D]
 
     if not is_last:
-        return jax.nn.leaky_relu(h, negative_slope).reshape(n_loc, -1)
+        h = jax.nn.leaky_relu(h, negative_slope)
+        if head_sharded:
+            # concat across head shards: [n_loc, H_loc, D] -> [n_loc, H, D]
+            h = jax.lax.all_gather(h, head_axis, axis=1, tiled=True)
+        return h.reshape(n_loc, -1)
     if variant == "edge":
-        return jnp.mean(jax.nn.leaky_relu(h, negative_slope), axis=1)
-    return jax.nn.leaky_relu(jnp.mean(h, axis=1), negative_slope)
+        h = jax.nn.leaky_relu(h, negative_slope)
+        hsum = jnp.sum(h, axis=1)
+        if head_sharded:
+            hsum = jax.lax.psum(hsum, head_axis)
+        return hsum / num_heads_global
+    hsum = jnp.sum(h, axis=1)
+    if head_sharded:
+        hsum = jax.lax.psum(hsum, head_axis)
+    return jax.nn.leaky_relu(hsum / num_heads_global, negative_slope)
 
 
 def make_sharded_loss_fn(
@@ -75,9 +131,13 @@ def make_sharded_loss_fn(
     num_real_nodes: int,
     *,
     axis_name: str = "graph",
+    head_axis: str | None = "head",
 ) -> Callable:
     """Returns loss_fn(params, features, src, dst_local, labels) -> (loss, acc)
-    where the data arguments are globally-shaped arrays sharded on axis 0."""
+    where the data arguments are globally-shaped arrays sharded on axis 0
+    of the 'graph' mesh axis; params follow param_specs (head-TP)."""
+    hs = _head_axis_size(mesh, head_axis)
+    has_head_axis = head_axis is not None and head_axis in mesh.axis_names
 
     def body(params, x_loc, src_g, dst_l, labels_loc):
         x = x_loc
@@ -88,6 +148,9 @@ def make_sharded_loss_fn(
                 src_g,
                 dst_l,
                 axis_name=axis_name,
+                head_axis=head_axis if has_head_axis else None,
+                head_sharded=_layer_head_sharded(model_config.heads[l], hs),
+                num_heads_global=model_config.heads[l],
                 is_last=(l == model_config.num_layers - 1),
                 negative_slope=model_config.negative_slope,
                 variant=model_config.variant,
@@ -106,11 +169,16 @@ def make_sharded_loss_fn(
         acc = jax.lax.psum(correct_sum, axis_name) / num_real_nodes
         return loss, acc
 
+    pspecs = (
+        param_specs(model_config, mesh, head_axis=head_axis)
+        if has_head_axis
+        else jax.tree.map(lambda _: P(), param_specs(model_config, mesh, head_axis=None))
+    )
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            P(),  # params replicated
+            pspecs,  # params: head-TP sharded / replicated
             P(axis_name, None),  # features
             P(axis_name),  # src
             P(axis_name),  # dst_local
@@ -127,12 +195,13 @@ def make_sharded_train_step(
     num_real_nodes: int,
     *,
     axis_name: str = "graph",
+    head_axis: str | None = "head",
     donate: bool = True,
 ) -> Callable:
     """jit(step)(params, opt_state, t, features, src, dst_local, labels)
     -> (params, opt_state, loss, acc), with data sharded over the mesh."""
     loss_fn = make_sharded_loss_fn(
-        model_config, mesh, num_real_nodes, axis_name=axis_name
+        model_config, mesh, num_real_nodes, axis_name=axis_name, head_axis=head_axis
     )
 
     def step(params, opt_state, t, features, src, dst_l, labels):
@@ -148,12 +217,27 @@ def make_sharded_train_step(
 
 
 def make_sharded_eval_step(
-    model_config: ModelConfig, mesh: Mesh, num_real_nodes: int, *, axis_name: str = "graph"
+    model_config: ModelConfig,
+    mesh: Mesh,
+    num_real_nodes: int,
+    *,
+    axis_name: str = "graph",
+    head_axis: str | None = "head",
 ) -> Callable:
     loss_fn = make_sharded_loss_fn(
-        model_config, mesh, num_real_nodes, axis_name=axis_name
+        model_config, mesh, num_real_nodes, axis_name=axis_name, head_axis=head_axis
     )
     return jax.jit(loss_fn)
+
+
+def device_put_params(
+    params, model_config: ModelConfig, mesh: Mesh, *, head_axis: str | None = "head"
+):
+    """Place params with their head-TP shardings (replicated otherwise)."""
+    specs = param_specs(model_config, mesh, head_axis=head_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
 
 
 def device_put_partitioned(

@@ -125,3 +125,78 @@ def test_sharded_training_learns(learnable_graph):
             loss0 = float(loss)
     assert float(loss) < loss0
     assert float(acc) > 0.5
+
+
+@pytest.mark.parametrize("graph_shards,head_shards", [(4, 2), (2, 4), (1, 8)])
+def test_head_tp_matches_single_device(learnable_graph, graph_shards, head_shards):
+    """2-D ('graph', 'head') mesh: head tensor parallelism reproduces the
+    single-device loss/grads. Layer head counts (2, 2): sharded when
+    divisible by head_shards, else computed replicated."""
+    from gatv2_tpu.parallel.sharded import (
+        device_put_params,
+        make_sharded_loss_fn,
+    )
+
+    g = learnable_graph
+    config = _cfg(g)
+    params = init_params(config, jax.random.PRNGKey(2))
+    pe = g.padded_edges(128)
+    loss_ref, acc_ref = loss_fn(
+        params,
+        jnp.asarray(g.features),
+        jnp.asarray(pe.src),
+        jnp.asarray(pe.dst),
+        jnp.asarray(g.labels),
+        config,
+    )
+    grads_ref = jax.grad(
+        lambda p: loss_fn(
+            p,
+            jnp.asarray(g.features),
+            jnp.asarray(pe.src),
+            jnp.asarray(pe.dst),
+            jnp.asarray(g.labels),
+            config,
+        )[0]
+    )(params)
+
+    mesh = make_mesh(graph_shards * head_shards, head_shards=head_shards)
+    pg = partition_graph(g, graph_shards)
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+    params_sh = device_put_params(params, config, mesh)
+    sharded_loss = make_sharded_loss_fn(config, mesh, pg.num_real_nodes)
+    loss_sh, acc_sh = jax.jit(sharded_loss)(params_sh, feats, src, dst_l, labels)
+    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-5)
+    assert float(acc_sh) == pytest.approx(float(acc_ref), abs=1e-6)
+
+    grads_sh = jax.jit(
+        jax.grad(lambda p: sharded_loss(p, feats, src, dst_l, labels)[0])
+    )(params_sh)
+    for a, b in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_sh)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        )
+
+
+def test_head_tp_training_learns(learnable_graph):
+    from gatv2_tpu.parallel.sharded import device_put_params
+
+    g = learnable_graph
+    config = _cfg(g)
+    tc = TrainConfig(optimizer="adam", lr=0.01, seed=0)
+    mesh = make_mesh(8, head_shards=2)
+    pg = partition_graph(g, 4)
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+    params = device_put_params(init_params(config, jax.random.PRNGKey(0)), config, mesh)
+    opt_state = optim.init_opt_state(params, "adam")
+    step = make_sharded_train_step(config, tc, mesh, pg.num_real_nodes)
+    loss0 = None
+    for epoch in range(1, 16):
+        params, opt_state, loss, acc = step(
+            params, opt_state, jnp.asarray(epoch, jnp.int32),
+            feats, src, dst_l, labels,
+        )
+        if loss0 is None:
+            loss0 = float(loss)
+    assert float(loss) < loss0
+    assert float(acc) > 0.5
