@@ -68,6 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the graph over this many devices (0 = single)")
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="minibatch mode: seed nodes per sampled subgraph "
+                        "(0 = full-graph training, like the reference)")
+    p.add_argument("--fanouts", type=_int_list, default=None,
+                   help="per-layer neighbor-sampling fanouts for --batch-size "
+                        "mode (default: 10 per layer)")
+    p.add_argument("--sampler-engine", choices=["auto", "native", "python"],
+                   default="auto", help="neighbor-sampler implementation")
     return p
 
 
@@ -108,6 +116,10 @@ def parse_args(argv: list[str] | None = None) -> tuple[ModelConfig, TrainConfig,
         dataset=args.dataset,
         data_root=args.data_root if args.data_root is not None else "",
         impl=args.impl,
+        batch_size=args.batch_size,
+        fanouts=tuple(args.fanouts) if args.fanouts is not None
+        else tuple([10] * args.num_layers if args.batch_size > 0 else []),
+        sampler_engine=args.sampler_engine,
         log_file=args.log_file,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,

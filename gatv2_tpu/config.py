@@ -93,6 +93,13 @@ class TrainConfig:
     #   'xla'    — pure jnp segment ops (oracle, runs everywhere)
     #   'pallas' — fused row-blocked Pallas kernel (TPU)
     impl: str = "xla"
+    # minibatch (sampled-subgraph) mode: batch_size > 0 switches the trainer
+    # from the reference's full-graph epochs to neighbor-sampled minibatches
+    # (fanouts = per-layer in-neighbor caps; engine picks the C++ or numpy
+    # sampler). Reference has no such mode (SURVEY.md §2.5).
+    batch_size: int = 0
+    fanouts: tuple = ()
+    sampler_engine: str = "auto"  # 'auto' | 'native' | 'python'
     log_file: str | None = None  # JSONL metrics sink
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # epochs; 0 = off

@@ -14,9 +14,14 @@ Each batch is a node-induced sampled subgraph:
   - labels: real for seeds, -1 elsewhere (masked by the loss — see
     models.gatv2.loss_and_accuracy).
 
-Sampling runs on host in numpy (cheap vs device step) and is deterministic
-under a seed. The padded sizes are computed once from batch_size/fanouts so
-every batch compiles to the same program.
+Sampling runs on host and is deterministic under a seed. Two engines with
+the same semantics:
+  - native C++ (native/sampler.cpp via utils.native_loader) — the default
+    when the shared library is built; Products-scale batches in ~ms,
+  - pure numpy/Python fallback (below) — always available, the test oracle.
+The engines draw from identical distributions but different RNG streams, so
+batches differ bit-wise between them. The padded sizes are computed once
+from batch_size/fanouts so every batch compiles to the same XLA program.
 """
 
 from __future__ import annotations
@@ -52,11 +57,27 @@ class NeighborSampler:
         *,
         seed: int = 0,
         edge_multiple: int = 128,
+        engine: str = "auto",  # 'auto' | 'native' | 'python'
     ):
         self.graph = graph
         self.batch_size = batch_size
         self.fanouts = tuple(fanouts)
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._batch_counter = 0
+        if engine == "auto":
+            from gatv2_tpu.utils import native_loader
+
+            engine = "native" if native_loader.available() else "python"
+        elif engine == "native":
+            from gatv2_tpu.utils import native_loader
+
+            if not native_loader.available():
+                raise RuntimeError(
+                    "native sampler requested but libgatv2_loader.so is not "
+                    "built (make -C native)"
+                )
+        self.engine = engine
         # static shape budget
         max_nodes = batch_size
         max_edges = 0
@@ -79,6 +100,39 @@ class NeighborSampler:
         return math.ceil(self.graph.num_nodes / self.batch_size)
 
     def sample(self, seeds: np.ndarray) -> MiniBatch:
+        if self.engine == "native":
+            return self._sample_native(seeds)
+        return self._sample_python(seeds)
+
+    def _sample_native(self, seeds: np.ndarray) -> MiniBatch:
+        from gatv2_tpu.utils import native_loader
+
+        g = self.graph
+        self._batch_counter += 1
+        nodes, src, dst, num_nodes, num_edges = native_loader.sample_batch(
+            g.row_ptr,
+            g.col_idx,
+            np.asarray(seeds, np.int32),
+            np.asarray(self.fanouts, np.int32),
+            self.max_nodes,
+            self.max_edges,
+            rng_seed=(self.seed << 20) + self._batch_counter,
+        )
+        features = np.zeros((self.max_nodes, g.feature_dim), np.float32)
+        features[:num_nodes] = g.features[nodes[:num_nodes]]
+        labels = np.full(self.max_nodes, -1, np.int32)
+        labels[: len(seeds)] = g.labels[seeds]
+        return MiniBatch(
+            features=features,
+            src=src,
+            dst=dst,
+            labels=labels,
+            num_seeds=len(seeds),
+            num_nodes=num_nodes,
+            num_edges=num_edges,
+        )
+
+    def _sample_python(self, seeds: np.ndarray) -> MiniBatch:
         g = self.graph
         row_ptr, col_idx = g.row_ptr, g.col_idx
 

@@ -118,3 +118,97 @@ def stack_batches(batches: list[MiniBatch], mesh: Mesh, *, axis_name: str = "dat
         jax.device_put(labels, s2),
         jax.device_put(seeds, s1),
     )
+
+
+class MinibatchTrainer:
+    """Sampled-subgraph trainer with the reference's console contract
+    (per-epoch 'Avg Loss / Accuracy / total time' lines; loss and accuracy
+    are seed-weighted averages over the epoch's batches)."""
+
+    def __init__(
+        self,
+        graph,
+        model_config: ModelConfig,
+        train_config: TrainConfig,
+        *,
+        log_fn: Callable[[str], None] = print,
+        metrics_sink=None,
+    ):
+        import time
+
+        from gatv2_tpu.data.sampling import NeighborSampler
+        from gatv2_tpu.models import gatv2 as _g
+
+        self.graph = graph
+        self.model_config = model_config
+        self.train_config = train_config
+        self.log = log_fn
+        self.metrics_sink = metrics_sink
+        fanouts = train_config.fanouts or tuple(
+            [10] * model_config.num_layers
+        )
+        if len(fanouts) != model_config.num_layers:
+            raise ValueError(
+                f"--fanouts needs {model_config.num_layers} entries, got "
+                f"{len(fanouts)}"
+            )
+        seed = train_config.seed
+        if seed is None:
+            seed = int(time.time())
+        self.sampler = NeighborSampler(
+            graph,
+            train_config.batch_size,
+            fanouts,
+            seed=seed,
+            engine=train_config.sampler_engine,
+        )
+        self.params = _g.init_params(model_config, jax.random.PRNGKey(seed))
+        self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
+        self.epoch = 0
+        self.step_count = 0
+        self._step = make_minibatch_step(model_config, train_config)
+
+    def run(self, epochs: int | None = None) -> dict:
+        import time
+
+        epochs = epochs if epochs is not None else self.train_config.epochs
+        last = {}
+        for _ in range(epochs):
+            self.epoch += 1
+            t0 = time.perf_counter()
+            loss_sum = 0.0
+            correct_sum = 0.0
+            seeds_total = 0
+            for b in self.sampler:
+                self.step_count += 1
+                self.params, self.opt_state, loss, acc = self._step(
+                    self.params,
+                    self.opt_state,
+                    jnp.asarray(self.step_count, jnp.int32),
+                    jnp.asarray(b.features),
+                    jnp.asarray(b.src),
+                    jnp.asarray(b.dst),
+                    jnp.asarray(b.labels),
+                    jnp.asarray(b.num_seeds, jnp.int32),
+                )
+                loss_sum += float(loss) * b.num_seeds
+                correct_sum += float(acc) * b.num_seeds
+                seeds_total += b.num_seeds
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            avg_loss = loss_sum / max(seeds_total, 1)
+            avg_acc = correct_sum / max(seeds_total, 1)
+            self.log(f"Epoch {self.epoch}")
+            self.log(
+                f"Avg Loss: {avg_loss:.6f}, Accuracy: {avg_acc * 100.0:.2f}%  "
+                f"total time: {dt_ms:.2f} ms"
+            )
+            last = {
+                "epoch": self.epoch,
+                "loss": avg_loss,
+                "accuracy": avg_acc,
+                "ms": dt_ms,
+                "batches": self.sampler.batches_per_epoch(),
+            }
+            if self.metrics_sink is not None:
+                self.metrics_sink.write(last)
+        return last

@@ -51,6 +51,23 @@ def _get_lib():
         ]
         lib.count_numbers.restype = ctypes.c_longlong
         lib.count_numbers.argtypes = [ctypes.c_char_p]
+        lib.sample_batch.restype = ctypes.c_longlong
+        lib.sample_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),  # row_ptr
+            ctypes.POINTER(ctypes.c_int32),  # col_idx
+            ctypes.c_longlong,  # graph_nodes
+            ctypes.POINTER(ctypes.c_int32),  # seeds
+            ctypes.c_longlong,  # num_seeds
+            ctypes.POINTER(ctypes.c_int32),  # fanouts
+            ctypes.c_int,  # num_layers
+            ctypes.c_longlong,  # max_nodes
+            ctypes.c_longlong,  # max_edges
+            ctypes.c_uint64,  # rng_seed
+            ctypes.POINTER(ctypes.c_int32),  # out_nodes
+            ctypes.POINTER(ctypes.c_int32),  # out_src
+            ctypes.POINTER(ctypes.c_int32),  # out_dst
+            ctypes.POINTER(ctypes.c_longlong),  # out_num_edges
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -109,6 +126,51 @@ def parse_int_file(path: os.PathLike) -> np.ndarray | None:
     if got != n:
         raise IOError(f"native loader: parsed {got}/{n} ints from {path}")
     return out
+
+
+def sample_batch(
+    row_ptr: np.ndarray,  # [N+1] int64
+    col_idx: np.ndarray,  # [E] int32
+    seeds: np.ndarray,  # [S] int32
+    fanouts: np.ndarray,  # [L] int32
+    max_nodes: int,
+    max_edges: int,
+    rng_seed: int,
+):
+    """Native neighbor sample (native/sampler.cpp). Returns
+    (nodes [max_nodes] int32, src [max_edges], dst [max_edges],
+    num_nodes, num_edges) or None if the library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    col_idx = np.ascontiguousarray(col_idx, np.int32)
+    seeds = np.ascontiguousarray(seeds, np.int32)
+    fanouts = np.ascontiguousarray(fanouts, np.int32)
+    out_nodes = np.empty(max_nodes, np.int32)
+    out_src = np.empty(max_edges, np.int32)
+    out_dst = np.empty(max_edges, np.int32)
+    out_num_edges = ctypes.c_longlong(0)
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    nn = lib.sample_batch(
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        i32p(col_idx),
+        len(row_ptr) - 1,
+        i32p(seeds),
+        len(seeds),
+        i32p(fanouts),
+        len(fanouts),
+        max_nodes,
+        max_edges,
+        rng_seed,
+        i32p(out_nodes),
+        i32p(out_src),
+        i32p(out_dst),
+        ctypes.byref(out_num_edges),
+    )
+    if nn < 0:
+        raise ValueError("native sampler: invalid arguments")
+    return out_nodes, out_src, out_dst, int(nn), int(out_num_edges.value)
 
 
 if __name__ == "__main__":

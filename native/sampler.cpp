@@ -1,0 +1,192 @@
+// Native neighbor sampler: host-side frontier expansion for minibatch
+// training (gatv2_tpu/data/sampling.py is the Python fallback with the same
+// semantics). The reference has no sampling at all (full-graph only,
+// GATv2_edge_based.cu:1370-1438); this is the scale path for OGBN-Products,
+// where Python per-node loops would starve the device.
+//
+// One call = one GraphSAGE-style layer-wise sample:
+//   - seeds get local ids 0..num_seeds-1,
+//   - L rounds of frontier expansion picking at most fanout[l] in-neighbors
+//     per frontier node (all of them when degree <= fanout, else a uniform
+//     without-replacement draw via Floyd's algorithm),
+//   - emitted edges (src_local, dst_local) are counting-sorted by dst.
+//
+// RNG: splitmix64 streams seeded per call — deterministic for a given
+// (seed, batch) and independent across batches. (The Python fallback uses
+// numpy's Philox; the two produce differently-seeded but identically-
+// distributed samples.)
+//
+// Build: make -C native  ->  libgatv2_loader.so (shared with loader.cpp)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct SplitMix64 {
+  uint64_t state;
+  explicit SplitMix64(uint64_t seed) : state(seed) {}
+  uint64_t next() {
+    uint64_t z = (state += 0x9e3779b97f4a7c15ULL);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+  }
+  // uniform in [0, n) without modulo bias (Lemire)
+  uint64_t bounded(uint64_t n) {
+    while (true) {
+      uint64_t x = next();
+      __uint128_t m = static_cast<__uint128_t>(x) * n;
+      uint64_t lo = static_cast<uint64_t>(m);
+      if (lo >= n || lo >= (-n) % n) return static_cast<uint64_t>(m >> 64);
+    }
+  }
+};
+
+// open-addressing hash map: global node id -> local id
+struct NodeMap {
+  std::vector<int64_t> keys;   // -1 = empty
+  std::vector<int32_t> vals;
+  size_t mask;
+  explicit NodeMap(size_t capacity) {
+    size_t sz = 16;
+    while (sz < capacity * 2) sz <<= 1;
+    keys.assign(sz, -1);
+    vals.assign(sz, -1);
+    mask = sz - 1;
+  }
+  // returns local id, or -1 if absent and insert_id < 0
+  int32_t get_or_insert(int64_t key, int32_t insert_id) {
+    size_t h = static_cast<uint64_t>(key) * 0x9e3779b97f4a7c15ULL;
+    size_t i = h & mask;
+    while (true) {
+      if (keys[i] == key) return vals[i];
+      if (keys[i] < 0) {
+        if (insert_id < 0) return -1;
+        keys[i] = key;
+        vals[i] = insert_id;
+        return insert_id;
+      }
+      i = (i + 1) & mask;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Samples one minibatch subgraph. Returns the number of batch nodes, or -1
+// on invalid arguments. Outputs:
+//   out_nodes     [max_nodes]  global ids of batch nodes (local id = index)
+//   out_src/out_dst [max_edges] local-id edges, dst-sorted; padding slots
+//                 get src=0, dst=max_nodes
+//   out_num_edges [1]          real edge count
+long long sample_batch(
+    const int64_t* row_ptr, const int32_t* col_idx, long long graph_nodes,
+    const int32_t* seeds, long long num_seeds,
+    const int32_t* fanouts, int num_layers,
+    long long max_nodes, long long max_edges,
+    uint64_t rng_seed,
+    int32_t* out_nodes, int32_t* out_src, int32_t* out_dst,
+    long long* out_num_edges) {
+  if (num_seeds <= 0 || num_seeds > max_nodes || num_layers < 0) return -1;
+  SplitMix64 rng(rng_seed * 0x2545f4914f6cdd1dULL + 0x9e3779b97f4a7c15ULL);
+
+  NodeMap map(static_cast<size_t>(max_nodes));
+  std::vector<int32_t> nodes;
+  nodes.reserve(static_cast<size_t>(max_nodes));
+  for (long long i = 0; i < num_seeds; ++i) {
+    int64_t s = seeds[i];
+    if (s < 0 || s >= graph_nodes) return -1;
+    if (map.get_or_insert(s, static_cast<int32_t>(nodes.size())) ==
+        static_cast<int32_t>(nodes.size())) {
+      nodes.push_back(static_cast<int32_t>(s));
+    }
+  }
+
+  std::vector<int32_t> esrc, edst;
+  esrc.reserve(static_cast<size_t>(max_edges));
+  edst.reserve(static_cast<size_t>(max_edges));
+
+  std::vector<int32_t> frontier(nodes);  // global ids
+  std::vector<int32_t> next_frontier;
+  std::vector<int64_t> picked;  // neighbor indices within [0, deg)
+
+  for (int l = 0; l < num_layers; ++l) {
+    const int64_t fanout = fanouts[l];
+    next_frontier.clear();
+    for (int32_t v_glob : frontier) {
+      const int32_t v_loc = map.get_or_insert(v_glob, -1);
+      const int64_t lo = row_ptr[v_glob], hi = row_ptr[v_glob + 1];
+      const int64_t deg = hi - lo;
+      if (deg <= 0) continue;
+      picked.clear();
+      if (deg <= fanout) {
+        for (int64_t e = lo; e < hi; ++e) picked.push_back(e);
+      } else {
+        // Floyd's algorithm: fanout distinct draws from [0, deg)
+        NodeMap seen(static_cast<size_t>(fanout));
+        int32_t cnt = 0;
+        for (int64_t j = deg - fanout; j < deg; ++j) {
+          int64_t t = static_cast<int64_t>(rng.bounded(j + 1));
+          if (seen.get_or_insert(t, cnt) != cnt) {
+            seen.get_or_insert(j, cnt);  // t already taken -> take j
+            picked.push_back(lo + j);
+          } else {
+            picked.push_back(lo + t);
+          }
+          ++cnt;
+        }
+      }
+      for (int64_t e : picked) {
+        const int64_t u_glob = col_idx[e];
+        if (u_glob < 0 || u_glob >= graph_nodes) return -1;
+        int32_t u_loc = map.get_or_insert(u_glob, -1);
+        if (u_loc < 0) {
+          if (static_cast<long long>(nodes.size()) >= max_nodes) {
+            continue;  // static budget exhausted (rare)
+          }
+          u_loc = static_cast<int32_t>(nodes.size());
+          map.get_or_insert(u_glob, u_loc);
+          nodes.push_back(static_cast<int32_t>(u_glob));
+          next_frontier.push_back(static_cast<int32_t>(u_glob));
+        }
+        if (static_cast<long long>(esrc.size()) >= max_edges) continue;
+        esrc.push_back(u_loc);
+        edst.push_back(v_loc);
+      }
+    }
+    frontier.swap(next_frontier);
+  }
+
+  // counting sort by dst (stable) into the padded output
+  const size_t num_edges = esrc.size();
+  const size_t nn = nodes.size();
+  std::vector<int64_t> counts(nn + 1, 0);
+  for (size_t e = 0; e < num_edges; ++e) counts[edst[e]]++;
+  int64_t acc = 0;
+  for (size_t i = 0; i <= nn; ++i) {
+    int64_t c = counts[i];
+    counts[i] = acc;
+    acc += c;
+  }
+  for (long long e = 0; e < max_edges; ++e) {
+    out_src[e] = 0;
+    out_dst[e] = static_cast<int32_t>(max_nodes);
+  }
+  for (size_t e = 0; e < num_edges; ++e) {
+    int64_t pos = counts[edst[e]]++;
+    out_src[pos] = esrc[e];
+    out_dst[pos] = edst[e];
+  }
+  for (size_t i = 0; i < nn; ++i) out_nodes[i] = nodes[i];
+  for (long long i = static_cast<long long>(nn); i < max_nodes; ++i) {
+    out_nodes[i] = 0;
+  }
+  *out_num_edges = static_cast<long long>(num_edges);
+  return static_cast<long long>(nn);
+}
+
+}  // extern "C"

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gatv2_tpu.config import ModelConfig, TrainConfig
 from gatv2_tpu.data.sampling import NeighborSampler
@@ -23,9 +24,14 @@ def _cfg(graph):
     )
 
 
-def test_sampler_shapes_and_validity(learnable_graph):
+@pytest.mark.parametrize("engine", ["python", "native"])
+def test_sampler_shapes_and_validity(learnable_graph, engine):
     g = learnable_graph
-    sampler = NeighborSampler(g, batch_size=32, fanouts=(5, 5), seed=0)
+    if engine == "native":
+        from gatv2_tpu.utils import native_loader
+        if not native_loader.available() and not native_loader.build():
+            pytest.skip("native library unavailable")
+    sampler = NeighborSampler(g, batch_size=32, fanouts=(5, 5), seed=0, engine=engine)
     batches = list(sampler)
     assert len(batches) == sampler.batches_per_epoch()
     seen_seeds = 0
@@ -44,9 +50,14 @@ def test_sampler_shapes_and_validity(learnable_graph):
     assert seen_seeds == g.num_nodes  # epoch covers every node as seed
 
 
-def test_sampled_edges_exist_in_graph(learnable_graph):
+@pytest.mark.parametrize("engine", ["python", "native"])
+def test_sampled_edges_exist_in_graph(learnable_graph, engine):
     g = learnable_graph
-    sampler = NeighborSampler(g, batch_size=16, fanouts=(4,), seed=1)
+    if engine == "native":
+        from gatv2_tpu.utils import native_loader
+        if not native_loader.available() and not native_loader.build():
+            pytest.skip("native library unavailable")
+    sampler = NeighborSampler(g, batch_size=16, fanouts=(4,), seed=1, engine=engine)
     b = next(iter(sampler))
     # reconstruct global ids: node i of the batch is... verify via features
     # (features are unique with overwhelming probability)
@@ -139,3 +150,53 @@ def test_dp_grads_equal_mean_of_local_grads(learnable_graph):
     got, _, _, _ = step(params, opt_state, jnp.asarray(1, jnp.int32), *args)
     for a, b_ in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-7)
+
+
+def test_native_sampler_deterministic_and_bounded(learnable_graph):
+    from gatv2_tpu.utils import native_loader
+
+    if not native_loader.available() and not native_loader.build():
+        pytest.skip("native library unavailable")
+    g = learnable_graph
+    s1 = NeighborSampler(g, batch_size=32, fanouts=(3, 3), seed=7, engine="native")
+    s2 = NeighborSampler(g, batch_size=32, fanouts=(3, 3), seed=7, engine="native")
+    b1, b2 = next(iter(s1)), next(iter(s2))
+    np.testing.assert_array_equal(b1.src, b2.src)
+    np.testing.assert_array_equal(b1.dst, b2.dst)
+    np.testing.assert_array_equal(b1.features, b2.features)
+    # fanout bound: every dst receives at most max(fanouts) sampled edges
+    real = b1.dst < s1.max_nodes
+    if real.any():
+        _, counts = np.unique(b1.dst[real], return_counts=True)
+        assert counts.max() <= max((3, 3))
+    # without-replacement: no duplicate (src, dst) pairs beyond graph
+    # multiplicity 1 per round (multigraph edges aside, the synthetic graph
+    # has distinct neighbor lists per node, so pairs are unique)
+    pairs = set(zip(b1.src[real].tolist(), b1.dst[real].tolist()))
+    assert len(pairs) == int(real.sum())
+
+
+def test_native_sampler_minibatch_trains(learnable_graph):
+    from gatv2_tpu.utils import native_loader
+
+    if not native_loader.available() and not native_loader.build():
+        pytest.skip("native library unavailable")
+    g = learnable_graph
+    config = _cfg(g)
+    tc = TrainConfig(optimizer="adam", lr=0.01, seed=0)
+    sampler = NeighborSampler(g, batch_size=64, fanouts=(5, 5), seed=0, engine="native")
+    step = make_minibatch_step(config, tc)
+    params = init_params(config, jax.random.PRNGKey(0))
+    opt_state = optim.init_opt_state(params, "adam")
+    losses = []
+    t = 0
+    for epoch in range(8):
+        for b in sampler:
+            t += 1
+            params, opt_state, loss, acc = step(
+                params, opt_state, jnp.asarray(t, jnp.int32),
+                jnp.asarray(b.features), jnp.asarray(b.src), jnp.asarray(b.dst),
+                jnp.asarray(b.labels), jnp.asarray(b.num_seeds, jnp.int32),
+            )
+            losses.append(float(loss))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])

@@ -44,7 +44,19 @@ def main(argv: list[str] | None = None) -> int:
     mem_before = device_memory_report()
 
     sink = JsonlSink(train_config.log_file) if train_config.log_file else None
-    trainer = Trainer(graph, model_config, train_config, metrics_sink=sink)
+    if train_config.batch_size > 0:
+        from gatv2_tpu.train.minibatch import MinibatchTrainer
+
+        print(
+            f"Minibatch mode: batch_size={train_config.batch_size}, "
+            f"fanouts={list(train_config.fanouts)}, "
+            f"sampler={train_config.sampler_engine}"
+        )
+        trainer = MinibatchTrainer(
+            graph, model_config, train_config, metrics_sink=sink
+        )
+    else:
+        trainer = Trainer(graph, model_config, train_config, metrics_sink=sink)
 
     if train_config.resume and train_config.checkpoint_dir:
         if ckpt.restore_into(train_config.checkpoint_dir, trainer):
