@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "mode (default: 10 per layer)")
     p.add_argument("--sampler-engine", choices=["auto", "native", "python"],
                    default="auto", help="neighbor-sampler implementation")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of training into DIR")
+    p.add_argument("--save-weights", type=str, default=None, metavar="DIR",
+                   help="dump final weights as text (reference "
+                        "save_array_to_file format) into DIR")
+    p.add_argument("--load-weights", type=str, default=None, metavar="DIR",
+                   help="initialize weights from a --save-weights dump")
     return p
 
 

@@ -67,6 +67,18 @@ def main(argv: list[str] | None = None) -> int:
         used = (mem_after[dev] - mem_before.get(dev, 0)) / 1e6
         print(f"Device memory allocated on {dev}: {used:.1f} MB")
 
+    if args.load_weights:
+        from gatv2_tpu.models.params_io import load_params_txt
+
+        trainer.params = load_params_txt(args.load_weights, model_config)
+        print(f"Loaded weights from {args.load_weights}/")
+
+    profile_ctx = None
+    if args.profile:
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+        print(f"Profiling to {args.profile}/")
+
     remaining = train_config.epochs - trainer.epoch
     every = train_config.checkpoint_every
     if train_config.checkpoint_dir and every > 0:
@@ -88,6 +100,13 @@ def main(argv: list[str] | None = None) -> int:
                 trainer.opt_state,
                 trainer.epoch,
             )
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+    if args.save_weights:
+        from gatv2_tpu.models.params_io import save_params_txt
+
+        save_params_txt(args.save_weights, trainer.params)
+        print(f"Saved weights to {args.save_weights}/")
     if sink is not None:
         sink.close()
     return 0
