@@ -42,7 +42,8 @@ CONFIGS = {
 
 
 def bench_config(
-    name, *, k1=8, k2=40, reps=3, impl="pallas", seed=0, precision="highest"
+    name, *, k1=None, k2=None, reps=None, impl="pallas", seed=0,
+    precision="highest"
 ):
     import jax
     import jax.numpy as jnp
@@ -54,6 +55,9 @@ def bench_config(
     from gatv2_tpu.train.loop import make_multi_epoch_runner
 
     n, e, f, c, layers, heads, outdims = CONFIGS[name]
+    # big graphs: fewer epochs per program (compile time + HBM headroom)
+    if k1 is None:
+        k1, k2, reps = (1, 3, 2) if e >= 4_000_000 else (8, 40, 3)
     g = random_graph(n, e, f, c, seed=seed)
     config = ModelConfig(
         num_layers=layers, heads=heads, out_dims=outdims,
@@ -67,9 +71,16 @@ def bench_config(
     labels = jnp.asarray(g.labels)
     edge_tiles = None
     if impl == "pallas":
-        from gatv2_tpu.ops.pallas_attention import prepare_edge_tiles
+        from gatv2_tpu.ops.pallas_attention import (
+            prepare_edge_tiles,
+            suggest_num_chunks,
+        )
 
-        edge_tiles = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+        max_hd = max(-(-h_ * d_ // 128) * 128 for h_, d_ in zip(heads, outdims))
+        edge_tiles = prepare_edge_tiles(
+            g.row_ptr, g.col_idx, g.num_nodes,
+            num_chunks=suggest_num_chunks(e, max_hd),
+        )
 
     runners = {
         k: make_multi_epoch_runner(config, tc, k, edge_tiles=edge_tiles)

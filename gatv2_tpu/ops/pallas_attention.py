@@ -5,7 +5,7 @@ max/sumexp -> normalize -> atomicAdd aggregate (GATv2_edge_based.cu:1386-1428);
 backward: grad-alpha SDDMM, O(sum deg^2) softmax Jacobian, parameter-grad
 and feature-grad atomic scatters (GATv2_edge_based.cu:612-874) — with
 row-blocked kernels that process 128 destination nodes at a time and stream
-their (dst-sorted) edges through VMEM in double-buffered 128-edge tiles.
+their (dst-sorted) edges through VMEM in double-buffered edge tiles.
 
 Forward (flash-attention-style ONLINE softmax per edge tile):
     M      = (dst_e == node_ids)                    # [TN, TE] one-hot
@@ -20,23 +20,35 @@ Forward (flash-attention-style ONLINE softmax per edge tile):
   out = acc / (l_rep + 1e-8);  (m, l) are emitted as residuals for backward.
 
 Backward (custom_vjp, two selectable implementations):
-  - 'pallas' (default): a dst-tiled 2-pass gradient kernel consuming the
-    forward's (m, l) residuals (segment term -> d_zd / d_a / per-edge packet)
-    plus a src-tiled segment-sum kernel over the transpose-graph (CSC-view)
-    tiling for d_zs. Every segment reduction is a one-hot MXU matmul and the
-    softmax Jacobian uses the O(E) identity
-        dL/de_ij = alpha_ij (dL/dalpha_ij - sum_k alpha_kj dL/dalpha_kj)
-    (SURVEY.md §3.5.3) instead of the reference's per-edge neighborhood loop
-    (compute_grad_attn_score_kernel, GATv2_edge_based.cu:654-696).
+  - 'pallas' (default), two node-space-only phases:
+      phase 1 (dst-tiled, consumes the (m, l) residuals): per-edge
+        dalpha = <g[dst], zs[src]>, the O(E) softmax-Jacobian segment term
+            r_j = sum_{k in N(j)} alpha_k dalpha_k
+        (SURVEY.md §3.5.3 — the reference loops the whole neighborhood per
+        edge, O(sum deg^2), compute_grad_attn_score_kernel E:654-696),
+        then d_zd and d_a. Outputs are all node-indexed (d_zd, d_a, r).
+      phase 2 (src-tiled over the transpose-graph / CSC-view tiling):
+        RECOMPUTES alpha/de/ds per edge from node arrays — zs via the
+        in-tile one-hot, zd/g/(m,l,r) via XLA row gathers in dst order —
+        and one-hot-matmuls the per-edge packet
+            c1 = alpha * g[dst] + ds
+        into d_zs. No [E, HD] packet buffer and no edge permutation ever
+        materialize in HBM, so edge-space temporaries are bounded by the
+        chunk size (below), not by E.
   - 'xla': rematerializes the XLA formulation and uses its autodiff
     transpose (scatter-based; the correctness oracle).
+
+Chunking: prepare_edge_tiles(num_chunks=G) groups node tiles into G
+contiguous groups; every kernel (and its XLA-side edge gathers) runs one
+group at a time, capping peak HBM at O(E/G) edge-space temporaries — this is
+what lets OGBN-Products-scale graphs train full-graph on one chip.
 
 Key TPU-native ideas:
   - per-destination segment reductions AND the dst-side gathers (zd, g) are
     MXU matmuls against the on-the-fly one-hot matrix M — deterministic, no
     atomics (the CUDA reference's atomicAdd scatter is the #2 hotspot,
-    SURVEY.md §3.5), and no [E, HD] dst gather ever touches HBM;
-  - edges are padded PER NODE TILE to 128-edge boundaries
+    SURVEY.md §3.5);
+  - edges are padded PER NODE TILE to tile_e boundaries
     (prepare_edge_tiles) so every DMA is tile-aligned; padding edges carry
     dst=num_nodes and are annihilated by M;
   - all HBM edge streams are double-buffered (DMA for tile k+1 issued before
@@ -61,9 +73,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 128  # destination nodes per grid step
 TILE_E = 128  # default edges per inner step (see prepare_edge_tiles)
-# Per-edge-tile fixed overhead (loop control + DMA issue latency), expressed
-# in edge-equivalents of MXU work, for the auto tile_e selection below.
-_TILE_COST_EDGE_EQUIV = 160
 
 NEG_INF = -1e30
 SOFTMAX_EPS = 1e-8
@@ -82,28 +91,49 @@ _PRECISIONS = {
 
 
 @dataclasses.dataclass(frozen=True)
+class _TileSide:
+    """One tiling direction (dst-sorted CSR view or src-sorted CSC view),
+    grouped into chunks of node tiles.
+
+    ids_grp      [G, chunk_et * te] int32 — the streamed per-edge node id
+                 this side segments by (dst ids for the CSR side, src ids
+                 for the CSC side), RELATIVE to the chunk's node base;
+                 tiles_per_chunk * TILE_N on padding slots (matches no row).
+    other_grp    [G, chunk_et * te] int32 — the opposite endpoint's GLOBAL
+                 node id (src for the CSR side, dst for the CSC side);
+                 0 on padding.
+    rel_offsets  [G, tiles_per_chunk + 1] int32 — per-chunk edge-tile
+                 offsets, relative to the chunk's base.
+    """
+
+    ids_grp: np.ndarray
+    other_grp: np.ndarray
+    rel_offsets: np.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
 class EdgeTiles:
     """Per-node-tile-aligned edge layout (host-precomputed, static per graph).
 
-    Edges stay dst-sorted; after each 128-node tile's edge range we insert
-    padding edges (src=0, dst=num_nodes) to round the range up to a multiple
-    of TILE_E, so every tile's range starts at a TILE_E boundary.
+    Flat (ungrouped) views of the dst-sorted layout are kept for tests and
+    debugging; the kernels consume the grouped _TileSide layouts.
     """
 
-    src: np.ndarray  # [E_pad] int32
+    src: np.ndarray  # [E_pad] int32 (dst-sorted layout)
     dst: np.ndarray  # [E_pad] int32 (num_nodes on padding)
     tile_offsets: np.ndarray  # [T+1] int32, in units of EDGE TILES
     num_nodes: int
     num_node_tiles: int
-    # src-sorted mirror layout for the backward d_zs segment-sum (the
-    # transpose graph / CSC view). gather_perm maps positions in the
-    # src-sorted layout back into the dst-sorted layout above; padding
-    # slots carry src_ids == num_nodes (annihilated by the kernel's one-hot
-    # mask) and gather_perm == 0.
-    src_sorted_ids: np.ndarray | None = None  # [E2_pad] int32
-    gather_perm: np.ndarray | None = None  # [E2_pad] int32
-    src_tile_offsets: np.ndarray | None = None  # [T+1] int32, edge-tile units
+    # src-sorted (CSC-view) flat layout
+    src_sorted_ids: np.ndarray  # [E2_pad] int32 (num_nodes on padding)
+    gather_perm: np.ndarray  # [E2_pad] int32 (position in dst layout)
+    src_tile_offsets: np.ndarray  # [T+1] int32, edge-tile units
+    # kernel parameters
     tile_e: int = TILE_E  # edges per inner step (static kernel parameter)
+    num_chunks: int = 1  # node-tile groups (memory/chunking knob)
+    tiles_per_chunk: int = 0  # node tiles per group (T padded to G * this)
+    dst_side: _TileSide | None = None
+    src_side: _TileSide | None = None
 
     @property
     def padded_num_edges(self) -> int:
@@ -111,7 +141,7 @@ class EdgeTiles:
 
     @property
     def padded_num_nodes(self) -> int:
-        return self.num_node_tiles * TILE_N
+        return self.num_chunks * self.tiles_per_chunk * TILE_N
 
 
 def _auto_tile_e(counts_d: np.ndarray, counts_s: np.ndarray) -> int:
@@ -132,15 +162,57 @@ def _auto_tile_e(counts_d: np.ndarray, counts_s: np.ndarray) -> int:
     return best
 
 
+def _group_side(
+    ids: np.ndarray,  # [E_pad] segment ids (num_nodes pad)
+    other: np.ndarray,  # [E_pad] opposite endpoint (any value on pad)
+    tile_offsets: np.ndarray,  # [T+1] edge-tile units
+    num_nodes: int,
+    num_chunks: int,
+    tiles_per_chunk: int,
+    te: int,
+) -> _TileSide:
+    t_pad = num_chunks * tiles_per_chunk
+    ext = np.concatenate(
+        [tile_offsets, np.full(t_pad + 1 - len(tile_offsets), tile_offsets[-1])]
+    ).astype(np.int64)
+    chunk_et = 1
+    for g in range(num_chunks):
+        chunk_et = max(
+            chunk_et, int(ext[(g + 1) * tiles_per_chunk] - ext[g * tiles_per_chunk])
+        )
+    pad_id = tiles_per_chunk * TILE_N
+    ids_grp = np.full((num_chunks, chunk_et * te), pad_id, np.int32)
+    other_grp = np.zeros((num_chunks, chunk_et * te), np.int32)
+    rel = np.zeros((num_chunks, tiles_per_chunk + 1), np.int32)
+    for g in range(num_chunks):
+        lo = int(ext[g * tiles_per_chunk])
+        hi = int(ext[(g + 1) * tiles_per_chunk])
+        c = (hi - lo) * te
+        seg = ids[lo * te : hi * te].astype(np.int64)
+        node_base = g * tiles_per_chunk * TILE_N
+        ids_grp[g, :c] = np.where(
+            seg < num_nodes, seg - node_base, pad_id
+        ).astype(np.int32)
+        other_grp[g, :c] = other[lo * te : hi * te]
+        rel[g] = (ext[g * tiles_per_chunk : (g + 1) * tiles_per_chunk + 1] - lo).astype(
+            np.int32
+        )
+    return _TileSide(ids_grp=ids_grp, other_grp=other_grp, rel_offsets=rel)
+
+
 def prepare_edge_tiles(
     row_ptr: np.ndarray,
     col_idx: np.ndarray,
     num_nodes: int,
     tile_e: int | None = None,
+    num_chunks: int = 1,
 ) -> EdgeTiles:
-    """Build the tile-aligned edge arrays from CSR (host-side, once per graph).
+    """Build the tile-aligned edge layouts from CSR (host-side, once per
+    graph).
 
     tile_e=None auto-selects the edge-tile size from the degree profile.
+    num_chunks=G bounds edge-space HBM temporaries at O(E/G) during
+    training (see module docstring); 1 = no chunking.
     """
     row_ptr = np.asarray(row_ptr, np.int64)
     num_node_tiles = max(1, -(-num_nodes // TILE_N))
@@ -178,7 +250,7 @@ def prepare_edge_tiles(
     # --- src-sorted mirror (backward d_zs path) -------------------------
     # positions of real edges in the dst-sorted padded layout, stably
     # re-sorted by src node -> per-src-tile contiguous ranges, padded to
-    # TILE_E boundaries exactly like the dst layout.
+    # te boundaries exactly like the dst layout.
     real_pos = np.nonzero(dst < num_nodes)[0].astype(np.int32)
     order = np.argsort(src[real_pos], kind="stable")
     pos_sorted = real_pos[order]
@@ -198,6 +270,21 @@ def prepare_edge_tiles(
         src_sorted_ids[o : o + c] = src_sorted[s : s + c]
         gather_perm[o : o + c] = pos_sorted[s : s + c]
 
+    num_chunks = max(1, min(num_chunks, num_node_tiles))
+    tiles_per_chunk = -(-num_node_tiles // num_chunks)
+
+    dst_side = _group_side(
+        dst, src, tile_offsets, num_nodes, num_chunks, tiles_per_chunk, te
+    )
+    # the CSC side streams src ids and gathers by the edges' dst ids
+    dst_of_src = np.zeros(e2_pad, np.int32)
+    real2 = src_sorted_ids < num_nodes
+    dst_of_src[real2] = dst[gather_perm[real2]]
+    src_side = _group_side(
+        src_sorted_ids, dst_of_src, src_tile_offsets, num_nodes,
+        num_chunks, tiles_per_chunk, te,
+    )
+
     return EdgeTiles(
         src=src,
         dst=dst,
@@ -208,15 +295,33 @@ def prepare_edge_tiles(
         gather_perm=gather_perm,
         src_tile_offsets=src_tile_offsets,
         tile_e=te,
+        num_chunks=num_chunks,
+        tiles_per_chunk=tiles_per_chunk,
+        dst_side=dst_side,
+        src_side=src_side,
     )
+
+
+def suggest_num_chunks(
+    num_edges: int, max_hd: int, *, budget_bytes: int = 4 << 30
+) -> int:
+    """Chunk count so edge-space temporaries (~3 streams of [E/G, hd] f32)
+    stay under budget_bytes."""
+    need = 3 * num_edges * max_hd * 4
+    return max(1, -(-need // budget_bytes))
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
 
 
 def _attention_kernel(
     # scalar prefetch
-    tile_offsets_ref,  # [T+1] int32 (edge-tile units)
+    tile_offsets_ref,  # [T+1] int32 (edge-tile units, chunk-relative)
     # inputs
-    zs_hbm,  # [E_pad, HD] ANY (gathered src projections)
-    dst_hbm,  # [1, E_pad] int32 ANY
+    zs_hbm,  # [E_chunk, HD] ANY (gathered src projections)
+    dst_hbm,  # [1, E_chunk] int32 ANY
     zd_ref,  # [TILE_N, HD] VMEM blocked — dst projections for this tile
     a_sel_ref,  # [HD, 128] VMEM  (a_sel[h*D+d, h] = a[h,d])
     r_ref,  # [128, HD] VMEM  (r[h, h*D+d] = 1)
@@ -249,8 +354,9 @@ def _attention_kernel(
     # hold a finite value (they feed matmuls whose r_mat rows are zero)
     tmax_scr[:] = jnp.full(tmax_scr.shape, NEG_INF, jnp.float32)
 
-    node_base = i * TILE_N
-    node_ids = node_base + jax.lax.broadcasted_iota(jnp.int32, (TILE_N, tile_e), 0)
+    node_ids = i * TILE_N + jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_N, tile_e), 0
+    )
 
     def dmas(slot, k):
         off = pl.multiple_of((t0 + k) * tile_e, tile_e)
@@ -347,52 +453,37 @@ def _attention_kernel(
     l_out_ref[:] = l_scr[:]
 
 
-def _pallas_forward(
-    zs_e: jax.Array,  # [E_pad, HD] gathered src projections (lane-padded)
-    zd_pad: jax.Array,  # [T*TILE_N, HD] dst projections (node+lane padded)
-    a: jax.Array,  # [H, D]
-    edge_tiles: EdgeTiles,
-    negative_slope: float,
+def _forward_chunk(
+    zs_e: jax.Array,  # [E_chunk, HD] gathered src projections (lane-padded)
+    zd_chunk: jax.Array,  # [T_c*TILE_N, HD] this chunk's dst projections
+    dst_flat: jax.Array,  # [1, E_chunk] int32
+    rel_offsets: jax.Array,  # [T_c+1] int32
+    a_sel: jax.Array,
+    r_mat: jax.Array,
     *,
-    interpret: bool = False,
-    precision: str = "highest",
+    num_heads: int,
+    negative_slope: float,
+    te: int,
+    precision: str,
+    interpret: bool,
 ):
-    num_heads, d = a.shape
-    # zs_e arrives lane-padded to a 128 multiple (HBM slices must be 128-lane
-    # aligned). Padding lanes map to no head (a_sel rows / r_mat cols zero),
-    # so they stay inert.
+    t_c = zd_chunk.shape[0] // TILE_N
     hd = zs_e.shape[1]
-    assert hd % 128 == 0 and hd >= num_heads * d
-    e_pad = edge_tiles.padded_num_edges
-    t = edge_tiles.num_node_tiles
-    te = edge_tiles.tile_e
-
-    # head-selection matrices (constants wrt the graph; a_sel carries `a`)
-    a_sel, r_mat, _ = _head_matrices(a, hd)
-
-    dst_tiles = jnp.asarray(edge_tiles.dst).reshape(1, e_pad)
-    tile_offsets = jnp.asarray(edge_tiles.tile_offsets)
-
+    e_chunk = zs_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t,),
+        grid=(t_c,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zs_e
-            pl.BlockSpec(memory_space=pl.ANY),  # dst tiles
+            pl.BlockSpec(memory_space=pl.ANY),  # dst ids
             pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
         ],
         out_specs=[
-            pl.BlockSpec(
-                (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, te, hd), jnp.float32),
@@ -408,34 +499,37 @@ def _pallas_forward(
         _attention_kernel, num_heads=num_heads, negative_slope=negative_slope,
         precision=_PRECISIONS[precision], tile_e=te,
     )
-    avg_tiles_per_node_tile = max(1, e_pad // te // t)
-    out, m_stats, l_stats = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
-            jax.ShapeDtypeStruct((t * TILE_N, 128), jnp.float32),
-            jax.ShapeDtypeStruct((t * TILE_N, 128), jnp.float32),
+            jax.ShapeDtypeStruct((t_c * TILE_N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((t_c * TILE_N, 128), jnp.float32),
+            jax.ShapeDtypeStruct((t_c * TILE_N, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_pad * (2 * hd + 3 * 128) * 2,
-            bytes_accessed=e_pad * hd * 4 + t * TILE_N * hd * 8,
-            transcendentals=e_pad * 128 * avg_tiles_per_node_tile,
+            flops=2 * e_chunk * (2 * hd + 3 * 128) * 2,
+            bytes_accessed=e_chunk * hd * 4 + t_c * TILE_N * hd * 8,
+            transcendentals=e_chunk * 128,
         ),
         interpret=interpret,
-    )(tile_offsets, zs_e, dst_tiles, zd_pad, a_sel, r_mat)
-    return out, m_stats, l_stats  # [T*TILE_N, HD], 2x [T*TILE_N, 128]
+    )(rel_offsets, zs_e, dst_flat, zd_chunk, a_sel, r_mat)
 
 
-def _attention_bwd_kernel(
+# ---------------------------------------------------------------------------
+# backward phase 1 (dst-tiled): d_zd, d_a, softmax-Jacobian segment term r
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dst_kernel(
     # scalar prefetch
-    tile_offsets_ref,  # [T+1] int32 (edge-tile units)
+    tile_offsets_ref,  # [T_c+1] int32 (chunk-relative edge-tile units)
     # inputs
-    zs_hbm,  # [E_pad, HD] ANY (gathered src projections, rematerialized)
-    dst_hbm,  # [1, E_pad] int32 ANY
+    zs_hbm,  # [E_chunk, HD] ANY (gathered src projections, rematerialized)
+    dst_hbm,  # [1, E_chunk] int32 ANY
     zd_ref,  # [TILE_N, HD] VMEM blocked — dst projections for this tile
     g_ref,  # [TILE_N, HD] VMEM blocked — upstream grad dL/dh for this tile
     m_ref,  # [TILE_N, 128] VMEM blocked — forward's per-(node, head) max
@@ -447,42 +541,49 @@ def _attention_bwd_kernel(
     dzd_ref,  # [TILE_N, HD] VMEM blocked — dL/dzd for this dst tile
     da_ref,  # [8, HD] VMEM blocked — this tile's dL/da contribution (row 0;
     #          8 sublanes only to satisfy the (8, 128) min tile)
-    c1_hbm,  # [E_pad, HD] ANY — per-edge packet, scattered to src by phase 2
-    # scratch
-    zs_t,  # [2, tile_e, HD] double-buffered edge stream
-    dst_t,  # [2, 1, tile_e] int32
-    c1_t,  # [2, tile_e, HD] double-buffered output staging
-    rsum_scr,  # [TILE_N, 128] softmax-Jacobian segment term sum_k alpha*dalpha
-    sems,  # DMA semaphores (2, 3): [slot, 0]=zs, [slot, 1]=dst, [slot, 2]=c1
-    *,
+    rsum_ref,  # [TILE_N, 128] VMEM blocked — r_j = sum_k alpha_k dalpha_k
+    *rest,  # with emit_c1: c1_hbm output [E_chunk, HD] ANY, then scratch
+    #         (zs_t, dst_t, [c1_t], sems)
     num_heads: int,
     negative_slope: float,
+    emit_c1: bool = False,
     precision=_HIGHEST,
     tile_e: int = TILE_E,
 ):
-    """dst-tiled fused backward. The forward's per-(dst, head) softmax stats
-    (m, l) arrive as residuals; two streaming passes over the tile's edges:
+    """dst-tiled backward phase 1. The forward's per-(dst, head) softmax
+    stats (m, l) arrive as residuals; two streaming passes over the tile's
+    edges:
 
       B) dalpha_e = <g[dst_e], zs[src_e]>_h; accumulate the segment term
-         r_j = sum_{k in N(j)} alpha_k * dalpha_k;
+         r_j = sum_{k in N(j)} alpha_k * dalpha_k  (written out for phase 2);
       C) de_e = alpha_e (dalpha_e - r[dst_e]); ds_e = (de ⊗ a) * LReLU'(s);
-         d_zd[j] += sum_e ds_e (one-hot matmul);  d_a += sum_e de_e ⊗ LReLU(s);
-         c1_e = alpha_e * g[dst_e] + ds_e  (consumed by _segsum_src_kernel).
+         d_zd[j] += sum_e ds_e (one-hot matmul);  d_a += sum_e de_e ⊗ LReLU(s).
 
-    Padding edges (dst == num_nodes) produce exact zeros in every output:
-    their mask column is zero, so zd_e, g_e, m_g, l_g, r_g gather to 0, hence
-    dalpha = 0, de = alpha * (0 - 0) = 0, and c1 = alpha_rep * 0 + 0 = 0.
+    Padding edges (dst == num_nodes) contribute exact zeros: their mask
+    column is zero, so zd_e, g_e, m_g, l_g, r_g gather to 0, hence
+    dalpha = 0 and de = alpha * (0 - 0) = 0.
+
+    With emit_c1 (the unchunked fast path) pass C additionally stages the
+    per-edge packet c1 = alpha * g[dst] + ds and streams it to HBM for the
+    permute+segment-sum phase 2 (_segsum_src_kernel) — one packet write
+    instead of phase 2's three dst-order gathers + recompute.
     """
+    if emit_c1:
+        c1_hbm, zs_t, dst_t, c1_t, sems = rest
+    else:
+        zs_t, dst_t, sems = rest
+        c1_hbm = c1_t = None
     i = pl.program_id(0)
     t0 = tile_offsets_ref[i]
     ntiles = tile_offsets_ref[i + 1] - t0
 
-    rsum_scr[:] = jnp.zeros(rsum_scr.shape, jnp.float32)
+    rsum_ref[:] = jnp.zeros(rsum_ref.shape, jnp.float32)
     dzd_ref[:] = jnp.zeros(dzd_ref.shape, jnp.float32)
     da_ref[:] = jnp.zeros(da_ref.shape, jnp.float32)
 
-    node_base = i * TILE_N
-    node_ids = node_base + jax.lax.broadcasted_iota(jnp.int32, (TILE_N, tile_e), 0)
+    node_ids = i * TILE_N + jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_N, tile_e), 0
+    )
 
     def dmas(slot, k):
         off = pl.multiple_of((t0 + k) * tile_e, tile_e)
@@ -560,7 +661,7 @@ def _attention_bwd_kernel(
             cp.wait()
         mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
         alpha_e, dalpha_e, _, _, _ = edge_alpha_dalpha(slot, mask_f)
-        rsum_scr[:] = rsum_scr[:] + jnp.dot(
+        rsum_ref[:] = rsum_ref[:] + jnp.dot(
             mask_f, alpha_e * dalpha_e,
             preferred_element_type=jnp.float32, precision=precision,
         )
@@ -568,7 +669,7 @@ def _attention_bwd_kernel(
 
     jax.lax.fori_loop(0, ntiles, body_b, 0)
 
-    # ---- pass C: de, d_zd, d_a, per-edge packet c1 ----------------------
+    # ---- pass C: de -> d_zd, d_a ----------------------------------------
     start_first()
 
     def body_c(k, _):
@@ -581,16 +682,16 @@ def _attention_bwd_kernel(
 
         for cp in dmas(slot, k):
             cp.wait()
-        # the c1 store from iteration k-2 must have drained before we
-        # overwrite this slot's staging buffer
-        @pl.when(k >= 2)
-        def _():
-            c1_dma(slot, k - 2).wait()
-
+        if emit_c1:
+            # the c1 store from iteration k-2 must drain before we reuse
+            # this slot's staging buffer
+            @pl.when(k >= 2)
+            def _():
+                c1_dma(slot, k - 2).wait()
         mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
         alpha_e, dalpha_e, s_raw, s_act, g_e = edge_alpha_dalpha(slot, mask_f)
         r_g = jax.lax.dot_general(
-            mask_f, rsum_scr[:],
+            mask_f, rsum_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )  # [tile_e, 128]
@@ -601,12 +702,13 @@ def _attention_bwd_kernel(
         )  # [tile_e, HD]
         lrelu_grad = jnp.where(s_raw > 0, 1.0, negative_slope)
         ds = de_rep * a_rep_ref[:] * lrelu_grad  # [tile_e, HD]
-        alpha_rep = jnp.dot(
-            alpha_e, r_ref[:], preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        c1_t[slot] = alpha_rep * g_e + ds
-        c1_dma(slot, k).start()
+        if emit_c1:
+            alpha_rep = jnp.dot(
+                alpha_e, r_ref[:], preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            c1_t[slot] = alpha_rep * g_e + ds
+            c1_dma(slot, k).start()
         dzd_ref[:] = dzd_ref[:] + jnp.dot(
             mask_f, ds, preferred_element_type=jnp.float32, precision=precision
         )
@@ -619,17 +721,82 @@ def _attention_bwd_kernel(
 
     jax.lax.fori_loop(0, ntiles, body_c, 0)
 
-    # drain the last two c1 stores
-    def drain(k, _):
-        c1_dma(jax.lax.rem(k, 2), k).wait()
-        return 0
+    if emit_c1:
+        # drain the last two c1 stores
+        def drain(k, _):
+            c1_dma(jax.lax.rem(k, 2), k).wait()
+            return 0
 
-    jax.lax.fori_loop(jnp.maximum(ntiles - 2, 0), ntiles, drain, 0)
+        jax.lax.fori_loop(jnp.maximum(ntiles - 2, 0), ntiles, drain, 0)
+
+
+def _bwd_dst_chunk(
+    zs_e, zd_chunk, g_chunk, m_chunk, l_chunk, dst_flat, rel_offsets,
+    a_sel, r_mat, a_rep,
+    *, num_heads, negative_slope, te, precision, interpret, emit_c1=False,
+):
+    t_c = zd_chunk.shape[0] // TILE_N
+    hd = zs_e.shape[1]
+    e_chunk = zs_e.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_c,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # zs_e
+            pl.BlockSpec(memory_space=pl.ANY),  # dst ids
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if emit_c1 else []),
+        scratch_shapes=[
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, 1, te), jnp.int32),
+        ] + ([pltpu.VMEM((2, te, hd), jnp.float32)] if emit_c1 else []) + [
+            pltpu.SemaphoreType.DMA((2, 3 if emit_c1 else 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _bwd_dst_kernel, num_heads=num_heads, negative_slope=negative_slope,
+        emit_c1=emit_c1, precision=_PRECISIONS[precision], tile_e=te,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t_c * TILE_N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((t_c * 8, hd), jnp.float32),
+            jax.ShapeDtypeStruct((t_c * TILE_N, 128), jnp.float32),
+        ] + ([jax.ShapeDtypeStruct((e_chunk, hd), jnp.float32)] if emit_c1 else []),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * e_chunk * (3 * hd + 6 * 128) * 2,
+            bytes_accessed=e_chunk * hd * 4 * 2 + t_c * TILE_N * hd * 8,
+            transcendentals=2 * e_chunk * 128,
+        ),
+        interpret=interpret,
+    )(rel_offsets, zs_e, dst_flat, zd_chunk, g_chunk, m_chunk, l_chunk,
+      a_sel, r_mat, a_rep)
+
+
+# ---------------------------------------------------------------------------
+# backward phase 2a (unchunked fast path): permute packets + segment sum
+# ---------------------------------------------------------------------------
 
 
 def _segsum_src_kernel(
     # scalar prefetch
-    src_tile_offsets_ref,  # [T+1] int32 (edge-tile units)
+    tile_offsets_ref,  # [T+1] int32 (edge-tile units)
     # inputs
     c1s_hbm,  # [E2_pad, HD] ANY — c1 packets permuted to src-sorted order
     sid_hbm,  # [1, E2_pad] int32 ANY — src ids (num_nodes on padding)
@@ -641,16 +808,14 @@ def _segsum_src_kernel(
     sems,  # DMA semaphores (2, 2)
     *,
     tile_e: int = TILE_E,
+    precision=_HIGHEST,
 ):
-    """src-tiled segment sum: dzs[i] = sum_{e: src_e == i} c1_e.
-
-    The deterministic TPU replacement for the reference's atomicAdd scatter
-    in compute_features_input_gradients (GATv2_edge_based.cu:801-874):
-    the scatter becomes a one-hot MXU matmul over the transpose-graph tiling.
-    """
+    """src-tiled segment sum: dzs[i] = sum_{e: src_e == i} c1_e — consumes
+    the packets _bwd_dst_kernel(emit_c1=True) wrote, after an XLA gather
+    permutes them to src-sorted order."""
     i = pl.program_id(0)
-    t0 = src_tile_offsets_ref[i]
-    ntiles = src_tile_offsets_ref[i + 1] - t0
+    t0 = tile_offsets_ref[i]
+    ntiles = tile_offsets_ref[i + 1] - t0
     dzs_ref[:] = jnp.zeros(dzs_ref.shape, jnp.float32)
     node_ids = i * TILE_N + jax.lax.broadcasted_iota(
         jnp.int32, (TILE_N, tile_e), 0
@@ -686,11 +851,229 @@ def _segsum_src_kernel(
         mask_f = (sid_t[slot] == node_ids).astype(jnp.float32)
         dzs_ref[:] = dzs_ref[:] + jnp.dot(
             mask_f, c1_t[slot],
-            preferred_element_type=jnp.float32, precision=_HIGHEST,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         return 0
 
     jax.lax.fori_loop(0, ntiles, body, 0)
+
+
+def _segsum_src(c1s, sid_flat, src_tile_offsets, t, *, te, hd, precision, interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, 1, te), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    e2 = c1s.shape[0]
+    return pl.pallas_call(
+        functools.partial(
+            _segsum_src_kernel, tile_e=te, precision=_PRECISIONS[precision]
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e2 * hd,
+            bytes_accessed=e2 * hd * 4 + t * TILE_N * hd * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(src_tile_offsets, c1s, sid_flat)
+
+
+# ---------------------------------------------------------------------------
+# backward phase 2b (chunked path): d_zs by per-edge recompute
+# ---------------------------------------------------------------------------
+
+
+def _bwd_src_kernel(
+    # scalar prefetch
+    tile_offsets_ref,  # [T_c+1] int32 (chunk-relative edge-tile units)
+    # inputs
+    zd_e_hbm,  # [E_chunk, HD] ANY — zd[dst_e], gathered in src-sorted order
+    g_e_hbm,  # [E_chunk, HD] ANY — g[dst_e]
+    mlr_hbm,  # [E_chunk, 384] ANY — [m | l | r][dst_e] stacked on lanes
+    sid_hbm,  # [1, E_chunk] int32 ANY — src ids (num_nodes on padding)
+    zs_ref,  # [TILE_N, HD] VMEM blocked — THIS src tile's projections
+    a_sel_ref,  # [HD, 128] VMEM
+    r_ref,  # [128, HD] VMEM
+    a_rep_ref,  # [1, HD] VMEM
+    # outputs
+    dzs_ref,  # [TILE_N, HD] VMEM blocked
+    # scratch
+    zd_t,  # [2, tile_e, HD]
+    g_t,  # [2, tile_e, HD]
+    mlr_t,  # [2, tile_e, 384]
+    sid_t,  # [2, 1, tile_e] int32
+    sems,  # DMA semaphores (2, 4)
+    *,
+    num_heads: int,
+    negative_slope: float,
+    precision=_HIGHEST,
+    tile_e: int = TILE_E,
+):
+    """src-tiled backward phase 2: recomputes each edge's packet
+        c1_e = alpha_e * g[dst_e] + ds_e
+    from node arrays (zs via the in-tile one-hot matmul; zd/g/m/l/r arrive
+    pre-gathered by dst in src-sorted order) and one-hot-matmuls it into
+        d_zs[i] = sum_{e: src_e == i} c1_e.
+
+    The deterministic TPU replacement for the reference's atomicAdd scatter
+    in compute_features_input_gradients (GATv2_edge_based.cu:801-874) —
+    with NO per-edge packet buffer in HBM (it is consumed as produced).
+    Padding slots (sid == num_nodes) have zero mask columns; their (finite)
+    garbage packets are annihilated by the matmul.
+    """
+    i = pl.program_id(0)
+    t0 = tile_offsets_ref[i]
+    ntiles = tile_offsets_ref[i + 1] - t0
+    dzs_ref[:] = jnp.zeros(dzs_ref.shape, jnp.float32)
+    node_ids = i * TILE_N + jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_N, tile_e), 0
+    )
+
+    def dmas(slot, k):
+        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
+        return (
+            pltpu.make_async_copy(
+                zd_e_hbm.at[pl.ds(off, tile_e), :], zd_t.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                g_e_hbm.at[pl.ds(off, tile_e), :], g_t.at[slot], sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                mlr_hbm.at[pl.ds(off, tile_e), :], mlr_t.at[slot], sems.at[slot, 2]
+            ),
+            pltpu.make_async_copy(
+                sid_hbm.at[:, pl.ds(off, tile_e)], sid_t.at[slot],
+                sems.at[slot, 3],
+            ),
+        )
+
+    @pl.when(ntiles > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < ntiles)
+        def _():
+            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
+                cp.start()
+
+        for cp in dmas(slot, k):
+            cp.wait()
+        mask_f = (sid_t[slot] == node_ids).astype(jnp.float32)
+        # src-side gather as a matmul: zs_e = M^T . zs_tile (0 off-tile)
+        zs_e = jax.lax.dot_general(
+            mask_f, zs_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [tile_e, HD]
+        s_raw = zs_e + zd_t[slot]
+        s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
+        sc_e = jnp.dot(
+            s, a_sel_ref[:], preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [tile_e, 128]
+        m_g = mlr_t[slot][:, 0:128]
+        l_g = mlr_t[slot][:, 128:256]
+        r_g = mlr_t[slot][:, 256:384]
+        p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
+        alpha_e = p_e / (l_g + SOFTMAX_EPS)
+        dalpha_e = jax.lax.dot_general(
+            g_t[slot] * zs_e, r_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [tile_e, 128]
+        de_e = alpha_e * (dalpha_e - r_g)
+        de_rep = jnp.dot(
+            de_e, r_ref[:], preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ds = de_rep * a_rep_ref[:] * jnp.where(s_raw > 0, 1.0, negative_slope)
+        alpha_rep = jnp.dot(
+            alpha_e, r_ref[:], preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        c1 = alpha_rep * g_t[slot] + ds
+        dzs_ref[:] = dzs_ref[:] + jnp.dot(
+            mask_f, c1, preferred_element_type=jnp.float32, precision=precision
+        )
+        return 0
+
+    jax.lax.fori_loop(0, ntiles, body, 0)
+
+
+def _bwd_src_chunk(
+    zd_e, g_e, mlr_e, sid_flat, zs_chunk, rel_offsets, a_sel, r_mat, a_rep,
+    *, num_heads, negative_slope, te, precision, interpret,
+):
+    t_c = zs_chunk.shape[0] // TILE_N
+    hd = zd_e.shape[1]
+    e_chunk = zd_e.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_c,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # zd_e
+            pl.BlockSpec(memory_space=pl.ANY),  # g_e
+            pl.BlockSpec(memory_space=pl.ANY),  # mlr
+            pl.BlockSpec(memory_space=pl.ANY),  # sid
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, te, 384), jnp.float32),
+            pltpu.VMEM((2, 1, te), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    kernel = functools.partial(
+        _bwd_src_kernel, num_heads=num_heads, negative_slope=negative_slope,
+        precision=_PRECISIONS[precision], tile_e=te,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_c * TILE_N, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_chunk * (3 * hd + 4 * 128) * 2,
+            bytes_accessed=e_chunk * (2 * hd + 384) * 4 + t_c * TILE_N * hd * 8,
+            transcendentals=e_chunk * 128,
+        ),
+        interpret=interpret,
+    )(rel_offsets, zd_e, g_e, mlr_e, sid_flat, zs_chunk, a_sel, r_mat, a_rep)
+
+
+# ---------------------------------------------------------------------------
+# lane-layout helpers + public entry point
+# ---------------------------------------------------------------------------
 
 
 def _head_matrices(a: jax.Array, hd: int):
@@ -709,121 +1092,8 @@ def _head_matrices(a: jax.Array, hd: int):
     return a_sel, r_mat, a_rep
 
 
-def _pallas_backward(
-    zs_e: jax.Array,  # [E_pad, HD] gathered src projections (lane-padded)
-    zd_pad: jax.Array,  # [T*TILE_N, HD] dst projections (node+lane padded)
-    g_pad: jax.Array,  # [T*TILE_N, HD] upstream grad (node+lane padded)
-    m_stats: jax.Array,  # [T*TILE_N, 128] forward softmax max (residual)
-    l_stats: jax.Array,  # [T*TILE_N, 128] forward softmax sum-exp (residual)
-    a: jax.Array,  # [H, D]
-    edge_tiles: EdgeTiles,
-    negative_slope: float,
-    *,
-    interpret: bool = False,
-    precision: str = "highest",
-):
-    """Runs phase 1 (dst-tiled) and phase 2 (src-tiled) backward kernels.
-
-    Returns (dzs_pad [T*TILE_N, HD], dzd_pad [T*TILE_N, HD], da [HD]).
-    """
-    num_heads, d = a.shape
-    hd = zs_e.shape[1]
-    e_pad = edge_tiles.padded_num_edges
-    t = edge_tiles.num_node_tiles
-    te = edge_tiles.tile_e
-    a_sel, r_mat, a_rep = _head_matrices(a, hd)
-    dst_tiles = jnp.asarray(edge_tiles.dst).reshape(1, e_pad)
-    tile_offsets = jnp.asarray(edge_tiles.tile_offsets)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # zs_e
-            pl.BlockSpec(memory_space=pl.ANY),  # dst tiles
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # c1 packets
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, te, hd), jnp.float32),
-            pltpu.VMEM((2, 1, te), jnp.int32),
-            pltpu.VMEM((2, te, hd), jnp.float32),
-            pltpu.VMEM((TILE_N, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
-    )
-    kernel = functools.partial(
-        _attention_bwd_kernel, num_heads=num_heads, negative_slope=negative_slope,
-        precision=_PRECISIONS[precision], tile_e=te,
-    )
-    dzd_pad, da_parts, c1 = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
-            jax.ShapeDtypeStruct((t * 8, hd), jnp.float32),
-            jax.ShapeDtypeStruct((e_pad, hd), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * e_pad * (3 * hd + 6 * 128) * 2,
-            bytes_accessed=e_pad * hd * 4 * 3 + t * TILE_N * hd * 8,
-            transcendentals=2 * e_pad * 128,
-        ),
-        interpret=interpret,
-    )(
-        tile_offsets, zs_e, dst_tiles, zd_pad, g_pad, m_stats, l_stats,
-        a_sel, r_mat, a_rep,
-    )
-
-    # phase 2: permute packets to src-sorted order, segment-sum per src tile
-    e2_pad = edge_tiles.src_sorted_ids.shape[0]
-    c1s = jnp.take(c1, jnp.asarray(edge_tiles.gather_perm), axis=0)
-    sid_tiles = jnp.asarray(edge_tiles.src_sorted_ids).reshape(1, e2_pad)
-    grid_spec2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, te, hd), jnp.float32),
-            pltpu.VMEM((2, 1, te), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    dzs_pad = pl.pallas_call(
-        functools.partial(_segsum_src_kernel, tile_e=te),
-        grid_spec=grid_spec2,
-        out_shape=jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * e2_pad * hd,
-            bytes_accessed=e2_pad * hd * 4 + t * TILE_N * hd * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(jnp.asarray(edge_tiles.src_tile_offsets), c1s, sid_tiles)
-    da = jnp.sum(da_parts, axis=0)  # [HD]
-    return dzs_pad, dzd_pad, da
+def _chunk_slice(arr: jax.Array, g: int, rows: int) -> jax.Array:
+    return jax.lax.slice_in_dim(arr, g * rows, (g + 1) * rows, axis=0)
 
 
 def edge_attention_pallas(
@@ -856,54 +1126,91 @@ def edge_attention_pallas(
         raise ValueError(
             f"edge_tiles built for {edge_tiles.num_nodes} nodes, got {num_nodes}"
         )
-    if bwd_impl == "pallas" and edge_tiles.src_sorted_ids is None:
-        bwd_impl = "xla"  # tiles built by an older prepare_edge_tiles
-    src_j = jnp.asarray(edge_tiles.src)
-    dst_j = jnp.asarray(edge_tiles.dst)
-    n_pad = edge_tiles.padded_num_nodes
+    et = edge_tiles
+    te = et.tile_e
+    g_chunks = et.num_chunks
+    t_c = et.tiles_per_chunk
+    rows_c = t_c * TILE_N
+    n_pad = et.padded_num_nodes
+    kw = dict(
+        num_heads=int(a.shape[0]), negative_slope=negative_slope, te=te,
+        precision=precision, interpret=interpret,
+    )
+
+    dside, sside = et.dst_side, et.src_side
+    dst_ids = jnp.asarray(dside.ids_grp)  # [G, Ec]
+    dst_other = jnp.asarray(dside.other_grp)  # [G, Ec] src ids
+    dst_rel = jnp.asarray(dside.rel_offsets)  # [G, T_c+1]
+    sid_ids = jnp.asarray(sside.ids_grp)  # [G, Ec2] src ids
+    sid_other = jnp.asarray(sside.other_grp)  # [G, Ec2] dst ids
+    src_rel = jnp.asarray(sside.rel_offsets)
 
     from gatv2_tpu.ops.attention import _edge_attention_xla
 
-    def _lane_pad(n, h, d):
-        hd_real = h * d
-        return hd_real, -(-hd_real // 128) * 128
-
-    def _gather_src(zs):
-        n, h, d = zs.shape
-        hd_real, hd = _lane_pad(n, h, d)
-        zs_e = jnp.take(zs.reshape(n, hd_real), src_j, axis=0)
-        if hd != hd_real:
-            zs_e = jnp.pad(zs_e, ((0, 0), (0, hd - hd_real)))
-        return zs_e, hd
-
-    def _node_pad(z, hd):
+    def _prep(z):
+        """[N, H, D] -> lane-padded node-space [n_pad, hd]."""
         n, h, d = z.shape
-        return jnp.zeros((n_pad, hd), jnp.float32).at[:n, : h * d].set(
-            z.reshape(n, h * d)
+        hd_real = h * d
+        hd = -(-hd_real // 128) * 128
+        return (
+            jnp.zeros((n_pad, hd), jnp.float32).at[:n, :hd_real].set(
+                z.reshape(n, hd_real)
+            ),
+            hd,
+        )
+
+    def _forward_all(zs, zd, a):
+        n, h, d = zs.shape
+        zs_flat, hd = _prep(zs)
+        zd_flat, _ = _prep(zd)
+        a_sel, r_mat, _ = _head_matrices(a, hd)
+
+        def one(g, ids_g, other_g, rel_g):
+            zs_e = jnp.take(zs_flat, other_g, axis=0)  # [Ec, hd]
+            return _forward_chunk(
+                zs_e,
+                jax.lax.dynamic_slice_in_dim(zd_flat, g * rows_c, rows_c),
+                ids_g[None, :],
+                rel_g,
+                a_sel,
+                r_mat,
+                **kw,
+            )
+
+        if g_chunks == 1:
+            out, m, l = one(0, dst_ids[0], dst_other[0], dst_rel[0])
+            return out, m, l
+        # lax.scan forces chunk-sequential execution: only one chunk's
+        # [E/G, hd] gather is ever live in HBM
+        def body(_, x):
+            g, ids_g, other_g, rel_g = x
+            return 0, one(g, ids_g, other_g, rel_g)
+
+        _, (outs, ms, ls) = jax.lax.scan(
+            body, 0, (jnp.arange(g_chunks), dst_ids, dst_other, dst_rel)
+        )
+        return (
+            outs.reshape(-1, outs.shape[-1]),
+            ms.reshape(-1, 128),
+            ls.reshape(-1, 128),
         )
 
     @jax.custom_vjp
     def attn(zs, zd, a):
         n, h, d = zs.shape
-        zs_e, hd = _gather_src(zs)
-        out, _, _ = _pallas_forward(
-            zs_e, _node_pad(zd, hd), a, edge_tiles, negative_slope,
-            interpret=interpret, precision=precision,
-        )
+        out, _, _ = _forward_all(zs, zd, a)
         return out[:num_nodes, : h * d].reshape(num_nodes, h, d)
 
     def fwd(zs, zd, a):
         n, h, d = zs.shape
-        zs_e, hd = _gather_src(zs)
-        out, m_stats, l_stats = _pallas_forward(
-            zs_e, _node_pad(zd, hd), a, edge_tiles, negative_slope,
-            interpret=interpret, precision=precision,
-        )
+        out, m_stats, l_stats = _forward_all(zs, zd, a)
         res = (zs, zd, a, m_stats, l_stats) if bwd_impl == "pallas" else (zs, zd, a)
         return out[:num_nodes, : h * d].reshape(num_nodes, h, d), res
 
     def bwd_xla(res, g):
         zs, zd, a = res
+        src_j = jnp.asarray(et.src)
+        dst_j = jnp.asarray(et.dst)
         _, vjp = jax.vjp(
             lambda zs_, zd_, a_: _edge_attention_xla(
                 zs_, zd_, a_, src_j, dst_j, num_nodes,
@@ -913,18 +1220,88 @@ def edge_attention_pallas(
         )
         return vjp(g)
 
-    def bwd_pallas(res, g):
-        zs, zd, a, m_stats, l_stats = res
+    def bwd_pallas(res, gout):
+        zs, zd, a = res[0], res[1], res[2]
+        m_stats, l_stats = res[3], res[4]
         n, h, d = zs.shape
         hd_real = h * d
-        zs_e, hd = _gather_src(zs)
-        g_pad = jnp.zeros((n_pad, hd), jnp.float32).at[:n, :hd_real].set(
-            g.reshape(n, hd_real)
+        zs_flat, hd = _prep(zs)
+        zd_flat, _ = _prep(zd)
+        a_sel, r_mat, a_rep = _head_matrices(a, hd)
+        g_flat = jnp.zeros((n_pad, hd), jnp.float32).at[:n, :hd_real].set(
+            gout.reshape(n, hd_real)
         )
-        dzs_pad, dzd_pad, da = _pallas_backward(
-            zs_e, _node_pad(zd, hd), g_pad, m_stats, l_stats, a, edge_tiles,
-            negative_slope, interpret=interpret, precision=precision,
-        )
+
+        # phase 1: dst-tiled -> d_zd, d_a, segment term r (node space);
+        # unchunked additionally emits the per-edge packets c1
+        emit_c1 = g_chunks == 1
+
+        def phase1(g, ids_g, other_g, rel_g):
+            zs_e = jnp.take(zs_flat, other_g, axis=0)
+            return _bwd_dst_chunk(
+                zs_e,
+                jax.lax.dynamic_slice_in_dim(zd_flat, g * rows_c, rows_c),
+                jax.lax.dynamic_slice_in_dim(g_flat, g * rows_c, rows_c),
+                jax.lax.dynamic_slice_in_dim(m_stats, g * rows_c, rows_c),
+                jax.lax.dynamic_slice_in_dim(l_stats, g * rows_c, rows_c),
+                ids_g[None, :],
+                rel_g,
+                a_sel, r_mat, a_rep,
+                emit_c1=emit_c1,
+                **kw,
+            )
+
+        if emit_c1:
+            dzd_pad, da_parts, rsum, c1 = phase1(
+                0, dst_ids[0], dst_other[0], dst_rel[0]
+            )
+            da = jnp.sum(da_parts, axis=0)
+            # phase 2a (fast path): permute packets to src-sorted order,
+            # one-hot segment-sum per src tile
+            c1s = jnp.take(c1, jnp.asarray(et.gather_perm), axis=0)
+            dzs_pad = _segsum_src(
+                c1s,
+                jnp.asarray(et.src_sorted_ids)[None, :],
+                jnp.asarray(et.src_tile_offsets),
+                t_c,
+                te=te, hd=hd, precision=precision, interpret=interpret,
+            )
+        else:
+            def body1(_, x):
+                g, ids_g, other_g, rel_g = x
+                dzd_c, da_c, rsum_c = phase1(g, ids_g, other_g, rel_g)
+                return 0, (dzd_c, jnp.sum(da_c, axis=0), rsum_c)
+
+            _, (dzd_s, da_s, rsum_s) = jax.lax.scan(
+                body1, 0, (jnp.arange(g_chunks), dst_ids, dst_other, dst_rel)
+            )
+            dzd_pad = dzd_s.reshape(-1, hd)
+            da = jnp.sum(da_s, axis=0)
+            rsum = rsum_s.reshape(-1, 128)  # [n_pad, 128]
+
+            # phase 2b (chunked): per-edge recompute, O(E/G) temporaries
+            mlr = jnp.concatenate([m_stats, l_stats, rsum], axis=1)
+
+            def body2(_, x):
+                g, sids_g, dids_g, rel_g = x
+                zd_e = jnp.take(zd_flat, dids_g, axis=0)
+                g_e = jnp.take(g_flat, dids_g, axis=0)
+                mlr_e = jnp.take(mlr, dids_g, axis=0)
+                dzs_c = _bwd_src_chunk(
+                    zd_e, g_e, mlr_e,
+                    sids_g[None, :],
+                    jax.lax.dynamic_slice_in_dim(zs_flat, g * rows_c, rows_c),
+                    rel_g,
+                    a_sel, r_mat, a_rep,
+                    **kw,
+                )
+                return 0, dzs_c
+
+            _, dzs_s = jax.lax.scan(
+                body2, 0, (jnp.arange(g_chunks), sid_ids, sid_other, src_rel)
+            )
+            dzs_pad = dzs_s.reshape(-1, hd)
+
         dzs = dzs_pad[:n, :hd_real].reshape(n, h, d)
         dzd = dzd_pad[:n, :hd_real].reshape(n, h, d)
         return dzs, dzd, da[:hd_real].reshape(h, d)

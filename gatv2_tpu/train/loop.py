@@ -161,10 +161,20 @@ class Trainer:
         self.epoch = 0  # completed epochs
         edge_tiles = None
         if train_config.impl == "pallas":
-            from gatv2_tpu.ops.pallas_attention import prepare_edge_tiles
+            from gatv2_tpu.ops.pallas_attention import (
+                prepare_edge_tiles,
+                suggest_num_chunks,
+            )
 
+            max_hd = max(
+                -(-h * d // 128) * 128
+                for h, d in zip(model_config.heads, model_config.out_dims)
+            )
             edge_tiles = prepare_edge_tiles(
-                graph.row_ptr, graph.col_idx, graph.num_nodes
+                graph.row_ptr,
+                graph.col_idx,
+                graph.num_nodes,
+                num_chunks=suggest_num_chunks(graph.num_edges, max_hd),
             )
         self.edge_tiles = edge_tiles
         self._step = make_train_step(model_config, train_config, edge_tiles=edge_tiles)

@@ -238,3 +238,47 @@ def test_pallas_bwd_multi_tile_hub():
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=2e-5
         )
+
+
+@pytest.mark.parametrize("num_chunks", [2, 5])
+def test_pallas_chunked_matches_unchunked(num_chunks):
+    """Chunked execution (node-tile groups) is numerically identical to the
+    single-chunk path, forward and backward."""
+    from gatv2_tpu.data.graph import Graph
+
+    rng = np.random.default_rng(11)
+    n = 700  # 6 node tiles -> chunks of 3 / 2 tiles
+    deg = rng.integers(1, 6, size=n)
+    dst = np.repeat(np.arange(n, dtype=np.int32), deg)
+    src = rng.integers(0, n, size=dst.size).astype(np.int32)
+    row_ptr = np.zeros(n + 1, np.int32)
+    np.cumsum(np.bincount(dst, minlength=n), out=row_ptr[1:])
+    g = Graph(
+        features=rng.standard_normal((n, 4)).astype(np.float32),
+        row_ptr=row_ptr, col_idx=src,
+        labels=np.zeros(n, np.int32),
+    )
+    h, d = 2, 16
+    zs, zd, a = _random_inputs(g, h, d, seed=12)
+    et1 = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes, tile_e=128)
+    etc = prepare_edge_tiles(
+        g.row_ptr, g.col_idx, g.num_nodes, tile_e=128, num_chunks=num_chunks
+    )
+    assert etc.num_chunks == num_chunks
+
+    def loss(et):
+        def f(zs, zd, a):
+            out = edge_attention_pallas(
+                zs, zd, a, None, None, n,
+                negative_slope=0.01, edge_tiles=et, interpret=True,
+            )
+            return jnp.sum(jnp.sin(out)), out
+        return f
+
+    (l1, o1), g1 = jax.value_and_grad(loss(et1), argnums=(0, 1, 2), has_aux=True)(zs, zd, a)
+    (lc, oc), gc = jax.value_and_grad(loss(etc), argnums=(0, 1, 2), has_aux=True)(zs, zd, a)
+    np.testing.assert_allclose(np.asarray(oc), np.asarray(o1), rtol=1e-6, atol=1e-7)
+    for a_, b_ in zip(g1, gc):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-6
+        )
