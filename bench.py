@@ -38,6 +38,10 @@ CONFIGS = {
     "pubmed": (19717, 44338, 500, 3, 3, (4, 1, 1), (64, 32, 16)),
     "arxiv": (169343, 1166243, 128, 40, 3, (4, 1, 1), (64, 32, 16)),
     "products-sub": (500000, 8000000, 100, 47, 3, (4, 1, 1), (64, 32, 16)),
+    # OGBN-Products at full scale, trained FULL-GRAPH on one chip via
+    # chunked kernels + per-layer remat (2 heads keeps peak HBM < 16GB on
+    # v5e; on v5p-class HBM the 4-head config fits too)
+    "products-full": (2449029, 61859140, 100, 47, 3, (2, 1, 1), (64, 32, 16)),
 }
 
 
@@ -57,19 +61,22 @@ def bench_config(
     n, e, f, c, layers, heads, outdims = CONFIGS[name]
     # big graphs: fewer epochs per program (compile time + HBM headroom)
     if k1 is None:
-        k1, k2, reps = (1, 3, 2) if e >= 4_000_000 else (8, 40, 3)
+        if e >= 30_000_000:
+            k1, k2, reps = 1, 2, 1
+        elif e >= 4_000_000:
+            k1, k2, reps = 1, 3, 2
+        else:
+            k1, k2, reps = 8, 40, 3
     g = random_graph(n, e, f, c, seed=seed)
     config = ModelConfig(
         num_layers=layers, heads=heads, out_dims=outdims,
         num_classes=c, in_dim=f, matmul_precision=precision,
+        remat=(e >= 30_000_000),  # fit 60M+-edge full-graph in HBM
     )
     tc = TrainConfig(optimizer="adam", lr=0.01, seed=seed, impl=impl)
-    pe = g.padded_edges(128)
-    feats = jnp.asarray(g.features)
-    src = jnp.asarray(pe.src)
-    dst = jnp.asarray(pe.dst)
-    labels = jnp.asarray(g.labels)
     edge_tiles = None
+    num_valid = None
+    feats_np, labels_np = g.features, g.labels
     if impl == "pallas":
         from gatv2_tpu.ops.pallas_attention import (
             prepare_edge_tiles,
@@ -77,13 +84,33 @@ def bench_config(
         )
 
         max_hd = max(-(-h_ * d_ // 128) * 128 for h_, d_ in zip(heads, outdims))
+        budget = (2 << 30) if e >= 30_000_000 else (4 << 30)
         edge_tiles = prepare_edge_tiles(
             g.row_ptr, g.col_idx, g.num_nodes,
-            num_chunks=suggest_num_chunks(e, max_hd),
+            num_chunks=suggest_num_chunks(e, max_hd, budget_bytes=budget),
         )
+        n_pad = edge_tiles.padded_num_nodes
+        if n_pad != n:  # pad node dim once (see train/loop.py)
+            feats_np = np.zeros((n_pad, f), np.float32)
+            feats_np[:n] = g.features
+            labels_np = np.full(n_pad, -1, np.int32)
+            labels_np[:n] = g.labels
+            num_valid = n
+    feats = jnp.asarray(feats_np)
+    labels = jnp.asarray(labels_np)
+    if impl == "pallas":
+        # the pallas path reads edges from edge_tiles; don't ship the COO
+        # arrays (0.5GB each at Products scale)
+        src = dst = jnp.zeros(1, jnp.int32)
+    else:
+        pe = g.padded_edges(128)
+        src = jnp.asarray(pe.src)
+        dst = jnp.asarray(pe.dst)
 
     runners = {
-        k: make_multi_epoch_runner(config, tc, k, edge_tiles=edge_tiles)
+        k: make_multi_epoch_runner(
+            config, tc, k, edge_tiles=edge_tiles, num_valid=num_valid
+        )
         for k in (k1, k2)
     }
 

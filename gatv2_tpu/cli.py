@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "mode (default: 10 per layer)")
     p.add_argument("--sampler-engine", choices=["auto", "native", "python"],
                    default="auto", help="neighbor-sampler implementation")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize layers in the backward pass "
+                        "(less HBM, ~30%% slower; for huge graphs)")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of training into DIR")
     p.add_argument("--save-weights", type=str, default=None, metavar="DIR",
@@ -111,6 +114,7 @@ def parse_args(argv: list[str] | None = None) -> tuple[ModelConfig, TrainConfig,
         out_dims=tuple(outdims),
         variant=args.variant,
         matmul_precision=args.precision,
+        remat=args.remat,
     )
     train_config = TrainConfig(
         epochs=args.epochs,

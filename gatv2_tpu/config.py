@@ -35,6 +35,11 @@ class ModelConfig:
     # reference is exact f32); 'default' = single-pass bf16 inputs with f32
     # accumulation (the fast TPU-idiomatic mode, ~6x more MXU throughput).
     matmul_precision: str = "highest"
+    # rematerialize each GAT layer in the backward pass (jax.checkpoint):
+    # trades ~1 extra layer-forward per layer for dropping the per-layer
+    # activation/projection residuals — the knob that fits 60M+-edge
+    # full-graph training in one chip's HBM.
+    remat: bool = False
 
     def __post_init__(self):
         if len(self.heads) != self.num_layers or len(self.out_dims) != self.num_layers:

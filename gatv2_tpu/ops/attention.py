@@ -26,7 +26,8 @@ from gatv2_tpu.ops.segment import segment_softmax, segment_sum
 
 
 def edge_attention(
-    zs: jax.Array,  # [N, H, D] src projections (X @ W_src^T)
+    zs: jax.Array,  # [N, H, D] src projections (X @ W_src^T); the pallas
+    #                 impl also accepts (and then returns) flat [N, H*D]
     zd: jax.Array,  # [N, H, D] dst projections (X @ W_dst^T)
     a: jax.Array,  # [H, D] attention vectors
     src: jax.Array,  # [E] int32

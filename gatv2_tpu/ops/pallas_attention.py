@@ -77,6 +77,10 @@ TILE_E = 128  # default edges per inner step (see prepare_edge_tiles)
 NEG_INF = -1e30
 SOFTMAX_EPS = 1e-8
 EXP_CLAMP = -80.0
+# softmax stats (m, l, r) carry one value per head; outside the kernels they
+# are stored/streamed in 16 lanes (supports up to 16 heads) instead of 128 —
+# an 8x cut of residual and stream memory at Products scale
+STATS_L = 16
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -106,9 +110,12 @@ class _TileSide:
                  offsets, relative to the chunk's base.
     """
 
-    ids_grp: np.ndarray
-    other_grp: np.ndarray
-    rel_offsets: np.ndarray
+    # stored as CONCRETE jax arrays (device-resident): closed-over concrete
+    # arrays become executable parameters; numpy converted inside a trace
+    # would be inlined as HLO literals (GBs for 60M-edge graphs)
+    ids_grp: jax.Array
+    other_grp: jax.Array
+    rel_offsets: jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,15 +126,15 @@ class EdgeTiles:
     debugging; the kernels consume the grouped _TileSide layouts.
     """
 
-    src: np.ndarray  # [E_pad] int32 (dst-sorted layout)
-    dst: np.ndarray  # [E_pad] int32 (num_nodes on padding)
-    tile_offsets: np.ndarray  # [T+1] int32, in units of EDGE TILES
+    src: jax.Array  # [E_pad] int32 (dst-sorted layout)
+    dst: jax.Array  # [E_pad] int32 (num_nodes on padding)
+    tile_offsets: jax.Array  # [T+1] int32, in units of EDGE TILES
     num_nodes: int
     num_node_tiles: int
-    # src-sorted (CSC-view) flat layout
-    src_sorted_ids: np.ndarray  # [E2_pad] int32 (num_nodes on padding)
-    gather_perm: np.ndarray  # [E2_pad] int32 (position in dst layout)
-    src_tile_offsets: np.ndarray  # [T+1] int32, edge-tile units
+    # src-sorted (CSC-view) flat layout (concrete jax arrays, see _TileSide)
+    src_sorted_ids: jax.Array  # [E2_pad] int32 (num_nodes on padding)
+    gather_perm: jax.Array  # [E2_pad] int32 (position in dst layout)
+    src_tile_offsets: jax.Array  # [T+1] int32, edge-tile units
     # kernel parameters
     tile_e: int = TILE_E  # edges per inner step (static kernel parameter)
     num_chunks: int = 1  # node-tile groups (memory/chunking knob)
@@ -142,6 +149,33 @@ class EdgeTiles:
     @property
     def padded_num_nodes(self) -> int:
         return self.num_chunks * self.tiles_per_chunk * TILE_N
+
+
+# EdgeTiles / _TileSide are pytrees so they can be passed as jit ARGUMENTS:
+# closed-over arrays would be baked into the HLO as literals (GBs for
+# 60M-edge graphs); as arguments they are runtime buffers.
+jax.tree_util.register_pytree_node(
+    _TileSide,
+    lambda t: ((t.ids_grp, t.other_grp, t.rel_offsets), None),
+    lambda _, ch: _TileSide(*ch),
+)
+jax.tree_util.register_pytree_node(
+    EdgeTiles,
+    lambda e: (
+        (
+            e.src, e.dst, e.tile_offsets, e.src_sorted_ids, e.gather_perm,
+            e.src_tile_offsets, e.dst_side, e.src_side,
+        ),
+        (e.num_nodes, e.num_node_tiles, e.tile_e, e.num_chunks,
+         e.tiles_per_chunk),
+    ),
+    lambda aux, ch: EdgeTiles(
+        src=ch[0], dst=ch[1], tile_offsets=ch[2], src_sorted_ids=ch[3],
+        gather_perm=ch[4], src_tile_offsets=ch[5], dst_side=ch[6],
+        src_side=ch[7], num_nodes=aux[0], num_node_tiles=aux[1],
+        tile_e=aux[2], num_chunks=aux[3], tiles_per_chunk=aux[4],
+    ),
+)
 
 
 def _auto_tile_e(counts_d: np.ndarray, counts_s: np.ndarray) -> int:
@@ -197,7 +231,11 @@ def _group_side(
         rel[g] = (ext[g * tiles_per_chunk : (g + 1) * tiles_per_chunk + 1] - lo).astype(
             np.int32
         )
-    return _TileSide(ids_grp=ids_grp, other_grp=other_grp, rel_offsets=rel)
+    return _TileSide(
+        ids_grp=jnp.asarray(ids_grp),
+        other_grp=jnp.asarray(other_grp),
+        rel_offsets=jnp.asarray(rel),
+    )
 
 
 def prepare_edge_tiles(
@@ -285,15 +323,23 @@ def prepare_edge_tiles(
         num_chunks, tiles_per_chunk, te,
     )
 
+    if num_chunks > 1:
+        # the flat layouts back only the G=1 packet path and the XLA-bwd
+        # fallback; chunked graphs use the grouped layouts exclusively, so
+        # don't keep ~GBs of unused flat metadata on device
+        src = dst = np.zeros(1, np.int32)
+        tile_offsets = src_tile_offsets = np.zeros(1, np.int32)
+        src_sorted_ids = gather_perm = np.zeros(1, np.int32)
+
     return EdgeTiles(
-        src=src,
-        dst=dst,
-        tile_offsets=tile_offsets,
+        src=jnp.asarray(src),
+        dst=jnp.asarray(dst),
+        tile_offsets=jnp.asarray(tile_offsets),
         num_nodes=num_nodes,
         num_node_tiles=num_node_tiles,
-        src_sorted_ids=src_sorted_ids,
-        gather_perm=gather_perm,
-        src_tile_offsets=src_tile_offsets,
+        src_sorted_ids=jnp.asarray(src_sorted_ids),
+        gather_perm=jnp.asarray(gather_perm),
+        src_tile_offsets=jnp.asarray(src_tile_offsets),
         tile_e=te,
         num_chunks=num_chunks,
         tiles_per_chunk=tiles_per_chunk,
@@ -905,18 +951,21 @@ def _bwd_src_kernel(
     # inputs
     zd_e_hbm,  # [E_chunk, HD] ANY — zd[dst_e], gathered in src-sorted order
     g_e_hbm,  # [E_chunk, HD] ANY — g[dst_e]
-    mlr_hbm,  # [E_chunk, 384] ANY — [m | l | r][dst_e] stacked on lanes
+    mlr_hbm,  # [E_chunk, 128] ANY — compact [m|l|r][dst_e]: 16 lanes each
     sid_hbm,  # [1, E_chunk] int32 ANY — src ids (num_nodes on padding)
     zs_ref,  # [TILE_N, HD] VMEM blocked — THIS src tile's projections
     a_sel_ref,  # [HD, 128] VMEM
     r_ref,  # [128, HD] VMEM
     a_rep_ref,  # [1, HD] VMEM
+    sel_m_ref,  # [128, 128] VMEM — lane selectors expanding the compact
+    sel_l_ref,  # [128, 128]   stats stream to head lanes (lanes >= H end up
+    sel_r_ref,  # [128, 128]   0; downstream math annihilates them)
     # outputs
     dzs_ref,  # [TILE_N, HD] VMEM blocked
     # scratch
     zd_t,  # [2, tile_e, HD]
     g_t,  # [2, tile_e, HD]
-    mlr_t,  # [2, tile_e, 384]
+    mlr_t,  # [2, tile_e, 128]
     sid_t,  # [2, 1, tile_e] int32
     sems,  # DMA semaphores (2, 4)
     *,
@@ -991,9 +1040,18 @@ def _bwd_src_kernel(
             s, a_sel_ref[:], preferred_element_type=jnp.float32,
             precision=precision,
         )  # [tile_e, 128]
-        m_g = mlr_t[slot][:, 0:128]
-        l_g = mlr_t[slot][:, 128:256]
-        r_g = mlr_t[slot][:, 256:384]
+        # expand the compact stats to head lanes (MXU selector matmuls);
+        # lanes >= num_heads become 0: p stays finite (clip <= 0), alpha is
+        # bounded by 1/SOFTMAX_EPS, and the R/Mask matmuls annihilate them
+        def sel(sel_ref):
+            return jnp.dot(
+                mlr_t[slot], sel_ref[:],
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+
+        m_g = sel(sel_m_ref)
+        l_g = sel(sel_l_ref)
+        r_g = sel(sel_r_ref)
         p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
         alpha_e = p_e / (l_g + SOFTMAX_EPS)
         dalpha_e = jax.lax.dot_general(
@@ -1020,6 +1078,16 @@ def _bwd_src_kernel(
     jax.lax.fori_loop(0, ntiles, body, 0)
 
 
+def _stat_selectors():
+    """sel_m/sel_l/sel_r [128, 128]: lane h of the expanded output takes the
+    compact stream's lane (slot*STATS_L + h) for h < STATS_L, else 0."""
+    eye = np.zeros((3, 128, 128), np.float32)
+    for slot in range(3):
+        for h in range(STATS_L):
+            eye[slot, slot * STATS_L + h, h] = 1.0
+    return jnp.asarray(eye[0]), jnp.asarray(eye[1]), jnp.asarray(eye[2])
+
+
 def _bwd_src_chunk(
     zd_e, g_e, mlr_e, sid_flat, zs_chunk, rel_offsets, a_sel, r_mat, a_rep,
     *, num_heads, negative_slope, te, precision, interpret,
@@ -1027,6 +1095,7 @@ def _bwd_src_chunk(
     t_c = zs_chunk.shape[0] // TILE_N
     hd = zd_e.shape[1]
     e_chunk = zd_e.shape[0]
+    sel_m, sel_l, sel_r = _stat_selectors()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_c,),
@@ -1039,6 +1108,9 @@ def _bwd_src_chunk(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel_m
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel_l
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel_r
         ],
         out_specs=pl.BlockSpec(
             (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -1046,7 +1118,7 @@ def _bwd_src_chunk(
         scratch_shapes=[
             pltpu.VMEM((2, te, hd), jnp.float32),
             pltpu.VMEM((2, te, hd), jnp.float32),
-            pltpu.VMEM((2, te, 384), jnp.float32),
+            pltpu.VMEM((2, te, 128), jnp.float32),
             pltpu.VMEM((2, 1, te), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
@@ -1063,12 +1135,13 @@ def _bwd_src_chunk(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_chunk * (3 * hd + 4 * 128) * 2,
-            bytes_accessed=e_chunk * (2 * hd + 384) * 4 + t_c * TILE_N * hd * 8,
+            flops=2 * e_chunk * (3 * hd + 7 * 128) * 2,
+            bytes_accessed=e_chunk * (2 * hd + 128) * 4 + t_c * TILE_N * hd * 8,
             transcendentals=e_chunk * 128,
         ),
         interpret=interpret,
-    )(rel_offsets, zd_e, g_e, mlr_e, sid_flat, zs_chunk, a_sel, r_mat, a_rep)
+    )(rel_offsets, zd_e, g_e, mlr_e, sid_flat, zs_chunk, a_sel, r_mat, a_rep,
+      sel_m, sel_l, sel_r)
 
 
 # ---------------------------------------------------------------------------
@@ -1097,8 +1170,8 @@ def _chunk_slice(arr: jax.Array, g: int, rows: int) -> jax.Array:
 
 
 def edge_attention_pallas(
-    zs: jax.Array,  # [N, H, D]
-    zd: jax.Array,  # [N, H, D]
+    zs: jax.Array,  # [N, H, D] or flat [N, H*D] (preferred: avoids copies)
+    zd: jax.Array,  # same shape as zs
     a: jax.Array,  # [H, D]
     src: jax.Array,  # unused (edge_tiles carries the tiled layout)
     dst: jax.Array,  # unused
@@ -1122,9 +1195,10 @@ def edge_attention_pallas(
             "impl='pallas' requires edge_tiles (ops.pallas_attention."
             "prepare_edge_tiles(row_ptr, col_idx, num_nodes))"
         )
-    if edge_tiles.num_nodes != num_nodes:
+    if num_nodes not in (edge_tiles.num_nodes, edge_tiles.padded_num_nodes):
         raise ValueError(
-            f"edge_tiles built for {edge_tiles.num_nodes} nodes, got {num_nodes}"
+            f"edge_tiles built for {edge_tiles.num_nodes} "
+            f"(padded {edge_tiles.padded_num_nodes}) nodes, got {num_nodes}"
         )
     et = edge_tiles
     te = et.tile_e
@@ -1136,31 +1210,31 @@ def edge_attention_pallas(
         num_heads=int(a.shape[0]), negative_slope=negative_slope, te=te,
         precision=precision, interpret=interpret,
     )
-
-    dside, sside = et.dst_side, et.src_side
-    dst_ids = jnp.asarray(dside.ids_grp)  # [G, Ec]
-    dst_other = jnp.asarray(dside.other_grp)  # [G, Ec] src ids
-    dst_rel = jnp.asarray(dside.rel_offsets)  # [G, T_c+1]
-    sid_ids = jnp.asarray(sside.ids_grp)  # [G, Ec2] src ids
-    sid_other = jnp.asarray(sside.other_grp)  # [G, Ec2] dst ids
-    src_rel = jnp.asarray(sside.rel_offsets)
+    num_heads, head_dim = int(a.shape[0]), int(a.shape[1])
+    hd_real = num_heads * head_dim
+    flat_io = zs.ndim == 2  # [N, H*D] in -> [N, H*D] out (and grads)
 
     from gatv2_tpu.ops.attention import _edge_attention_xla
 
     def _prep(z):
-        """[N, H, D] -> lane-padded node-space [n_pad, hd]."""
-        n, h, d = z.shape
-        hd_real = h * d
-        hd = -(-hd_real // 128) * 128
-        return (
-            jnp.zeros((n_pad, hd), jnp.float32).at[:n, :hd_real].set(
-                z.reshape(n, hd_real)
-            ),
-            hd,
-        )
+        """[N, H, D] or [N, H*D] -> lane-padded node-space [n_pad, hd].
 
-    def _forward_all(zs, zd, a):
-        n, h, d = zs.shape
+        Free (no copy) when callers pass flat inputs with the node dim
+        already padded to n_pad and H*D a lane multiple — the Trainer
+        arranges exactly that for big graphs (see train/loop.py)."""
+        n = z.shape[0]
+        hd = -(-hd_real // 128) * 128
+        z = z.reshape(n, hd_real)
+        if hd != hd_real:
+            z = jnp.pad(z, ((0, 0), (0, hd - hd_real)))
+        if n != n_pad:
+            z = jnp.pad(z, ((0, n_pad - n), (0, 0)))
+        return z, hd
+
+    def _forward_all(zs, zd, a, et_):
+        dst_ids = et_.dst_side.ids_grp  # [G, Ec]
+        dst_other = et_.dst_side.other_grp  # [G, Ec] src ids
+        dst_rel = et_.dst_side.rel_offsets  # [G, T_c+1]
         zs_flat, hd = _prep(zs)
         zd_flat, _ = _prep(zd)
         a_sel, r_mat, _ = _head_matrices(a, hd)
@@ -1195,46 +1269,61 @@ def edge_attention_pallas(
             ls.reshape(-1, 128),
         )
 
-    @jax.custom_vjp
-    def attn(zs, zd, a):
-        n, h, d = zs.shape
-        out, _, _ = _forward_all(zs, zd, a)
-        return out[:num_nodes, : h * d].reshape(num_nodes, h, d)
+    def _restore(out2d):
+        if flat_io:
+            return out2d
+        return out2d.reshape(num_nodes, num_heads, head_dim)
 
-    def fwd(zs, zd, a):
-        n, h, d = zs.shape
-        out, m_stats, l_stats = _forward_all(zs, zd, a)
-        res = (zs, zd, a, m_stats, l_stats) if bwd_impl == "pallas" else (zs, zd, a)
-        return out[:num_nodes, : h * d].reshape(num_nodes, h, d), res
+    @jax.custom_vjp
+    def attn(zs, zd, a, et_):
+        out, _, _ = _forward_all(zs, zd, a, et_)
+        return _restore(out[:num_nodes, :hd_real])
+
+    def fwd(zs, zd, a, et_):
+        out, m_stats, l_stats = _forward_all(zs, zd, a, et_)
+        # keep only the real head lanes of the softmax stats as residuals
+        # (8x memory cut; Products-scale full-graph fits one chip)
+        res = (
+            (zs, zd, a, m_stats[:, :STATS_L], l_stats[:, :STATS_L], et_)
+            if bwd_impl == "pallas"
+            else (zs, zd, a, et_)
+        )
+        return _restore(out[:num_nodes, :hd_real]), res
 
     def bwd_xla(res, g):
-        zs, zd, a = res
-        src_j = jnp.asarray(et.src)
-        dst_j = jnp.asarray(et.dst)
-        _, vjp = jax.vjp(
-            lambda zs_, zd_, a_: _edge_attention_xla(
-                zs_, zd_, a_, src_j, dst_j, num_nodes,
+        zs, zd, a, et_ = res
+        def f(zs_, zd_, a_):
+            out3 = _edge_attention_xla(
+                zs_.reshape(num_nodes, num_heads, head_dim),
+                zd_.reshape(num_nodes, num_heads, head_dim),
+                a_, et_.src, et_.dst, num_nodes,
                 negative_slope=negative_slope,
-            ),
-            zs, zd, a,
-        )
-        return vjp(g)
+            )
+            return out3.reshape(num_nodes, hd_real) if flat_io else out3
+
+        _, vjp = jax.vjp(f, zs, zd, a)
+        return (*vjp(g), None)
 
     def bwd_pallas(res, gout):
         zs, zd, a = res[0], res[1], res[2]
-        m_stats, l_stats = res[3], res[4]
-        n, h, d = zs.shape
-        hd_real = h * d
+        m16, l16, et_ = res[3], res[4], res[5]
+        dst_ids = et_.dst_side.ids_grp
+        dst_other = et_.dst_side.other_grp
+        dst_rel = et_.dst_side.rel_offsets
+        sid_ids = et_.src_side.ids_grp
+        sid_other = et_.src_side.other_grp
+        src_rel = et_.src_side.rel_offsets
+        n = zs.shape[0]
         zs_flat, hd = _prep(zs)
         zd_flat, _ = _prep(zd)
         a_sel, r_mat, a_rep = _head_matrices(a, hd)
-        g_flat = jnp.zeros((n_pad, hd), jnp.float32).at[:n, :hd_real].set(
-            gout.reshape(n, hd_real)
-        )
-
+        g_flat, _ = _prep(gout)
         # phase 1: dst-tiled -> d_zd, d_a, segment term r (node space);
         # unchunked additionally emits the per-edge packets c1
         emit_c1 = g_chunks == 1
+
+        def lane128(x16):
+            return jnp.pad(x16, ((0, 0), (0, 128 - STATS_L)))
 
         def phase1(g, ids_g, other_g, rel_g):
             zs_e = jnp.take(zs_flat, other_g, axis=0)
@@ -1242,8 +1331,8 @@ def edge_attention_pallas(
                 zs_e,
                 jax.lax.dynamic_slice_in_dim(zd_flat, g * rows_c, rows_c),
                 jax.lax.dynamic_slice_in_dim(g_flat, g * rows_c, rows_c),
-                jax.lax.dynamic_slice_in_dim(m_stats, g * rows_c, rows_c),
-                jax.lax.dynamic_slice_in_dim(l_stats, g * rows_c, rows_c),
+                lane128(jax.lax.dynamic_slice_in_dim(m16, g * rows_c, rows_c)),
+                lane128(jax.lax.dynamic_slice_in_dim(l16, g * rows_c, rows_c)),
                 ids_g[None, :],
                 rel_g,
                 a_sel, r_mat, a_rep,
@@ -1258,11 +1347,11 @@ def edge_attention_pallas(
             da = jnp.sum(da_parts, axis=0)
             # phase 2a (fast path): permute packets to src-sorted order,
             # one-hot segment-sum per src tile
-            c1s = jnp.take(c1, jnp.asarray(et.gather_perm), axis=0)
+            c1s = jnp.take(c1, et_.gather_perm, axis=0)
             dzs_pad = _segsum_src(
                 c1s,
-                jnp.asarray(et.src_sorted_ids)[None, :],
-                jnp.asarray(et.src_tile_offsets),
+                et_.src_sorted_ids[None, :],
+                et_.src_tile_offsets,
                 t_c,
                 te=te, hd=hd, precision=precision, interpret=interpret,
             )
@@ -1270,23 +1359,27 @@ def edge_attention_pallas(
             def body1(_, x):
                 g, ids_g, other_g, rel_g = x
                 dzd_c, da_c, rsum_c = phase1(g, ids_g, other_g, rel_g)
-                return 0, (dzd_c, jnp.sum(da_c, axis=0), rsum_c)
+                return 0, (dzd_c, jnp.sum(da_c, axis=0), rsum_c[:, :STATS_L])
 
             _, (dzd_s, da_s, rsum_s) = jax.lax.scan(
                 body1, 0, (jnp.arange(g_chunks), dst_ids, dst_other, dst_rel)
             )
             dzd_pad = dzd_s.reshape(-1, hd)
             da = jnp.sum(da_s, axis=0)
-            rsum = rsum_s.reshape(-1, 128)  # [n_pad, 128]
+            rsum16 = rsum_s.reshape(-1, STATS_L)  # [n_pad, 16]
 
-            # phase 2b (chunked): per-edge recompute, O(E/G) temporaries
-            mlr = jnp.concatenate([m_stats, l_stats, rsum], axis=1)
+            # phase 2b (chunked): per-edge recompute, O(E/G) temporaries;
+            # stats travel compact: [m16 | l16 | r16 | pad] in 128 lanes
+            mlr16 = jnp.concatenate([m16, l16, rsum16], axis=1)  # [n_pad, 48]
 
             def body2(_, x):
                 g, sids_g, dids_g, rel_g = x
                 zd_e = jnp.take(zd_flat, dids_g, axis=0)
                 g_e = jnp.take(g_flat, dids_g, axis=0)
-                mlr_e = jnp.take(mlr, dids_g, axis=0)
+                mlr_e = jnp.pad(
+                    jnp.take(mlr16, dids_g, axis=0),
+                    ((0, 0), (0, 128 - 3 * STATS_L)),
+                )
                 dzs_c = _bwd_src_chunk(
                     zd_e, g_e, mlr_e,
                     sids_g[None, :],
@@ -1302,9 +1395,10 @@ def edge_attention_pallas(
             )
             dzs_pad = dzs_s.reshape(-1, hd)
 
-        dzs = dzs_pad[:n, :hd_real].reshape(n, h, d)
-        dzd = dzd_pad[:n, :hd_real].reshape(n, h, d)
-        return dzs, dzd, da[:hd_real].reshape(h, d)
+        dzs = dzs_pad[:n, :hd_real].reshape(zs.shape)
+        dzd = dzd_pad[:n, :hd_real].reshape(zd.shape)
+        # None cotangent for the (integer) edge-layout pytree
+        return dzs, dzd, da[:hd_real].reshape(num_heads, head_dim), None
 
     attn.defvjp(fwd, bwd_pallas if bwd_impl == "pallas" else bwd_xla)
-    return attn(zs, zd, a)
+    return attn(zs, zd, a, et)

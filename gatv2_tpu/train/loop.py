@@ -34,11 +34,13 @@ def make_train_step(
     *,
     edge_tiles: Any = None,
     donate: bool = True,
+    num_valid: int | None = None,
 ) -> Callable:
     """Builds jit(train_step)(params, opt_state, t, features, src, dst, labels)
-    -> (params, opt_state, loss, acc)."""
+    -> (params, opt_state, loss, acc). num_valid: real node count when the
+    node dim is padded (labels on padding rows must be -1)."""
 
-    def step(params, opt_state, t, features, src, dst, labels):
+    def step(params, opt_state, t, features, src, dst, labels, et):
         grad_fn = jax.value_and_grad(gatv2.loss_fn, has_aux=True)
         (loss, acc), grads = grad_fn(
             params,
@@ -48,7 +50,8 @@ def make_train_step(
             labels,
             model_config,
             impl=train_config.impl,
-            edge_tiles=edge_tiles,
+            edge_tiles=et,
+            num_valid=num_valid,
         )
         params, opt_state = optim.apply_updates(
             params, grads, opt_state, t, train_config
@@ -56,7 +59,10 @@ def make_train_step(
         return params, opt_state, loss, acc
 
     donate_argnums = (0, 1) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    jstep = jax.jit(step, donate_argnums=donate_argnums)
+    # edge_tiles ride as a jit ARGUMENT (EdgeTiles is a pytree): baked-in
+    # closure constants would inline 100s of MB of edge metadata into the HLO
+    return lambda *args: jstep(*args, edge_tiles)
 
 
 def make_multi_epoch_runner(
@@ -65,6 +71,7 @@ def make_multi_epoch_runner(
     num_epochs: int,
     *,
     edge_tiles: Any = None,
+    num_valid: int | None = None,
 ) -> Callable:
     """K epochs as ONE device program via lax.scan — the TPU-idiomatic epoch
     loop (no host round-trip per epoch, unlike the reference's fully
@@ -75,7 +82,7 @@ def make_multi_epoch_runner(
     already completed (Adam bias correction continues from t0+1).
     """
 
-    def epoch_body(carry, t):
+    def epoch_body(carry, t, et):
         params, opt_state = carry
         grad_fn = jax.value_and_grad(gatv2.loss_fn, has_aux=True)
 
@@ -88,7 +95,8 @@ def make_multi_epoch_runner(
                 labels,
                 model_config,
                 impl=train_config.impl,
-                edge_tiles=edge_tiles,
+                edge_tiles=et,
+                num_valid=num_valid,
             )
             new_params, new_opt = optim.apply_updates(
                 params, grads, opt_state, t, train_config
@@ -97,9 +105,9 @@ def make_multi_epoch_runner(
 
         return run
 
-    def runner(params, opt_state, t0, features, src, dst, labels):
+    def runner(params, opt_state, t0, features, src, dst, labels, et):
         def body(carry, t):
-            return epoch_body(carry, t)(features, src, dst, labels)
+            return epoch_body(carry, t, et)(features, src, dst, labels)
 
         ts = t0 + 1 + jnp.arange(num_epochs, dtype=jnp.int32)
         (params, opt_state), (losses, accs) = jax.lax.scan(
@@ -107,13 +115,14 @@ def make_multi_epoch_runner(
         )
         return params, opt_state, losses, accs
 
-    return jax.jit(runner, donate_argnums=(0, 1))
+    jrunner = jax.jit(runner, donate_argnums=(0, 1))
+    return lambda *args: jrunner(*args, edge_tiles)
 
 
 def make_eval_step(
     model_config: ModelConfig, train_config: TrainConfig, *, edge_tiles: Any = None
 ) -> Callable:
-    def eval_step(params, features, src, dst, labels):
+    def eval_step(params, features, src, dst, labels, et):
         return gatv2.loss_fn(
             params,
             features,
@@ -122,10 +131,11 @@ def make_eval_step(
             labels,
             model_config,
             impl=train_config.impl,
-            edge_tiles=edge_tiles,
+            edge_tiles=et,
         )
 
-    return jax.jit(eval_step)
+    jeval = jax.jit(eval_step)
+    return lambda *args: jeval(*args, edge_tiles)
 
 
 class Trainer:
@@ -147,10 +157,8 @@ class Trainer:
         self.metrics_sink = metrics_sink
 
         pe = graph.padded_edges(128)
-        self.features = jnp.asarray(graph.features)
         self.src = jnp.asarray(pe.src)
         self.dst = jnp.asarray(pe.dst)
-        self.labels = jnp.asarray(graph.labels)
 
         seed = train_config.seed
         if seed is None:
@@ -177,7 +185,26 @@ class Trainer:
                 num_chunks=suggest_num_chunks(graph.num_edges, max_hd),
             )
         self.edge_tiles = edge_tiles
-        self._step = make_train_step(model_config, train_config, edge_tiles=edge_tiles)
+        num_valid = None
+        feats, labels = graph.features, graph.labels
+        if edge_tiles is not None:
+            # pad the node dim ONCE to the tile grid so no padded copies of
+            # node-space activations materialize inside the step
+            import numpy as np
+
+            n_pad = edge_tiles.padded_num_nodes
+            if n_pad != graph.num_nodes:
+                feats = np.zeros((n_pad, graph.feature_dim), np.float32)
+                feats[: graph.num_nodes] = graph.features
+                labels = np.full(n_pad, -1, np.int32)
+                labels[: graph.num_nodes] = graph.labels
+                num_valid = graph.num_nodes
+        self.features = jnp.asarray(feats)
+        self.labels = jnp.asarray(labels)
+        self._step = make_train_step(
+            model_config, train_config, edge_tiles=edge_tiles,
+            num_valid=num_valid,
+        )
 
     def run(self, epochs: int | None = None) -> dict[str, float]:
         epochs = epochs if epochs is not None else self.train_config.epochs
