@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "mode (default: 10 per layer)")
     p.add_argument("--sampler-engine", choices=["auto", "native", "python"],
                    default="auto", help="neighbor-sampler implementation")
+    p.add_argument("--split-fractions", type=str, default=None,
+                   metavar="TR,VA,TE",
+                   help="random train/val/test split, e.g. 0.6,0.2,0.2 "
+                        "(mask files in the dataset dir take precedence; "
+                        "default: train+report on ALL nodes, like the "
+                        "reference)")
+    p.add_argument("--split-seed", type=int, default=0)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize layers in the backward pass "
                         "(less HBM, ~30%% slower; for huge graphs)")

@@ -119,6 +119,35 @@ def make_multi_epoch_runner(
     return lambda *args: jrunner(*args, edge_tiles)
 
 
+def make_split_eval_step(
+    model_config: ModelConfig,
+    train_config: TrainConfig,
+    *,
+    edge_tiles: Any = None,
+) -> Callable:
+    """jit(eval)(params, features, src, dst, labels, *masks) -> per-mask
+    accuracies from ONE full-graph forward."""
+    from gatv2_tpu.models.gatv2 import model_forward
+
+    def eval_step(params, features, src, dst, labels, *masks_et):
+        masks, et = masks_et[:-1], masks_et[-1]
+        logits = model_forward(
+            params, features, src, dst, model_config,
+            impl=train_config.impl, edge_tiles=et,
+        )
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        hit = (pred == labels).astype(jnp.float32)
+        return tuple(
+            jnp.sum(jnp.where(m, hit, 0.0)) / jnp.maximum(jnp.sum(m), 1)
+            for m in masks
+        )
+
+    jeval = jax.jit(eval_step)
+    return lambda params, features, src, dst, labels, *masks: jeval(
+        params, features, src, dst, labels, *masks, edge_tiles
+    )
+
+
 def make_eval_step(
     model_config: ModelConfig, train_config: TrainConfig, *, edge_tiles: Any = None
 ) -> Callable:
@@ -139,7 +168,12 @@ def make_eval_step(
 
 
 class Trainer:
-    """Full-graph trainer with the reference's observable behavior."""
+    """Full-graph trainer with the reference's observable behavior.
+
+    With `splits` (data.splits.Splits) the loss is masked to train nodes and
+    val/test accuracy is evaluated from the same full-graph forward — the
+    evaluation protocol the reference lacks (its README.md:134 calls test
+    evaluation future work)."""
 
     def __init__(
         self,
@@ -149,12 +183,14 @@ class Trainer:
         *,
         log_fn: Callable[[str], None] = print,
         metrics_sink: Any = None,
+        splits: Any = None,
     ):
         self.graph = graph
         self.model_config = model_config
         self.train_config = train_config
         self.log = log_fn
         self.metrics_sink = metrics_sink
+        self.splits = splits
 
         pe = graph.padded_edges(128)
         self.src = jnp.asarray(pe.src)
@@ -187,24 +223,47 @@ class Trainer:
         self.edge_tiles = edge_tiles
         num_valid = None
         feats, labels = graph.features, graph.labels
+        self._full_labels = None
+        if splits is not None:
+            self._full_labels = labels
+            labels = splits.masked_labels(labels, "train")
+            num_valid = int(splits.train.sum())
         if edge_tiles is not None:
             # pad the node dim ONCE to the tile grid so no padded copies of
             # node-space activations materialize inside the step
-            import numpy as np
-
             n_pad = edge_tiles.padded_num_nodes
             if n_pad != graph.num_nodes:
+                lab_src = labels
                 feats = np.zeros((n_pad, graph.feature_dim), np.float32)
                 feats[: graph.num_nodes] = graph.features
                 labels = np.full(n_pad, -1, np.int32)
-                labels[: graph.num_nodes] = graph.labels
-                num_valid = graph.num_nodes
+                labels[: graph.num_nodes] = lab_src
+                if num_valid is None:
+                    num_valid = graph.num_nodes
         self.features = jnp.asarray(feats)
         self.labels = jnp.asarray(labels)
         self._step = make_train_step(
             model_config, train_config, edge_tiles=edge_tiles,
             num_valid=num_valid,
         )
+        self._split_eval = None
+        if splits is not None:
+            self._split_eval = make_split_eval_step(
+                model_config, train_config, edge_tiles=edge_tiles
+            )
+            n_all = self.features.shape[0]
+
+            def padmask(m):
+                out = np.zeros(n_all, bool)
+                out[: m.shape[0]] = m
+                return jnp.asarray(out)
+
+            self._masks = tuple(
+                padmask(m) for m in (splits.train, splits.val, splits.test)
+            )
+            full = np.full(n_all, -1, np.int32)
+            full[: graph.num_nodes] = self._full_labels
+            self._eval_labels = jnp.asarray(full)
 
     def run(self, epochs: int | None = None) -> dict[str, float]:
         epochs = epochs if epochs is not None else self.train_config.epochs
@@ -230,6 +289,23 @@ class Trainer:
                 f"total time: {dt_ms:.2f} ms"
             )
             last = {"epoch": self.epoch, "loss": loss, "accuracy": acc, "ms": dt_ms}
+            if self._split_eval is not None:
+                accs = self.evaluate()
+                self.log(
+                    f"Train/Val/Test Accuracy: {accs['train'] * 100:.2f}% / "
+                    f"{accs['val'] * 100:.2f}% / {accs['test'] * 100:.2f}%"
+                )
+                last.update({f"{k}_accuracy": v for k, v in accs.items()})
             if self.metrics_sink is not None:
                 self.metrics_sink.write(last)
         return last
+
+    def evaluate(self) -> dict[str, float]:
+        """Accuracy on the train/val/test splits from one full forward."""
+        if self._split_eval is None:
+            raise ValueError("Trainer built without splits")
+        accs = self._split_eval(
+            self.params, self.features, self.src, self.dst,
+            self._eval_labels, *self._masks,
+        )
+        return {k: float(v) for k, v in zip(("train", "val", "test"), accs)}

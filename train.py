@@ -43,6 +43,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     mem_before = device_memory_report()
 
+    from gatv2_tpu.data.splits import load_split_files, random_splits
+
+    splits = load_split_files(dataset_dir, graph.num_nodes)
+    if splits is not None:
+        print("Using split masks from dataset directory")
+    elif args.split_fractions:
+        fr = tuple(float(v) for v in args.split_fractions.split(","))
+        splits = random_splits(graph.num_nodes, fr, seed=args.split_seed)
+    if splits is not None:
+        tr, va, te = splits.counts
+        print(f"Split: {tr} train / {va} val / {te} test nodes")
+
     sink = JsonlSink(train_config.log_file) if train_config.log_file else None
     if train_config.batch_size > 0:
         from gatv2_tpu.train.minibatch import MinibatchTrainer
@@ -56,7 +68,10 @@ def main(argv: list[str] | None = None) -> int:
             graph, model_config, train_config, metrics_sink=sink
         )
     else:
-        trainer = Trainer(graph, model_config, train_config, metrics_sink=sink)
+        trainer = Trainer(
+            graph, model_config, train_config, metrics_sink=sink,
+            splits=splits,
+        )
 
     if train_config.resume and train_config.checkpoint_dir:
         if ckpt.restore_into(train_config.checkpoint_dir, trainer):
@@ -102,6 +117,9 @@ def main(argv: list[str] | None = None) -> int:
             )
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
+    if splits is not None and train_config.batch_size == 0:
+        accs = trainer.evaluate()
+        print(f"Final Test Accuracy: {accs['test'] * 100:.2f}%")
     if args.save_weights:
         from gatv2_tpu.models.params_io import save_params_txt
 
