@@ -28,7 +28,9 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Iterator, Sequence
+import queue
+import threading
+from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 
@@ -193,3 +195,32 @@ class NeighborSampler:
             num_nodes=num_nodes,
             num_edges=num_edges,
         )
+
+
+def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
+    """Run an iterator on a background thread with a bounded queue, so host
+    sampling overlaps the device step (host sampling is the minibatch
+    bottleneck: ~100ms/batch at OGBN-Products scale vs ~40ms device step).
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    done = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -179,7 +179,9 @@ class MinibatchTrainer:
             loss_sum = 0.0
             correct_sum = 0.0
             seeds_total = 0
-            for b in self.sampler:
+            from gatv2_tpu.data.sampling import prefetch
+
+            for b in prefetch(self.sampler, depth=2):
                 self.step_count += 1
                 self.params, self.opt_state, loss, acc = self._step(
                     self.params,

@@ -200,3 +200,23 @@ def test_native_sampler_minibatch_trains(learnable_graph):
             )
             losses.append(float(loss))
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_prefetch_iterator(learnable_graph):
+    from gatv2_tpu.data.sampling import prefetch
+
+    sampler = NeighborSampler(learnable_graph, batch_size=64, fanouts=(3,), seed=0)
+    direct = [(b.num_seeds, b.num_nodes, b.num_edges) for b in sampler]
+    sampler2 = NeighborSampler(learnable_graph, batch_size=64, fanouts=(3,), seed=0)
+    fetched = [(b.num_seeds, b.num_nodes, b.num_edges) for b in prefetch(sampler2)]
+    assert direct == fetched
+
+    def boom():
+        yield 1
+        raise RuntimeError("worker failure")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="worker failure"):
+        list(it)
