@@ -38,6 +38,7 @@ def edge_attention(
     impl: str = "xla",
     edge_tiles: Any = None,
     precision=None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Returns per-head aggregated features h [N, H, D]:
 
@@ -71,6 +72,7 @@ def edge_attention(
             negative_slope=negative_slope,
             edge_tiles=edge_tiles,
             precision=prec_name,
+            interpret=interpret,
         )
     raise ValueError(f"unknown impl {impl!r}; expected 'xla' or 'pallas'")
 

@@ -138,9 +138,14 @@ class EdgeTiles:
     # kernel parameters
     tile_e: int = TILE_E  # edges per inner step (static kernel parameter)
     num_chunks: int = 1  # node-tile groups (memory/chunking knob)
-    tiles_per_chunk: int = 0  # node tiles per group (T padded to G * this)
+    tiles_per_chunk: int = 0  # DST node tiles per group (T padded to G*this)
     dst_side: _TileSide | None = None
     src_side: _TileSide | None = None
+    # bipartite support (sharded layers: src space = GLOBAL nodes, dst
+    # space = this shard's local nodes). Monopartite graphs have
+    # num_src_nodes == num_nodes and equal tile counts.
+    num_src_nodes: int = -1  # -1 -> same as num_nodes
+    src_tiles_per_chunk: int = -1  # -1 -> same as tiles_per_chunk
 
     @property
     def padded_num_edges(self) -> int:
@@ -148,7 +153,21 @@ class EdgeTiles:
 
     @property
     def padded_num_nodes(self) -> int:
+        """Padded DST-space node count."""
         return self.num_chunks * self.tiles_per_chunk * TILE_N
+
+    @property
+    def src_num_nodes(self) -> int:
+        return self.num_nodes if self.num_src_nodes < 0 else self.num_src_nodes
+
+    @property
+    def padded_src_nodes(self) -> int:
+        t = (
+            self.tiles_per_chunk
+            if self.src_tiles_per_chunk < 0
+            else self.src_tiles_per_chunk
+        )
+        return self.num_chunks * t * TILE_N
 
 
 # EdgeTiles / _TileSide are pytrees so they can be passed as jit ARGUMENTS:
@@ -167,13 +186,14 @@ jax.tree_util.register_pytree_node(
             e.src_tile_offsets, e.dst_side, e.src_side,
         ),
         (e.num_nodes, e.num_node_tiles, e.tile_e, e.num_chunks,
-         e.tiles_per_chunk),
+         e.tiles_per_chunk, e.num_src_nodes, e.src_tiles_per_chunk),
     ),
     lambda aux, ch: EdgeTiles(
         src=ch[0], dst=ch[1], tile_offsets=ch[2], src_sorted_ids=ch[3],
         gather_perm=ch[4], src_tile_offsets=ch[5], dst_side=ch[6],
         src_side=ch[7], num_nodes=aux[0], num_node_tiles=aux[1],
         tile_e=aux[2], num_chunks=aux[3], tiles_per_chunk=aux[4],
+        num_src_nodes=aux[5], src_tiles_per_chunk=aux[6],
     ),
 )
 
@@ -244,6 +264,7 @@ def prepare_edge_tiles(
     num_nodes: int,
     tile_e: int | None = None,
     num_chunks: int = 1,
+    num_src_nodes: int | None = None,
 ) -> EdgeTiles:
     """Build the tile-aligned edge layouts from CSR (host-side, once per
     graph).
@@ -251,9 +272,14 @@ def prepare_edge_tiles(
     tile_e=None auto-selects the edge-tile size from the degree profile.
     num_chunks=G bounds edge-space HBM temporaries at O(E/G) during
     training (see module docstring); 1 = no chunking.
+    num_src_nodes: for BIPARTITE edge sets (sharded layers: col_idx holds
+    GLOBAL source ids while row_ptr covers this shard's local destinations).
+    Default: same node space on both sides.
     """
     row_ptr = np.asarray(row_ptr, np.int64)
+    ns = num_nodes if num_src_nodes is None else num_src_nodes
     num_node_tiles = max(1, -(-num_nodes // TILE_N))
+    num_src_tiles = max(1, -(-ns // TILE_N))
     degrees = np.diff(row_ptr)
     dst_all = np.repeat(np.arange(num_nodes, dtype=np.int32), degrees)
 
@@ -264,7 +290,7 @@ def prepare_edge_tiles(
         counts.append(int(hi - lo))
     counts = np.asarray(counts, np.int64)
     src_counts = np.bincount(
-        np.minimum(col_idx, num_nodes - 1) // TILE_N, minlength=num_node_tiles
+        np.minimum(col_idx, ns - 1) // TILE_N, minlength=num_src_tiles
     )
     if tile_e is None:
         tile_e = _auto_tile_e(counts, src_counts)
@@ -294,15 +320,15 @@ def prepare_edge_tiles(
     pos_sorted = real_pos[order]
     src_sorted = src[pos_sorted]
     tile_of_edge = src_sorted // TILE_N
-    counts2 = np.bincount(tile_of_edge, minlength=num_node_tiles)
+    counts2 = np.bincount(tile_of_edge, minlength=num_src_tiles)
     starts2 = np.concatenate([[0], np.cumsum(counts2)])
     padded2 = -(-counts2 // te) * te
-    src_tile_offsets = np.zeros(num_node_tiles + 1, np.int32)
+    src_tile_offsets = np.zeros(num_src_tiles + 1, np.int32)
     np.cumsum(padded2 // te, out=src_tile_offsets[1:])
     e2_pad = max(int(src_tile_offsets[-1]) * te, te)
-    src_sorted_ids = np.full(e2_pad, num_nodes, np.int32)
+    src_sorted_ids = np.full(e2_pad, ns, np.int32)
     gather_perm = np.zeros(e2_pad, np.int32)
-    for i in range(num_node_tiles):
+    for i in range(num_src_tiles):
         c = int(counts2[i])
         s, o = int(starts2[i]), int(src_tile_offsets[i]) * te
         src_sorted_ids[o : o + c] = src_sorted[s : s + c]
@@ -310,17 +336,18 @@ def prepare_edge_tiles(
 
     num_chunks = max(1, min(num_chunks, num_node_tiles))
     tiles_per_chunk = -(-num_node_tiles // num_chunks)
+    src_tiles_per_chunk = -(-num_src_tiles // num_chunks)
 
     dst_side = _group_side(
         dst, src, tile_offsets, num_nodes, num_chunks, tiles_per_chunk, te
     )
     # the CSC side streams src ids and gathers by the edges' dst ids
     dst_of_src = np.zeros(e2_pad, np.int32)
-    real2 = src_sorted_ids < num_nodes
+    real2 = src_sorted_ids < ns
     dst_of_src[real2] = dst[gather_perm[real2]]
     src_side = _group_side(
-        src_sorted_ids, dst_of_src, src_tile_offsets, num_nodes,
-        num_chunks, tiles_per_chunk, te,
+        src_sorted_ids, dst_of_src, src_tile_offsets, ns,
+        num_chunks, src_tiles_per_chunk, te,
     )
 
     if num_chunks > 1:
@@ -345,6 +372,10 @@ def prepare_edge_tiles(
         tiles_per_chunk=tiles_per_chunk,
         dst_side=dst_side,
         src_side=src_side,
+        num_src_nodes=-1 if num_src_nodes is None else num_src_nodes,
+        src_tiles_per_chunk=(
+            -1 if num_src_nodes is None else src_tiles_per_chunk
+        ),
     )
 
 
@@ -1198,14 +1229,23 @@ def edge_attention_pallas(
     if num_nodes not in (edge_tiles.num_nodes, edge_tiles.padded_num_nodes):
         raise ValueError(
             f"edge_tiles built for {edge_tiles.num_nodes} "
-            f"(padded {edge_tiles.padded_num_nodes}) nodes, got {num_nodes}"
+            f"(padded {edge_tiles.padded_num_nodes}) dst nodes, got {num_nodes}"
+        )
+    if zs.shape[0] not in (edge_tiles.src_num_nodes, edge_tiles.padded_src_nodes):
+        raise ValueError(
+            f"zs has {zs.shape[0]} rows; edge_tiles src space is "
+            f"{edge_tiles.src_num_nodes} (padded {edge_tiles.padded_src_nodes})"
         )
     et = edge_tiles
     te = et.tile_e
     g_chunks = et.num_chunks
     t_c = et.tiles_per_chunk
-    rows_c = t_c * TILE_N
-    n_pad = et.padded_num_nodes
+    rows_c = t_c * TILE_N  # dst-space rows per chunk
+    n_pad = et.padded_num_nodes  # dst space
+    num_src = et.src_num_nodes
+    ns_pad = et.padded_src_nodes
+    t_c_src = ns_pad // (g_chunks * TILE_N)
+    rows_c_src = t_c_src * TILE_N  # src-space rows per chunk
     kw = dict(
         num_heads=int(a.shape[0]), negative_slope=negative_slope, te=te,
         precision=precision, interpret=interpret,
@@ -1216,26 +1256,27 @@ def edge_attention_pallas(
 
     from gatv2_tpu.ops.attention import _edge_attention_xla
 
-    def _prep(z):
-        """[N, H, D] or [N, H*D] -> lane-padded node-space [n_pad, hd].
+    def _prep(z, rows=None):
+        """[N, H, D] or [N, H*D] -> lane-padded node-space [rows, hd].
 
         Free (no copy) when callers pass flat inputs with the node dim
-        already padded to n_pad and H*D a lane multiple — the Trainer
-        arranges exactly that for big graphs (see train/loop.py)."""
+        already padded and H*D a lane multiple — the Trainer arranges
+        exactly that for big graphs (see train/loop.py)."""
+        rows = n_pad if rows is None else rows
         n = z.shape[0]
         hd = -(-hd_real // 128) * 128
         z = z.reshape(n, hd_real)
         if hd != hd_real:
             z = jnp.pad(z, ((0, 0), (0, hd - hd_real)))
-        if n != n_pad:
-            z = jnp.pad(z, ((0, n_pad - n), (0, 0)))
+        if n != rows:
+            z = jnp.pad(z, ((0, rows - n), (0, 0)))
         return z, hd
 
     def _forward_all(zs, zd, a, et_):
         dst_ids = et_.dst_side.ids_grp  # [G, Ec]
         dst_other = et_.dst_side.other_grp  # [G, Ec] src ids
         dst_rel = et_.dst_side.rel_offsets  # [G, T_c+1]
-        zs_flat, hd = _prep(zs)
+        zs_flat, hd = _prep(zs, ns_pad)
         zd_flat, _ = _prep(zd)
         a_sel, r_mat, _ = _head_matrices(a, hd)
 
@@ -1314,7 +1355,7 @@ def edge_attention_pallas(
         sid_other = et_.src_side.other_grp
         src_rel = et_.src_side.rel_offsets
         n = zs.shape[0]
-        zs_flat, hd = _prep(zs)
+        zs_flat, hd = _prep(zs, ns_pad)
         zd_flat, _ = _prep(zd)
         a_sel, r_mat, a_rep = _head_matrices(a, hd)
         g_flat, _ = _prep(gout)
@@ -1352,7 +1393,7 @@ def edge_attention_pallas(
                 c1s,
                 et_.src_sorted_ids[None, :],
                 et_.src_tile_offsets,
-                t_c,
+                t_c_src,
                 te=te, hd=hd, precision=precision, interpret=interpret,
             )
         else:
@@ -1383,7 +1424,9 @@ def edge_attention_pallas(
                 dzs_c = _bwd_src_chunk(
                     zd_e, g_e, mlr_e,
                     sids_g[None, :],
-                    jax.lax.dynamic_slice_in_dim(zs_flat, g * rows_c, rows_c),
+                    jax.lax.dynamic_slice_in_dim(
+                        zs_flat, g * rows_c_src, rows_c_src
+                    ),
                     rel_g,
                     a_sel, r_mat, a_rep,
                     **kw,
@@ -1395,8 +1438,8 @@ def edge_attention_pallas(
             )
             dzs_pad = dzs_s.reshape(-1, hd)
 
-        dzs = dzs_pad[:n, :hd_real].reshape(zs.shape)
-        dzd = dzd_pad[:n, :hd_real].reshape(zd.shape)
+        dzs = dzs_pad[: zs.shape[0], :hd_real].reshape(zs.shape)
+        dzd = dzd_pad[: zd.shape[0], :hd_real].reshape(zd.shape)
         # None cotangent for the (integer) edge-layout pytree
         return dzs, dzd, da[:hd_real].reshape(num_heads, head_dim), None
 

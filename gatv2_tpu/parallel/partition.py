@@ -99,3 +99,59 @@ def partition_graph(
         num_real_nodes=n,
         num_real_edges=graph.num_edges,
     )
+
+
+def prepare_partitioned_tiles(
+    pg: PartitionedGraph, tile_e: int | None = 128, num_chunks: int = 1
+):
+    """Per-shard Pallas edge tilings, stacked on a leading shard axis.
+
+    Each shard's edge set is BIPARTITE: destinations are the shard's local
+    nodes, sources are GLOBAL node ids (gathered from the halo all_gather's
+    output inside the sharded step). All shards are padded to identical
+    array shapes so the stacked EdgeTiles can be shard_map'ed over the
+    'graph' mesh axis (see parallel/sharded.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gatv2_tpu.ops.pallas_attention import EdgeTiles, prepare_edge_tiles
+
+    s_count = pg.num_shards
+    nps = pg.nodes_per_shard
+    n_glob = pg.padded_num_nodes
+    src_all = pg.src.reshape(s_count, -1)
+    dst_all = pg.dst_local.reshape(s_count, -1)
+
+    per_shard = []
+    for s in range(s_count):
+        real = dst_all[s] < nps
+        dst_s = dst_all[s][real]
+        src_s = src_all[s][real]
+        counts = np.bincount(dst_s, minlength=nps)
+        row_ptr = np.zeros(nps + 1, np.int64)
+        np.cumsum(counts, out=row_ptr[1:])
+        # partition slices keep dst sorted, so col_idx aligns with row_ptr
+        per_shard.append(
+            prepare_edge_tiles(
+                row_ptr, src_s, nps, tile_e=tile_e, num_chunks=num_chunks,
+                num_src_nodes=n_glob,
+            )
+        )
+
+    # pad every array leaf to the max shape across shards (tail regions are
+    # never referenced: the per-tile offsets only cover real edge tiles)
+    leaves = [jax.tree.flatten(t)[0] for t in per_shard]
+    treedef = jax.tree.flatten(per_shard[0])[1]
+    stacked = []
+    for i in range(len(leaves[0])):
+        arrs = [np.asarray(l[i]) for l in leaves]
+        max_shape = tuple(
+            max(a.shape[d] for a in arrs) for d in range(arrs[0].ndim)
+        )
+        padded = []
+        for a in arrs:
+            pad = [(0, m - sz) for sz, m in zip(a.shape, max_shape)]
+            padded.append(np.pad(a, pad))
+        stacked.append(jnp.asarray(np.stack(padded)))
+    return jax.tree.unflatten(treedef, stacked)

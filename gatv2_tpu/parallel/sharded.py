@@ -91,6 +91,9 @@ def _sharded_layer(
     negative_slope: float,
     variant: str,
     precision=None,
+    impl: str = "xla",
+    edge_tiles=None,
+    interpret: bool = False,
 ) -> jax.Array:
     w_src, w_dst, a = layer_params["w_src"], layer_params["w_dst"], layer_params["a"]
     n_loc = x_loc.shape[0]
@@ -100,12 +103,22 @@ def _sharded_layer(
     # halo exchange: src projections of ALL nodes (one collective per layer)
     zs_all = jax.lax.all_gather(zs_loc, axis_name, axis=0, tiled=True)
 
-    zs_e = jnp.take(zs_all, src_g, axis=0)  # [e_loc, H_loc, D]
-    zd_e = jnp.take(zd_loc, jnp.minimum(dst_l, n_loc - 1), axis=0)
-    s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
-    e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)
-    alpha = segment_softmax(e, dst_l, n_loc)
-    h = segment_sum(alpha[:, :, None] * zs_e, dst_l, n_loc)  # [n_loc, H_loc, D]
+    if impl == "pallas":
+        # fused bipartite kernels: src space = global nodes, dst = local
+        from gatv2_tpu.ops.attention import edge_attention
+
+        h = edge_attention(
+            zs_all, zd_loc, a, None, None, n_loc,
+            negative_slope=negative_slope, impl="pallas",
+            edge_tiles=edge_tiles, precision=precision, interpret=interpret,
+        )  # [n_loc, H_loc, D]
+    else:
+        zs_e = jnp.take(zs_all, src_g, axis=0)  # [e_loc, H_loc, D]
+        zd_e = jnp.take(zd_loc, jnp.minimum(dst_l, n_loc - 1), axis=0)
+        s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
+        e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)
+        alpha = segment_softmax(e, dst_l, n_loc)
+        h = segment_sum(alpha[:, :, None] * zs_e, dst_l, n_loc)
 
     if not is_last:
         h = jax.nn.leaky_relu(h, negative_slope)
@@ -132,14 +145,24 @@ def make_sharded_loss_fn(
     *,
     axis_name: str = "graph",
     head_axis: str | None = "head",
+    impl: str = "xla",
+    edge_tiles=None,  # stacked per-shard tiles (prepare_partitioned_tiles)
+    interpret: bool = False,
 ) -> Callable:
     """Returns loss_fn(params, features, src, dst_local, labels) -> (loss, acc)
     where the data arguments are globally-shaped arrays sharded on axis 0
-    of the 'graph' mesh axis; params follow param_specs (head-TP)."""
+    of the 'graph' mesh axis; params follow param_specs (head-TP).
+    impl='pallas' runs the fused bipartite kernels per shard (edge_tiles
+    from parallel.partition.prepare_partitioned_tiles)."""
     hs = _head_axis_size(mesh, head_axis)
     has_head_axis = head_axis is not None and head_axis in mesh.axis_names
+    if impl == "pallas" and edge_tiles is None:
+        raise ValueError("impl='pallas' needs edge_tiles (stacked per shard)")
 
-    def body(params, x_loc, src_g, dst_l, labels_loc):
+    def body(params, x_loc, src_g, dst_l, labels_loc, et_sh):
+        et_loc = (
+            jax.tree.map(lambda x: x[0], et_sh) if et_sh is not None else None
+        )
         x = x_loc
         for l, layer_params in enumerate(params["layers"]):
             x = _sharded_layer(
@@ -155,6 +178,9 @@ def make_sharded_loss_fn(
                 negative_slope=model_config.negative_slope,
                 variant=model_config.variant,
                 precision=model_config.precision,
+                impl=impl,
+                edge_tiles=et_loc,
+                interpret=interpret,
             )
         logits = jnp.matmul(x, params["w_o"].T, precision=model_config.precision)
         # local masked sums, then one psum (padding nodes have label -1)
@@ -174,17 +200,30 @@ def make_sharded_loss_fn(
         if has_head_axis
         else jax.tree.map(lambda _: P(), param_specs(model_config, mesh, head_axis=None))
     )
-    return jax.shard_map(
+    et_specs = (
+        jax.tree.map(
+            lambda x: P(axis_name, *([None] * (x.ndim - 1))), edge_tiles
+        )
+        if edge_tiles is not None
+        else None
+    )
+    mapped = jax.shard_map(
         body,
         mesh=mesh,
+        # pallas_call outputs carry no varying-mesh-axes metadata yet
+        check_vma=False,
         in_specs=(
             pspecs,  # params: head-TP sharded / replicated
             P(axis_name, None),  # features
             P(axis_name),  # src
             P(axis_name),  # dst_local
             P(axis_name),  # labels
+            et_specs,  # stacked per-shard edge tiles (or None)
         ),
         out_specs=(P(), P()),
+    )
+    return lambda params, feats, src, dst_l, labels: mapped(
+        params, feats, src, dst_l, labels, edge_tiles
     )
 
 
@@ -197,11 +236,15 @@ def make_sharded_train_step(
     axis_name: str = "graph",
     head_axis: str | None = "head",
     donate: bool = True,
+    edge_tiles=None,
+    interpret: bool = False,
 ) -> Callable:
     """jit(step)(params, opt_state, t, features, src, dst_local, labels)
     -> (params, opt_state, loss, acc), with data sharded over the mesh."""
     loss_fn = make_sharded_loss_fn(
-        model_config, mesh, num_real_nodes, axis_name=axis_name, head_axis=head_axis
+        model_config, mesh, num_real_nodes, axis_name=axis_name,
+        head_axis=head_axis, impl=train_config.impl, edge_tiles=edge_tiles,
+        interpret=interpret,
     )
 
     def step(params, opt_state, t, features, src, dst_l, labels):

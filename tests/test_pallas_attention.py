@@ -282,3 +282,59 @@ def test_pallas_chunked_matches_unchunked(num_chunks):
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-6
         )
+
+
+@pytest.mark.parametrize("num_chunks", [1, 3])
+def test_pallas_bipartite(num_chunks):
+    """Bipartite edge sets (sharded layers): src ids live in a GLOBAL node
+    space, dst ids in a smaller local space. Forward + grads vs a jnp
+    oracle."""
+    from gatv2_tpu.ops.segment import segment_softmax, segment_sum
+
+    rng = np.random.default_rng(21)
+    n_loc, n_glob = 300, 900
+    deg = rng.integers(1, 5, size=n_loc)
+    dst = np.repeat(np.arange(n_loc, dtype=np.int32), deg)
+    src = rng.integers(0, n_glob, size=dst.size).astype(np.int32)
+    row_ptr = np.zeros(n_loc + 1, np.int32)
+    np.cumsum(np.bincount(dst, minlength=n_loc), out=row_ptr[1:])
+
+    h, d = 2, 16
+    zs = jnp.asarray(rng.standard_normal((n_glob, h, d)).astype(np.float32))
+    zd = jnp.asarray(rng.standard_normal((n_loc, h, d)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal((h, d)).astype(np.float32))
+
+    et = prepare_edge_tiles(
+        row_ptr, src, n_loc, tile_e=128, num_chunks=num_chunks,
+        num_src_nodes=n_glob,
+    )
+    assert et.src_num_nodes == n_glob
+
+    src_j, dst_j = jnp.asarray(src), jnp.asarray(dst)
+
+    def oracle(zs, zd, a):
+        s = jax.nn.leaky_relu(
+            jnp.take(zs, src_j, axis=0) + jnp.take(zd, dst_j, axis=0), 0.01
+        )
+        e = jnp.einsum("ehd,hd->eh", s, a)
+        alpha = segment_softmax(e, dst_j, n_loc)
+        return segment_sum(
+            alpha[:, :, None] * jnp.take(zs, src_j, axis=0), dst_j, n_loc
+        )
+
+    def pallas(zs, zd, a):
+        return edge_attention_pallas(
+            zs, zd, a, None, None, n_loc,
+            negative_slope=0.01, edge_tiles=et, interpret=True,
+        )
+
+    want = oracle(zs, zd, a)
+    got = pallas(zs, zd, a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+    g_or = jax.grad(lambda *t: jnp.sum(jnp.sin(oracle(*t))), argnums=(0, 1, 2))(zs, zd, a)
+    g_pl = jax.grad(lambda *t: jnp.sum(jnp.sin(pallas(*t))), argnums=(0, 1, 2))(zs, zd, a)
+    for a_, b_ in zip(g_or, g_pl):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=2e-5, atol=2e-6
+        )

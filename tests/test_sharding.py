@@ -200,3 +200,58 @@ def test_head_tp_training_learns(learnable_graph):
             loss0 = float(loss)
     assert float(loss) < loss0
     assert float(acc) > 0.5
+
+
+@pytest.mark.parametrize("graph_shards,head_shards", [(4, 1), (2, 2)])
+def test_sharded_pallas_matches_single_device(learnable_graph, graph_shards, head_shards):
+    """Fused bipartite Pallas kernels inside shard_map (interpret mode on
+    the CPU mesh) reproduce the single-device loss and gradients."""
+    from gatv2_tpu.parallel.partition import prepare_partitioned_tiles
+    from gatv2_tpu.parallel.sharded import (
+        device_put_params,
+        make_sharded_loss_fn,
+    )
+
+    g = learnable_graph
+    config = _cfg(g)
+    params = init_params(config, jax.random.PRNGKey(3))
+    pe = g.padded_edges(128)
+    loss_ref, acc_ref = loss_fn(
+        params,
+        jnp.asarray(g.features),
+        jnp.asarray(pe.src),
+        jnp.asarray(pe.dst),
+        jnp.asarray(g.labels),
+        config,
+    )
+    grads_ref = jax.grad(
+        lambda p: loss_fn(
+            p,
+            jnp.asarray(g.features),
+            jnp.asarray(pe.src),
+            jnp.asarray(pe.dst),
+            jnp.asarray(g.labels),
+            config,
+        )[0]
+    )(params)
+
+    mesh = make_mesh(graph_shards * head_shards, head_shards=head_shards)
+    pg = partition_graph(g, graph_shards)
+    tiles = prepare_partitioned_tiles(pg)
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+    params_sh = device_put_params(params, config, mesh)
+    sharded_loss = make_sharded_loss_fn(
+        config, mesh, pg.num_real_nodes, impl="pallas", edge_tiles=tiles,
+        interpret=True,
+    )
+    loss_sh, acc_sh = jax.jit(sharded_loss)(params_sh, feats, src, dst_l, labels)
+    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-5)
+    assert float(acc_sh) == pytest.approx(float(acc_ref), abs=1e-6)
+
+    grads_sh = jax.jit(
+        jax.grad(lambda p: sharded_loss(p, feats, src, dst_l, labels)[0])
+    )(params_sh)
+    for a, b in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_sh)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-6
+        )
