@@ -60,11 +60,18 @@ class NeighborSampler:
         seed: int = 0,
         edge_multiple: int = 128,
         engine: str = "auto",  # 'auto' | 'native' | 'python'
+        seed_nodes: np.ndarray | None = None,  # restrict seeds (e.g. a
+        #   train split); default: every node once per epoch
     ):
         self.graph = graph
         self.batch_size = batch_size
         self.fanouts = tuple(fanouts)
         self.seed = seed
+        self.seed_pool = (
+            np.arange(graph.num_nodes, dtype=np.int64)
+            if seed_nodes is None
+            else np.asarray(seed_nodes, np.int64)
+        )
         self.rng = np.random.default_rng(seed)
         self._batch_counter = 0
         if engine == "auto":
@@ -92,14 +99,14 @@ class NeighborSampler:
         self.max_edges = -(-max_edges // edge_multiple) * edge_multiple
 
     def __iter__(self) -> Iterator[MiniBatch]:
-        n = self.graph.num_nodes
-        order = self.rng.permutation(n)
-        for lo in range(0, n, self.batch_size):
+        pool = self.seed_pool
+        order = pool[self.rng.permutation(pool.shape[0])]
+        for lo in range(0, order.shape[0], self.batch_size):
             seeds = order[lo : lo + self.batch_size]
             yield self.sample(seeds)
 
     def batches_per_epoch(self) -> int:
-        return math.ceil(self.graph.num_nodes / self.batch_size)
+        return math.ceil(self.seed_pool.shape[0] / self.batch_size)
 
     def sample(self, seeds: np.ndarray) -> MiniBatch:
         if self.engine == "native":

@@ -78,23 +78,17 @@ def edge_attention(
 
 
 def _edge_attention_xla(
-    zs, zd, a, src, dst, num_nodes, *, negative_slope, precision=None
+    zs, zd, a, src, dst, num_nodes, *, negative_slope, precision=None,
+    indices_sorted=True,
 ) -> jax.Array:
     zs_e = jnp.take(zs, src, axis=0)  # [E, H, D]
     zd_e = jnp.take(zd, jnp.minimum(dst, num_nodes - 1), axis=0)
     s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
     # [E, H] attention logits
     e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)
-    alpha = segment_softmax(e, dst, num_nodes)  # [E, H]
+    alpha = segment_softmax(e, dst, num_nodes, indices_sorted=indices_sorted)
     msgs = alpha[:, :, None] * zs_e  # [E, H, D]
-    return segment_sum(msgs, dst, num_nodes)  # [N, H, D]
+    return segment_sum(
+        msgs, dst, num_nodes, indices_sorted=indices_sorted
+    )  # [N, H, D]
 
-
-def edge_scores(
-    zs, zd, a, src, dst, num_nodes, *, negative_slope
-) -> jax.Array:
-    """Raw pre-softmax scores e [E, H] — exposed for tests/parity checks."""
-    zs_e = jnp.take(zs, src, axis=0)
-    zd_e = jnp.take(zd, jnp.minimum(dst, num_nodes - 1), axis=0)
-    s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
-    return jnp.einsum("ehd,hd->eh", s, a)

@@ -1334,11 +1334,13 @@ def edge_attention_pallas(
     def bwd_xla(res, g):
         zs, zd, a, et_ = res
         def f(zs_, zd_, a_):
+            # the tiled flat layout interleaves padding ids (== num_nodes)
+            # BETWEEN tiles, so dst is NOT globally sorted here
             out3 = _edge_attention_xla(
                 zs_.reshape(num_nodes, num_heads, head_dim),
                 zd_.reshape(num_nodes, num_heads, head_dim),
                 a_, et_.src, et_.dst, num_nodes,
-                negative_slope=negative_slope,
+                negative_slope=negative_slope, indices_sorted=False,
             )
             return out3.reshape(num_nodes, hd_real) if flat_io else out3
 

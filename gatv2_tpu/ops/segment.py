@@ -27,15 +27,23 @@ SOFTMAX_EPS = 1e-8
 EXP_CLAMP = -80.0
 
 
-def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+def segment_sum(
+    data: jax.Array, segment_ids: jax.Array, num_segments: int,
+    *, indices_sorted: bool = True,
+) -> jax.Array:
     return jax.ops.segment_sum(
-        data, segment_ids, num_segments=num_segments, indices_are_sorted=True
+        data, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_sorted,
     )
 
 
-def segment_max(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+def segment_max(
+    data: jax.Array, segment_ids: jax.Array, num_segments: int,
+    *, indices_sorted: bool = True,
+) -> jax.Array:
     return jax.ops.segment_max(
-        data, segment_ids, num_segments=num_segments, indices_are_sorted=True
+        data, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_sorted,
     )
 
 
@@ -43,6 +51,8 @@ def segment_softmax(
     scores: jax.Array,  # [E, ...] attention logits per edge
     segment_ids: jax.Array,  # [E] destination node per edge (sorted)
     num_segments: int,
+    *,
+    indices_sorted: bool = True,
 ) -> jax.Array:
     """Numerically-stable softmax over each destination's in-neighborhood.
 
@@ -52,10 +62,14 @@ def segment_softmax(
     result finite (alpha of padding edges is garbage but padding edges carry
     dst=num_segments and are dropped by the reductions).
     """
-    seg_max = segment_max(scores, segment_ids, num_segments)
+    seg_max = segment_max(
+        scores, segment_ids, num_segments, indices_sorted=indices_sorted
+    )
     # empty segments have -inf max; make the gathered max finite
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     shifted = scores - seg_max[segment_ids]
     expd = jnp.exp(jnp.maximum(shifted, EXP_CLAMP))
-    denom = segment_sum(expd, segment_ids, num_segments)
+    denom = segment_sum(
+        expd, segment_ids, num_segments, indices_sorted=indices_sorted
+    )
     return expd / (denom[segment_ids] + SOFTMAX_EPS)

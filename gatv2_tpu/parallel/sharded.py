@@ -295,3 +295,83 @@ def device_put_partitioned(
         jax.device_put(pg.dst_local, shard1),
         jax.device_put(pg.labels, shard1),
     )
+
+
+class ShardedTrainer:
+    """Multi-chip full-graph trainer (edge partitioning over the 'graph'
+    mesh axis), with the reference's console contract. Reached from the CLI
+    via --mesh N."""
+
+    def __init__(
+        self,
+        graph,
+        model_config: ModelConfig,
+        train_config: TrainConfig,
+        num_devices: int,
+        *,
+        log_fn: Callable[[str], None] = print,
+        metrics_sink=None,
+    ):
+        import time
+
+        import numpy as np
+
+        from gatv2_tpu.models import gatv2 as _g
+        from gatv2_tpu.parallel.mesh import make_mesh
+        from gatv2_tpu.parallel.partition import (
+            partition_graph,
+            prepare_partitioned_tiles,
+        )
+
+        self.model_config = model_config
+        self.train_config = train_config
+        self.log = log_fn
+        self.metrics_sink = metrics_sink
+        self.mesh = make_mesh(num_devices)
+        self.pg = partition_graph(graph, num_devices)
+        tiles = None
+        if train_config.impl == "pallas":
+            tiles = prepare_partitioned_tiles(self.pg)
+        seed = train_config.seed
+        if seed is None:
+            seed = int(time.time())
+        self.params = device_put_params(
+            _g.init_params(model_config, jax.random.PRNGKey(seed)),
+            model_config,
+            self.mesh,
+        )
+        self.opt_state = optim.init_opt_state(
+            self.params, train_config.optimizer
+        )
+        self.data = device_put_partitioned(self.pg, self.mesh)
+        self.epoch = 0
+        self._step = make_sharded_train_step(
+            model_config, train_config, self.mesh, self.pg.num_real_nodes,
+            edge_tiles=tiles,
+        )
+
+    def run(self, epochs: int | None = None) -> dict:
+        import time
+
+        epochs = epochs if epochs is not None else self.train_config.epochs
+        last = {}
+        feats, src, dst_l, labels = self.data
+        for _ in range(epochs):
+            self.epoch += 1
+            t0 = time.perf_counter()
+            self.params, self.opt_state, loss, acc = self._step(
+                self.params, self.opt_state,
+                jnp.asarray(self.epoch, jnp.int32),
+                feats, src, dst_l, labels,
+            )
+            loss, acc = float(loss), float(acc)
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            self.log(f"Epoch {self.epoch}")
+            self.log(
+                f"Avg Loss: {loss:.6f}, Accuracy: {acc * 100.0:.2f}%  "
+                f"total time: {dt_ms:.2f} ms"
+            )
+            last = {"epoch": self.epoch, "loss": loss, "accuracy": acc, "ms": dt_ms}
+            if self.metrics_sink is not None:
+                self.metrics_sink.write(last)
+        return last

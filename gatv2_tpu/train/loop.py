@@ -192,9 +192,15 @@ class Trainer:
         self.metrics_sink = metrics_sink
         self.splits = splits
 
-        pe = graph.padded_edges(128)
-        self.src = jnp.asarray(pe.src)
-        self.dst = jnp.asarray(pe.dst)
+        if train_config.impl == "pallas":
+            # edges travel via edge_tiles; don't ship the COO arrays
+            # (~0.5GB at OGBN-Products scale)
+            self.src = jnp.zeros(1, jnp.int32)
+            self.dst = jnp.zeros(1, jnp.int32)
+        else:
+            pe = graph.padded_edges(128)
+            self.src = jnp.asarray(pe.src)
+            self.dst = jnp.asarray(pe.dst)
 
         seed = train_config.seed
         if seed is None:

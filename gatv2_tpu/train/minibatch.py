@@ -56,7 +56,6 @@ def make_dp_minibatch_step(
     """Data-parallel step: every array arg carries a leading per-device dim
     (stacked subgraphs), sharded over `axis_name`. Loss/acc are averaged and
     grads psum'd across the mesh."""
-    ndev = mesh.shape[axis_name]
 
     def local_loss(params, features, src, dst, labels, num_seeds):
         loss, acc = gatv2.loss_fn(
@@ -133,8 +132,11 @@ class MinibatchTrainer:
         *,
         log_fn: Callable[[str], None] = print,
         metrics_sink=None,
+        splits=None,
     ):
         import time
+
+        import numpy as np
 
         from gatv2_tpu.data.sampling import NeighborSampler
         from gatv2_tpu.models import gatv2 as _g
@@ -144,6 +146,12 @@ class MinibatchTrainer:
         self.train_config = train_config
         self.log = log_fn
         self.metrics_sink = metrics_sink
+        self.splits = splits
+        if train_config.impl == "pallas":
+            raise ValueError(
+                "--impl pallas is not yet supported in minibatch mode "
+                "(sampled subgraphs change every batch); use --impl xla"
+            )
         fanouts = train_config.fanouts or tuple(
             [10] * model_config.num_layers
         )
@@ -155,18 +163,72 @@ class MinibatchTrainer:
         seed = train_config.seed
         if seed is None:
             seed = int(time.time())
+        self._seed = seed
+        # with splits: only train nodes seed batches (no val/test leakage)
+        seed_nodes = np.nonzero(splits.train)[0] if splits is not None else None
         self.sampler = NeighborSampler(
             graph,
             train_config.batch_size,
             fanouts,
             seed=seed,
             engine=train_config.sampler_engine,
+            seed_nodes=seed_nodes,
         )
         self.params = _g.init_params(model_config, jax.random.PRNGKey(seed))
         self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
         self.epoch = 0
         self.step_count = 0
         self._step = make_minibatch_step(model_config, train_config)
+        self._eval_step = None
+
+    def sync_step_count(self) -> None:
+        """After checkpoint resume (which restores `epoch`): rebuild the
+        Adam step counter so bias correction continues, instead of
+        restarting at t=1 with warm moments."""
+        self.step_count = self.epoch * self.sampler.batches_per_epoch()
+
+    def evaluate(self, which: str = "test") -> float:
+        """Accuracy on a split via sampled-subgraph inference: every node of
+        the split seeds exactly one batch; accuracy is seed-weighted."""
+        import numpy as np
+
+        from gatv2_tpu.data.sampling import NeighborSampler, prefetch
+        from gatv2_tpu.models import gatv2 as _g
+
+        if self.splits is None:
+            raise ValueError("MinibatchTrainer built without splits")
+        nodes = np.nonzero(getattr(self.splits, which))[0]
+        sampler = NeighborSampler(
+            self.graph,
+            self.train_config.batch_size,
+            self.sampler.fanouts,
+            seed=self._seed + 1,
+            engine=self.train_config.sampler_engine,
+            seed_nodes=nodes,
+        )
+        if self._eval_step is None:
+            mc, tc = self.model_config, self.train_config
+
+            def ev(params, features, src, dst, labels, num_seeds):
+                logits = _g.model_forward(
+                    params, features, src, dst, mc, impl=tc.impl
+                )
+                _, acc = _g.loss_and_accuracy(logits, labels, num_seeds)
+                return acc
+
+            self._eval_step = jax.jit(ev)
+        correct = 0.0
+        total = 0
+        for b in prefetch(sampler, depth=2):
+            acc = self._eval_step(
+                self.params,
+                jnp.asarray(b.features), jnp.asarray(b.src),
+                jnp.asarray(b.dst), jnp.asarray(b.labels),
+                jnp.asarray(b.num_seeds, jnp.int32),
+            )
+            correct += float(acc) * b.num_seeds
+            total += b.num_seeds
+        return correct / max(total, 1)
 
     def run(self, epochs: int | None = None) -> dict:
         import time

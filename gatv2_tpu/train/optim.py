@@ -39,21 +39,6 @@ def init_opt_state(params: Any, optimizer: str) -> OptState:
     raise ValueError(f"unknown optimizer {optimizer!r}")
 
 
-def _group_leaves(grads: Any) -> list[list[jax.Array]]:
-    """Parameter groups for clipping: per-layer [w_src, w_dst] (the fused W),
-    per-layer [a], and [w_o] — mirroring the reference's separate
-    clip_grad_norm calls per parameter array (E:1561-1567)."""
-    groups: list[list[jax.Array]] = []
-    w_group: list[jax.Array] = []
-    a_group: list[jax.Array] = []
-    for layer in grads["layers"]:
-        w_group.extend([layer["w_src"], layer["w_dst"]])
-        a_group.append(layer["a"])
-    groups.append(w_group)
-    groups.append(a_group)
-    groups.append([grads["w_o"]])
-    return groups
-
 
 def clip_by_group_norm(grads: Any, clip_norm: float) -> Any:
     """Global-L2-norm clip per parameter group (reference semantics)."""

@@ -56,7 +56,16 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Split: {tr} train / {va} val / {te} test nodes")
 
     sink = JsonlSink(train_config.log_file) if train_config.log_file else None
-    if train_config.batch_size > 0:
+    if args.mesh > 0:
+        from gatv2_tpu.parallel.sharded import ShardedTrainer
+
+        if splits is not None:
+            raise SystemExit("--split-* is not yet supported with --mesh")
+        print(f"Sharded mode: edge-partitioned over {args.mesh} devices")
+        trainer = ShardedTrainer(
+            graph, model_config, train_config, args.mesh, metrics_sink=sink
+        )
+    elif train_config.batch_size > 0:
         from gatv2_tpu.train.minibatch import MinibatchTrainer
 
         print(
@@ -65,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
             f"sampler={train_config.sampler_engine}"
         )
         trainer = MinibatchTrainer(
-            graph, model_config, train_config, metrics_sink=sink
+            graph, model_config, train_config, metrics_sink=sink,
+            splits=splits,
         )
     else:
         trainer = Trainer(
@@ -76,6 +86,8 @@ def main(argv: list[str] | None = None) -> int:
     if train_config.resume and train_config.checkpoint_dir:
         if ckpt.restore_into(train_config.checkpoint_dir, trainer):
             print(f"Resumed from checkpoint at epoch {trainer.epoch}")
+            if hasattr(trainer, "sync_step_count"):
+                trainer.sync_step_count()
 
     mem_after = device_memory_report()
     for dev in mem_after:
@@ -117,9 +129,12 @@ def main(argv: list[str] | None = None) -> int:
             )
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
-    if splits is not None and train_config.batch_size == 0:
-        accs = trainer.evaluate()
-        print(f"Final Test Accuracy: {accs['test'] * 100:.2f}%")
+    if splits is not None and args.mesh == 0:
+        if train_config.batch_size > 0:
+            print(f"Final Test Accuracy: {trainer.evaluate('test') * 100:.2f}%")
+        else:
+            accs = trainer.evaluate()
+            print(f"Final Test Accuracy: {accs['test'] * 100:.2f}%")
     if args.save_weights:
         from gatv2_tpu.models.params_io import save_params_txt
 
