@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize layers in the backward pass "
                         "(less HBM, ~30%% slower; for huge graphs)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN/Inf; the "
+                        "TPU-native counterpart of the reference's per-launch "
+                        "cudaGetLastError checks)")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of training into DIR")
     p.add_argument("--save-weights", type=str, default=None, metavar="DIR",

@@ -255,3 +255,21 @@ def test_sharded_pallas_matches_single_device(learnable_graph, graph_shards, hea
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-6
         )
+
+
+def test_sharded_trainer_console_and_learning(learnable_graph, capsys):
+    """The --mesh CLI path: ShardedTrainer trains and keeps the reference's
+    console contract."""
+    from gatv2_tpu.parallel.sharded import ShardedTrainer
+
+    g = learnable_graph
+    config = _cfg(g)
+    tc = TrainConfig(optimizer="adam", lr=0.02, seed=0, epochs=0)
+    logs = []
+    trainer = ShardedTrainer(g, config, tc, 8, log_fn=logs.append)
+    last = trainer.run(10)
+    assert last["epoch"] == 10
+    first_loss = float(logs[1].split("Avg Loss: ")[1].split(",")[0])
+    assert last["loss"] < first_loss
+    assert any(l.startswith("Epoch ") for l in logs)
+    assert "total time" in logs[1]

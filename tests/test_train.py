@@ -106,3 +106,62 @@ def test_adam_epoch_indexed_bias_correction():
     np.testing.assert_allclose(
         np.asarray(new_params["w_o"]), expected, rtol=1e-6
     )
+
+
+def test_remat_matches_baseline(learnable_graph):
+    """config.remat changes memory, not results."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gatv2_tpu.models.gatv2 import init_params, loss_fn
+
+    g = learnable_graph
+    c0 = ModelConfig(
+        num_layers=2, heads=(2, 1), out_dims=(8, 8),
+        num_classes=g.num_classes, in_dim=g.feature_dim,
+    )
+    c1 = dataclasses.replace(c0, remat=True)
+    pe = g.padded_edges(128)
+    args = (
+        jnp.asarray(g.features), jnp.asarray(pe.src), jnp.asarray(pe.dst),
+        jnp.asarray(g.labels),
+    )
+    p = init_params(c0, jax.random.PRNGKey(0))
+    g0 = jax.grad(lambda p: loss_fn(p, *args, c0)[0])(p)
+    g1 = jax.grad(lambda p: loss_fn(p, *args, c1)[0])(p)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_precision_modes_run(learnable_graph):
+    """All three matmul-precision tiers produce finite, broadly-agreeing
+    losses ('default' is bf16: loose tolerance)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gatv2_tpu.models.gatv2 import init_params, loss_fn
+
+    g = learnable_graph
+    base = ModelConfig(
+        num_layers=2, heads=(2, 1), out_dims=(8, 8),
+        num_classes=g.num_classes, in_dim=g.feature_dim,
+    )
+    pe = g.padded_edges(128)
+    args = (
+        jnp.asarray(g.features), jnp.asarray(pe.src), jnp.asarray(pe.dst),
+        jnp.asarray(g.labels),
+    )
+    p = init_params(base, jax.random.PRNGKey(0))
+    losses = {}
+    for prec in ("highest", "high", "default"):
+        c = dataclasses.replace(base, matmul_precision=prec)
+        losses[prec] = float(loss_fn(p, *args, c)[0])
+        assert np.isfinite(losses[prec])
+    assert losses["high"] == pytest.approx(losses["highest"], rel=1e-3)
+    assert losses["default"] == pytest.approx(losses["highest"], rel=5e-2)

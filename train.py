@@ -24,6 +24,8 @@ def main(argv: list[str] | None = None) -> int:
     from gatv2_tpu.utils.metrics import JsonlSink, device_memory_report
 
     model_config, train_config, args = cli.parse_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     print(cli.echo_config(model_config, train_config))
     data_root = args.data_root  # None -> DATA_ROOT env or ./data
