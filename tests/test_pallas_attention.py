@@ -338,3 +338,47 @@ def test_pallas_bipartite(num_chunks):
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), rtol=2e-5, atol=2e-6
         )
+
+
+def test_isolated_nodes_zero_output():
+    """Zero-degree nodes produce exactly 0 (the reference leaves them to the
+    +1e-8 guard, E:379); gradients stay finite."""
+    from gatv2_tpu.data.graph import Graph
+
+    rng = np.random.default_rng(31)
+    n = 200
+    # only even nodes receive edges
+    dst = np.repeat(np.arange(0, n, 2, dtype=np.int32), 3)
+    dst = np.sort(dst)
+    src = rng.integers(0, n, size=dst.size).astype(np.int32)
+    row_ptr = np.zeros(n + 1, np.int32)
+    np.cumsum(np.bincount(dst, minlength=n), out=row_ptr[1:])
+    g = Graph(
+        features=rng.standard_normal((n, 4)).astype(np.float32),
+        row_ptr=row_ptr, col_idx=src, labels=np.zeros(n, np.int32),
+    )
+    h, d = 2, 16
+    zs, zd, a = _random_inputs(g, h, d, seed=32)
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    out = edge_attention_pallas(
+        zs, zd, a, None, None, n,
+        negative_slope=0.01, edge_tiles=et, interpret=True,
+    )
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[1::2], 0.0)  # isolated nodes
+    assert np.abs(out[0::2]).sum() > 0
+
+    grads = jax.grad(
+        lambda zs, zd, a: jnp.sum(
+            jnp.sin(
+                edge_attention_pallas(
+                    zs, zd, a, None, None, n,
+                    negative_slope=0.01, edge_tiles=et, interpret=True,
+                )
+            )
+        ),
+        argnums=(0, 1, 2),
+    )(zs, zd, a)
+    for g_ in grads:
+        assert np.isfinite(np.asarray(g_)).all()
