@@ -102,7 +102,8 @@ def partition_graph(
 
 
 def prepare_partitioned_tiles(
-    pg: PartitionedGraph, tile_e: int | None = 128, num_chunks: int = 1
+    pg: PartitionedGraph, tile_e: int | None = 128, num_chunks: int = 1,
+    halo_plan: "HaloPlan | None" = None,
 ):
     """Per-shard Pallas edge tilings, stacked on a leading shard axis.
 
@@ -119,8 +120,13 @@ def prepare_partitioned_tiles(
 
     s_count = pg.num_shards
     nps = pg.nodes_per_shard
-    n_glob = pg.padded_num_nodes
-    src_all = pg.src.reshape(s_count, -1)
+    if halo_plan is not None:
+        # src ids are halo-table slots, the src space the halo rows
+        n_glob = halo_plan.halo_size
+        src_all = halo_plan.src_halo
+    else:
+        n_glob = pg.padded_num_nodes
+        src_all = pg.src.reshape(s_count, -1)
     dst_all = pg.dst_local.reshape(s_count, -1)
 
     per_shard = []
@@ -155,3 +161,78 @@ def prepare_partitioned_tiles(
             padded.append(np.pad(a, pad))
         stacked.append(jnp.asarray(np.stack(padded)))
     return jax.tree.unflatten(treedef, stacked)
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Boundary-only exchange plan (SURVEY.md §5 'long-context' row).
+
+    Instead of all_gathering every node's src projection, each shard sends
+    only the rows its peers' edges reference:
+
+      send_ids [S, S, M]  send_ids[i, j] = i-local node ids shard j needs
+                          from shard i (0-padded to the common max M);
+      src_halo [S, E_s]   each edge's src remapped to its halo slot
+                          (receiving shard j stores the row from i at
+                          position k in slot i*M + k).
+
+    Communication volume drops from O(N * HD) to O(S * M * HD) per shard,
+    where M tracks the partition's edge cut. (On locality-free random
+    graphs M ~ N/S and the plan degenerates to an all_gather's volume —
+    use the all_gather path there.)
+    """
+
+    send_ids: np.ndarray  # [S, S, M] int32
+    src_halo: np.ndarray  # [S, edges_per_shard] int32 (halo-slot ids)
+    halo_size: int  # S * M (the per-shard halo table row count)
+    m_per_pair: int
+
+
+def halo_exchange_plan(pg: PartitionedGraph, *, pad_multiple: int = 8) -> HaloPlan:
+    s_count, nps = pg.num_shards, pg.nodes_per_shard
+    src = pg.src.reshape(s_count, -1)
+    dst = pg.dst_local.reshape(s_count, -1)
+
+    # per (owner i, consumer j): sorted unique i-local ids j references
+    needed: list[list[np.ndarray]] = []
+    m = 1
+    for j in range(s_count):
+        real = dst[j] < nps
+        uniq = np.unique(src[j][real])
+        owners = uniq // nps
+        per_owner = []
+        for i in range(s_count):
+            ids = uniq[owners == i] - i * nps
+            per_owner.append(ids.astype(np.int64))
+            m = max(m, len(ids))
+        needed.append(per_owner)
+    m = -(-m // pad_multiple) * pad_multiple
+
+    send_ids = np.zeros((s_count, s_count, m), np.int32)
+    for j in range(s_count):
+        for i in range(s_count):
+            ids = needed[j][i]
+            send_ids[i, j, : len(ids)] = ids
+
+    # remap each shard's edge srcs to halo slots
+    src_halo = np.zeros((s_count, src.shape[1]), np.int32)
+    for j in range(s_count):
+        real = dst[j] < nps
+        g_ids = src[j][real].astype(np.int64)
+        owners = g_ids // nps
+        local = g_ids - owners * nps
+        slots = np.empty(g_ids.shape[0], np.int64)
+        for i in range(s_count):
+            sel = owners == i
+            if not sel.any():
+                continue
+            # position of each referenced id inside the (sorted) send list
+            k = np.searchsorted(needed[j][i], local[sel])
+            slots[sel] = i * m + k
+        src_halo[j, real] = slots.astype(np.int32)
+    return HaloPlan(
+        send_ids=send_ids,
+        src_halo=src_halo,
+        halo_size=s_count * m,
+        m_per_pair=m,
+    )

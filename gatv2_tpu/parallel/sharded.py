@@ -94,26 +94,44 @@ def _sharded_layer(
     impl: str = "xla",
     edge_tiles=None,
     interpret: bool = False,
+    halo=None,  # (send_ids_me [S, M], src_slot_ids [e_loc]) for
+    #             boundary-only exchange; None -> full all_gather
 ) -> jax.Array:
     w_src, w_dst, a = layer_params["w_src"], layer_params["w_dst"], layer_params["a"]
     n_loc = x_loc.shape[0]
     # local (head-shard's) projections — dense MXU matmuls
     zs_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_src, precision=precision)
     zd_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_dst, precision=precision)
-    # halo exchange: src projections of ALL nodes (one collective per layer)
-    zs_all = jax.lax.all_gather(zs_loc, axis_name, axis=0, tiled=True)
+
+    if halo is None:
+        # halo exchange, dense form: src projections of ALL nodes
+        zs_space = jax.lax.all_gather(zs_loc, axis_name, axis=0, tiled=True)
+        src_idx = src_g
+    else:
+        # boundary-only exchange: each shard sends exactly the rows its
+        # peers reference (HaloPlan); one all_to_all per layer, volume
+        # O(edge cut) instead of O(N). Autodiff transposes it back.
+        send_ids_me, src_idx = halo
+        s_count, m = send_ids_me.shape
+        send = jnp.take(zs_loc, send_ids_me.reshape(-1), axis=0).reshape(
+            s_count, m, *zs_loc.shape[1:]
+        )
+        halo_rows = jax.lax.all_to_all(
+            send, axis_name, split_axis=0, concat_axis=0
+        )
+        zs_space = halo_rows.reshape(s_count * m, *zs_loc.shape[1:])
 
     if impl == "pallas":
-        # fused bipartite kernels: src space = global nodes, dst = local
+        # fused bipartite kernels: src space = exchanged rows, dst = local
         from gatv2_tpu.ops.attention import edge_attention
 
         h = edge_attention(
-            zs_all, zd_loc, a, None, None, n_loc,
+            zs_space, zd_loc, a, None, None, n_loc,
             negative_slope=negative_slope, impl="pallas",
             edge_tiles=edge_tiles, precision=precision, interpret=interpret,
         )  # [n_loc, H_loc, D]
     else:
-        zs_e = jnp.take(zs_all, src_g, axis=0)  # [e_loc, H_loc, D]
+        zs_e = jnp.take(zs_space, src_idx, axis=0)  # [e_loc, H_loc, D]
         zd_e = jnp.take(zd_loc, jnp.minimum(dst_l, n_loc - 1), axis=0)
         s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
         e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)
@@ -148,6 +166,7 @@ def make_sharded_loss_fn(
     impl: str = "xla",
     edge_tiles=None,  # stacked per-shard tiles (prepare_partitioned_tiles)
     interpret: bool = False,
+    halo_plan=None,  # partition.HaloPlan -> boundary-only exchange
 ) -> Callable:
     """Returns loss_fn(params, features, src, dst_local, labels) -> (loss, acc)
     where the data arguments are globally-shaped arrays sharded on axis 0
@@ -158,10 +177,19 @@ def make_sharded_loss_fn(
     has_head_axis = head_axis is not None and head_axis in mesh.axis_names
     if impl == "pallas" and edge_tiles is None:
         raise ValueError("impl='pallas' needs edge_tiles (stacked per shard)")
+    halo_arrays = None
+    if halo_plan is not None:
+        halo_arrays = (
+            jnp.asarray(halo_plan.send_ids),  # [S, S, M]
+            jnp.asarray(halo_plan.src_halo),  # [S, E_s]
+        )
 
-    def body(params, x_loc, src_g, dst_l, labels_loc, et_sh):
+    def body(params, x_loc, src_g, dst_l, labels_loc, et_sh, halo_sh):
         et_loc = (
             jax.tree.map(lambda x: x[0], et_sh) if et_sh is not None else None
+        )
+        halo_loc = (
+            (halo_sh[0][0], halo_sh[1][0]) if halo_sh is not None else None
         )
         x = x_loc
         for l, layer_params in enumerate(params["layers"]):
@@ -181,6 +209,7 @@ def make_sharded_loss_fn(
                 impl=impl,
                 edge_tiles=et_loc,
                 interpret=interpret,
+                halo=halo_loc,
             )
         logits = jnp.matmul(x, params["w_o"].T, precision=model_config.precision)
         # local masked sums, then one psum (padding nodes have label -1)
@@ -207,6 +236,11 @@ def make_sharded_loss_fn(
         if edge_tiles is not None
         else None
     )
+    halo_specs = (
+        (P(axis_name, None, None), P(axis_name, None))
+        if halo_arrays is not None
+        else None
+    )
     mapped = jax.shard_map(
         body,
         mesh=mesh,
@@ -219,11 +253,12 @@ def make_sharded_loss_fn(
             P(axis_name),  # dst_local
             P(axis_name),  # labels
             et_specs,  # stacked per-shard edge tiles (or None)
+            halo_specs,  # boundary-exchange plan arrays (or None)
         ),
         out_specs=(P(), P()),
     )
     return lambda params, feats, src, dst_l, labels: mapped(
-        params, feats, src, dst_l, labels, edge_tiles
+        params, feats, src, dst_l, labels, edge_tiles, halo_arrays
     )
 
 
@@ -238,13 +273,14 @@ def make_sharded_train_step(
     donate: bool = True,
     edge_tiles=None,
     interpret: bool = False,
+    halo_plan=None,
 ) -> Callable:
     """jit(step)(params, opt_state, t, features, src, dst_local, labels)
     -> (params, opt_state, loss, acc), with data sharded over the mesh."""
     loss_fn = make_sharded_loss_fn(
         model_config, mesh, num_real_nodes, axis_name=axis_name,
         head_axis=head_axis, impl=train_config.impl, edge_tiles=edge_tiles,
-        interpret=interpret,
+        interpret=interpret, halo_plan=halo_plan,
     )
 
     def step(params, opt_state, t, features, src, dst_l, labels):
@@ -327,11 +363,27 @@ class ShardedTrainer:
         self.train_config = train_config
         self.log = log_fn
         self.metrics_sink = metrics_sink
+        from gatv2_tpu.parallel.partition import halo_exchange_plan
+
         self.mesh = make_mesh(num_devices)
         self.pg = partition_graph(graph, num_devices)
+        # boundary-only exchange when it moves less data than an all_gather
+        plan = halo_exchange_plan(self.pg) if num_devices > 1 else None
+        if plan is not None and plan.halo_size >= self.pg.padded_num_nodes:
+            plan = None  # no locality in this partition; dense is cheaper
+        self.halo_plan = plan
+        log_fn(
+            "Halo: "
+            + (
+                f"boundary exchange ({plan.halo_size} rows/shard vs "
+                f"{self.pg.padded_num_nodes} all_gather)"
+                if plan is not None
+                else "all_gather"
+            )
+        )
         tiles = None
         if train_config.impl == "pallas":
-            tiles = prepare_partitioned_tiles(self.pg)
+            tiles = prepare_partitioned_tiles(self.pg, halo_plan=plan)
         seed = train_config.seed
         if seed is None:
             seed = int(time.time())
@@ -347,7 +399,7 @@ class ShardedTrainer:
         self.epoch = 0
         self._step = make_sharded_train_step(
             model_config, train_config, self.mesh, self.pg.num_real_nodes,
-            edge_tiles=tiles,
+            edge_tiles=tiles, halo_plan=plan,
         )
 
     def run(self, epochs: int | None = None) -> dict:
