@@ -86,9 +86,12 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,  # exact f32 (6-pass), parity mode
-    # Mosaic has no HIGH (bf16x3) lowering for dot_general yet; inside the
-    # kernels 'high' falls back to exact f32 (the XLA-side dense projections
-    # still run bf16x3 under 'high').
+    # Mosaic has no HIGH lowering; _kdot's emulated bf16x3 ("bf16x3"
+    # sentinel) exists but is NOT wired to 'high': measured on v5e, the
+    # backward's cancellation-heavy terms (alpha*(dalpha - r)) amplify
+    # bf16x3 rounding to ~7% gradient error (forward stays at ~6e-5), so
+    # 'high' keeps exact f32 inside the kernels. The XLA-side dense
+    # projections still run true bf16x3 under 'high'.
     "high": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,  # bf16 inputs, f32 accumulation
 }
@@ -196,6 +199,36 @@ jax.tree_util.register_pytree_node(
         num_src_nodes=aux[5], src_tiles_per_chunk=aux[6],
     ),
 )
+
+
+def _kdot(a, b, dimension_numbers, precision):
+    """dot_general with an emulated bf16x3 tier.
+
+    Mosaic can't lower Precision.HIGH, so 'high' maps to the classic
+    hi/lo-split: A.B ~= Ah.Bh + Ah.Bl + Al.Bh with single-pass bf16
+    multiplies and f32 accumulation — ~2x the MXU throughput of exact f32
+    (6 passes) at ~1e-6 relative error. One-hot mask operands are exactly
+    representable in bf16, so their lo-terms contribute exact zeros.
+    """
+    if precision == "bf16x3":
+        bf = jnp.bfloat16
+        a_hi = a.astype(bf)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(bf)
+        b_hi = b.astype(bf)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(bf)
+
+        def d(x, y):
+            return jax.lax.dot_general(
+                x, y, dimension_numbers=dimension_numbers,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dimension_numbers,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
 
 
 def _auto_tile_e(counts_d: np.ndarray, counts_s: np.ndarray) -> int:
@@ -467,19 +500,11 @@ def _attention_kernel(
         mask = dst_k == node_ids  # [TILE_N, tile_e]
         mask_f = mask.astype(jnp.float32)
         # dst-side gather as a matmul: zd_e = M^T . zd_tile
-        zd_e = jax.lax.dot_general(
-            mask_f, zd_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [tile_e, HD]  (padding edges -> 0)
+        zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]  (padding edges -> 0)
         s = zs_t[slot] + zd_e
         s = jnp.where(s > 0, s, negative_slope * s)
         # per-head attention dot, transposed: scT[h, e] = sum_f a_sel[f, h] s[e, f]
-        sc_t = jax.lax.dot_general(
-            a_sel_ref[:], s,
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [128, tile_e]
+        sc_t = _kdot(a_sel_ref[:], s, (((0,), (1,)), ((), ())), precision)  # [128, tile_e]
 
         # masked per-(node, head) max of this tile
         for h in range(num_heads):
@@ -491,40 +516,21 @@ def _attention_kernel(
         c = jnp.exp(m_prev - new_m)  # [TILE_N, 128] rescale factor
 
         # gather each edge's dst max: m_g[h, e] = sum_n new_m[n, h] mask[n, e]
-        m_g = jax.lax.dot_general(
-            new_m, mask_f,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [128, tile_e]
+        m_g = _kdot(new_m, mask_f, (((0,), (0,)), ((), ())), precision)  # [128, tile_e]
         p_t = jnp.exp(jnp.clip(sc_t - m_g, EXP_CLAMP, 0.0))  # [128(h), tile_e]
 
         # l += M . p : contract edge dims
-        l_scr[:] = c * l_scr[:] + jax.lax.dot_general(
-            mask_f, p_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        l_scr[:] = c * l_scr[:] + _kdot(mask_f, p_t, (((1,), (1,)), ((), ())), precision)
         # expand p to feature lanes: p_rep[e, h*D+d] = p[h, e]
-        p_rep = jax.lax.dot_general(
-            p_t, r_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [tile_e, HD]
-        c_rep = jnp.dot(
-            c, r_ref[:], preferred_element_type=jnp.float32, precision=precision
-        )  # [TILE_N, HD]
-        acc_scr[:] = c_rep * acc_scr[:] + jnp.dot(
-            mask_f, p_rep * zs_t[slot],
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        p_rep = _kdot(p_t, r_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
+        c_rep = _kdot(c, r_ref[:], (((1,), (0,)), ((), ())), precision)  # [TILE_N, HD]
+        acc_scr[:] = c_rep * acc_scr[:] + _kdot(mask_f, p_rep * zs_t[slot], (((1,), (0,)), ((), ())), precision)
         m_scr[:] = new_m
         return 0
 
     jax.lax.fori_loop(0, ntiles, body, 0)
 
-    l_rep = jnp.dot(
-        l_scr[:], r_ref[:], preferred_element_type=jnp.float32, precision=precision
-    )
+    l_rep = _kdot(l_scr[:], r_ref[:], (((1,), (0,)), ((), ())), precision)
     out_ref[:] = acc_scr[:] / (l_rep + SOFTMAX_EPS)
     m_out_ref[:] = m_scr[:]
     l_out_ref[:] = l_scr[:]
@@ -688,39 +694,16 @@ def _bwd_dst_kernel(
 
     def edge_alpha_dalpha(slot, mask_f):
         """Recompute (alpha_e, dalpha_e, s_raw, s_act, g_e) edge-major."""
-        zd_e = jax.lax.dot_general(
-            mask_f, zd_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [tile_e, HD]
+        zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
         s_raw = zs_t[slot] + zd_e
         s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
-        sc_e = jnp.dot(
-            s, a_sel_ref[:], preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [tile_e, 128]
-        m_g = jax.lax.dot_general(
-            mask_f, m_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [tile_e, 128]
-        l_g = jax.lax.dot_general(
-            mask_f, l_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision)  # [tile_e, 128]
+        m_g = _kdot(mask_f, m_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, 128]
+        l_g = _kdot(mask_f, l_ref[:], (((0,), (0,)), ((), ())), precision)
         p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
         alpha_e = p_e / (l_g + SOFTMAX_EPS)  # [tile_e, 128]
-        g_e = jax.lax.dot_general(
-            mask_f, g_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [tile_e, HD]
-        dalpha_e = jax.lax.dot_general(
-            g_e * zs_t[slot], r_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [tile_e, 128]
+        g_e = _kdot(mask_f, g_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
+        dalpha_e = _kdot(g_e * zs_t[slot], r_ref[:], (((1,), (1,)), ((), ())), precision)  # [tile_e, 128]
         return alpha_e, dalpha_e, s_raw, s, g_e
 
     # ---- pass B: segment term r_j = sum alpha * dalpha ------------------
@@ -738,10 +721,7 @@ def _bwd_dst_kernel(
             cp.wait()
         mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
         alpha_e, dalpha_e, _, _, _ = edge_alpha_dalpha(slot, mask_f)
-        rsum_ref[:] = rsum_ref[:] + jnp.dot(
-            mask_f, alpha_e * dalpha_e,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        rsum_ref[:] = rsum_ref[:] + _kdot(mask_f, alpha_e * dalpha_e, (((1,), (0,)), ((), ())), precision)
         return 0
 
     jax.lax.fori_loop(0, ntiles, body_b, 0)
@@ -767,28 +747,16 @@ def _bwd_dst_kernel(
                 c1_dma(slot, k - 2).wait()
         mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
         alpha_e, dalpha_e, s_raw, s_act, g_e = edge_alpha_dalpha(slot, mask_f)
-        r_g = jax.lax.dot_general(
-            mask_f, rsum_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [tile_e, 128]
+        r_g = _kdot(mask_f, rsum_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, 128]
         de_e = alpha_e * (dalpha_e - r_g)  # [tile_e, 128]
-        de_rep = jnp.dot(
-            de_e, r_ref[:], preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [tile_e, HD]
+        de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision)  # [tile_e, HD]
         lrelu_grad = jnp.where(s_raw > 0, 1.0, negative_slope)
         ds = de_rep * a_rep_ref[:] * lrelu_grad  # [tile_e, HD]
         if emit_c1:
-            alpha_rep = jnp.dot(
-                alpha_e, r_ref[:], preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+            alpha_rep = _kdot(alpha_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
             c1_t[slot] = alpha_rep * g_e + ds
             c1_dma(slot, k).start()
-        dzd_ref[:] = dzd_ref[:] + jnp.dot(
-            mask_f, ds, preferred_element_type=jnp.float32, precision=precision
-        )
+        dzd_ref[:] = dzd_ref[:] + _kdot(mask_f, ds, (((1,), (0,)), ((), ())), precision)
         da_tile = jnp.sum(de_rep * s_act, axis=0, keepdims=True)  # [1, HD]
         row0 = jax.lax.broadcasted_iota(jnp.int32, da_ref.shape, 0) == 0
         da_ref[:] = da_ref[:] + jnp.where(
@@ -926,10 +894,7 @@ def _segsum_src_kernel(
         for cp in dmas(slot, k):
             cp.wait()
         mask_f = (sid_t[slot] == node_ids).astype(jnp.float32)
-        dzs_ref[:] = dzs_ref[:] + jnp.dot(
-            mask_f, c1_t[slot],
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        dzs_ref[:] = dzs_ref[:] + _kdot(mask_f, c1_t[slot], (((1,), (0,)), ((), ())), precision)
         return 0
 
     jax.lax.fori_loop(0, ntiles, body, 0)
@@ -1060,50 +1025,28 @@ def _bwd_src_kernel(
             cp.wait()
         mask_f = (sid_t[slot] == node_ids).astype(jnp.float32)
         # src-side gather as a matmul: zs_e = M^T . zs_tile (0 off-tile)
-        zs_e = jax.lax.dot_general(
-            mask_f, zs_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [tile_e, HD]
+        zs_e = _kdot(mask_f, zs_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
         s_raw = zs_e + zd_t[slot]
         s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
-        sc_e = jnp.dot(
-            s, a_sel_ref[:], preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [tile_e, 128]
+        sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision)  # [tile_e, 128]
         # expand the compact stats to head lanes (MXU selector matmuls);
         # lanes >= num_heads become 0: p stays finite (clip <= 0), alpha is
         # bounded by 1/SOFTMAX_EPS, and the R/Mask matmuls annihilate them
         def sel(sel_ref):
-            return jnp.dot(
-                mlr_t[slot], sel_ref[:],
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+            return _kdot(mlr_t[slot], sel_ref[:], (((1,), (0,)), ((), ())), precision)
 
         m_g = sel(sel_m_ref)
         l_g = sel(sel_l_ref)
         r_g = sel(sel_r_ref)
         p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
         alpha_e = p_e / (l_g + SOFTMAX_EPS)
-        dalpha_e = jax.lax.dot_general(
-            g_t[slot] * zs_e, r_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [tile_e, 128]
+        dalpha_e = _kdot(g_t[slot] * zs_e, r_ref[:], (((1,), (1,)), ((), ())), precision)  # [tile_e, 128]
         de_e = alpha_e * (dalpha_e - r_g)
-        de_rep = jnp.dot(
-            de_e, r_ref[:], preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
         ds = de_rep * a_rep_ref[:] * jnp.where(s_raw > 0, 1.0, negative_slope)
-        alpha_rep = jnp.dot(
-            alpha_e, r_ref[:], preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        alpha_rep = _kdot(alpha_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
         c1 = alpha_rep * g_t[slot] + ds
-        dzs_ref[:] = dzs_ref[:] + jnp.dot(
-            mask_f, c1, preferred_element_type=jnp.float32, precision=precision
-        )
+        dzs_ref[:] = dzs_ref[:] + _kdot(mask_f, c1, (((1,), (0,)), ((), ())), precision)
         return 0
 
     jax.lax.fori_loop(0, ntiles, body, 0)
