@@ -86,13 +86,11 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,  # exact f32 (6-pass), parity mode
-    # Mosaic has no HIGH lowering; _kdot's emulated bf16x3 ("bf16x3"
-    # sentinel) exists but is NOT wired to 'high': measured on v5e, the
-    # backward's cancellation-heavy terms (alpha*(dalpha - r)) amplify
-    # bf16x3 rounding to ~7% gradient error (forward stays at ~6e-5), so
-    # 'high' keeps exact f32 inside the kernels. The XLA-side dense
-    # projections still run true bf16x3 under 'high'.
-    "high": jax.lax.Precision.HIGHEST,
+    # Mosaic has no HIGH lowering; 'high' = _kdot's emulated bf16x3 for
+    # value-carrying matmuls with the cancellation-critical dots (scores,
+    # softmax-stat gathers, dalpha/r terms) pinned to exact f32 — running
+    # those in bf16x3 too was measured at ~7% gradient error.
+    "high": "bf16x3",
     "default": jax.lax.Precision.DEFAULT,  # bf16 inputs, f32 accumulation
 }
 
@@ -201,7 +199,7 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _kdot(a, b, dimension_numbers, precision):
+def _kdot(a, b, dimension_numbers, precision, sensitive=False):
     """dot_general with an emulated bf16x3 tier.
 
     Mosaic can't lower Precision.HIGH, so 'high' maps to the classic
@@ -209,7 +207,14 @@ def _kdot(a, b, dimension_numbers, precision):
     multiplies and f32 accumulation — ~2x the MXU throughput of exact f32
     (6 passes) at ~1e-6 relative error. One-hot mask operands are exactly
     representable in bf16, so their lo-terms contribute exact zeros.
+
+    sensitive=True keeps exact f32 even under 'bf16x3': attention scores
+    and the softmax-Jacobian terms sit inside subtractions whose
+    cancellation amplifies rounding into the gradients (~7% measured when
+    everything runs bf16x3).
     """
+    if precision == "bf16x3" and sensitive:
+        precision = _HIGHEST
     if precision == "bf16x3":
         bf = jnp.bfloat16
         a_hi = a.astype(bf)
@@ -504,7 +509,8 @@ def _attention_kernel(
         s = zs_t[slot] + zd_e
         s = jnp.where(s > 0, s, negative_slope * s)
         # per-head attention dot, transposed: scT[h, e] = sum_f a_sel[f, h] s[e, f]
-        sc_t = _kdot(a_sel_ref[:], s, (((0,), (1,)), ((), ())), precision)  # [128, tile_e]
+        sc_t = _kdot(a_sel_ref[:], s, (((0,), (1,)), ((), ())), precision,
+                     sensitive=True)  # [128, tile_e]
 
         # masked per-(node, head) max of this tile
         for h in range(num_heads):
@@ -516,7 +522,8 @@ def _attention_kernel(
         c = jnp.exp(m_prev - new_m)  # [TILE_N, 128] rescale factor
 
         # gather each edge's dst max: m_g[h, e] = sum_n new_m[n, h] mask[n, e]
-        m_g = _kdot(new_m, mask_f, (((0,), (0,)), ((), ())), precision)  # [128, tile_e]
+        m_g = _kdot(new_m, mask_f, (((0,), (0,)), ((), ())), precision,
+                    sensitive=True)  # [128, tile_e]
         p_t = jnp.exp(jnp.clip(sc_t - m_g, EXP_CLAMP, 0.0))  # [128(h), tile_e]
 
         # l += M . p : contract edge dims
@@ -697,13 +704,17 @@ def _bwd_dst_kernel(
         zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
         s_raw = zs_t[slot] + zd_e
         s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
-        sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision)  # [tile_e, 128]
-        m_g = _kdot(mask_f, m_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, 128]
-        l_g = _kdot(mask_f, l_ref[:], (((0,), (0,)), ((), ())), precision)
+        sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision,
+                     sensitive=True)  # [tile_e, 128]
+        m_g = _kdot(mask_f, m_ref[:], (((0,), (0,)), ((), ())), precision,
+                    sensitive=True)  # [tile_e, 128]
+        l_g = _kdot(mask_f, l_ref[:], (((0,), (0,)), ((), ())), precision,
+                    sensitive=True)
         p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
         alpha_e = p_e / (l_g + SOFTMAX_EPS)  # [tile_e, 128]
         g_e = _kdot(mask_f, g_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
-        dalpha_e = _kdot(g_e * zs_t[slot], r_ref[:], (((1,), (1,)), ((), ())), precision)  # [tile_e, 128]
+        dalpha_e = _kdot(g_e * zs_t[slot], r_ref[:], (((1,), (1,)), ((), ())),
+                         precision, sensitive=True)  # [tile_e, 128]
         return alpha_e, dalpha_e, s_raw, s, g_e
 
     # ---- pass B: segment term r_j = sum alpha * dalpha ------------------
@@ -721,7 +732,10 @@ def _bwd_dst_kernel(
             cp.wait()
         mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
         alpha_e, dalpha_e, _, _, _ = edge_alpha_dalpha(slot, mask_f)
-        rsum_ref[:] = rsum_ref[:] + _kdot(mask_f, alpha_e * dalpha_e, (((1,), (0,)), ((), ())), precision)
+        rsum_ref[:] = rsum_ref[:] + _kdot(
+            mask_f, alpha_e * dalpha_e, (((1,), (0,)), ((), ())), precision,
+            sensitive=True,
+        )
         return 0
 
     jax.lax.fori_loop(0, ntiles, body_b, 0)
@@ -747,7 +761,8 @@ def _bwd_dst_kernel(
                 c1_dma(slot, k - 2).wait()
         mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
         alpha_e, dalpha_e, s_raw, s_act, g_e = edge_alpha_dalpha(slot, mask_f)
-        r_g = _kdot(mask_f, rsum_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, 128]
+        r_g = _kdot(mask_f, rsum_ref[:], (((0,), (0,)), ((), ())), precision,
+                    sensitive=True)  # [tile_e, 128]
         de_e = alpha_e * (dalpha_e - r_g)  # [tile_e, 128]
         de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision)  # [tile_e, HD]
         lrelu_grad = jnp.where(s_raw > 0, 1.0, negative_slope)
@@ -1028,19 +1043,24 @@ def _bwd_src_kernel(
         zs_e = _kdot(mask_f, zs_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
         s_raw = zs_e + zd_t[slot]
         s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
-        sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision)  # [tile_e, 128]
+        sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision,
+                     sensitive=True)  # [tile_e, 128]
         # expand the compact stats to head lanes (MXU selector matmuls);
         # lanes >= num_heads become 0: p stays finite (clip <= 0), alpha is
         # bounded by 1/SOFTMAX_EPS, and the R/Mask matmuls annihilate them
         def sel(sel_ref):
-            return _kdot(mlr_t[slot], sel_ref[:], (((1,), (0,)), ((), ())), precision)
+            return _kdot(
+                mlr_t[slot], sel_ref[:], (((1,), (0,)), ((), ())), precision,
+                sensitive=True,
+            )
 
         m_g = sel(sel_m_ref)
         l_g = sel(sel_l_ref)
         r_g = sel(sel_r_ref)
         p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
         alpha_e = p_e / (l_g + SOFTMAX_EPS)
-        dalpha_e = _kdot(g_t[slot] * zs_e, r_ref[:], (((1,), (1,)), ((), ())), precision)  # [tile_e, 128]
+        dalpha_e = _kdot(g_t[slot] * zs_e, r_ref[:], (((1,), (1,)), ((), ())),
+                         precision, sensitive=True)  # [tile_e, 128]
         de_e = alpha_e * (dalpha_e - r_g)
         de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
         ds = de_rep * a_rep_ref[:] * jnp.where(s_raw > 0, 1.0, negative_slope)

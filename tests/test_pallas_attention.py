@@ -382,3 +382,37 @@ def test_isolated_nodes_zero_output():
     )(zs, zd, a)
     for g_ in grads:
         assert np.isfinite(np.asarray(g_)).all()
+
+
+def test_high_precision_tier_near_f32(tiny_graph):
+    """'high' (mixed bf16x3 with exact-f32 sensitive dots) tracks 'highest'
+    closely in forward and gradients."""
+    g = tiny_graph
+    h, d = 2, 16
+    zs, zd, a = _random_inputs(g, h, d, seed=41)
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+
+    def run(p):
+        def loss(zs, zd, a):
+            return jnp.sum(
+                jnp.sin(
+                    edge_attention_pallas(
+                        zs, zd, a, None, None, g.num_nodes,
+                        negative_slope=0.01, edge_tiles=et, interpret=True,
+                        precision=p,
+                    )
+                )
+            )
+        val = loss(zs, zd, a)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(zs, zd, a)
+        return val, grads
+
+    v0, g0 = run("highest")
+    v1, g1 = run("high")
+    assert float(v1) == pytest.approx(float(v0), rel=1e-4)
+    for a_, b_ in zip(g0, g1):
+        a_, b_ = np.asarray(a_), np.asarray(b_)
+        peak = np.abs(a_).max() + 1e-12
+        rel = np.abs(a_ - b_) / peak
+        # bulk of elements near-f32; allow isolated LeakyReLU-kink flips
+        assert np.percentile(rel, 99.9) < 1e-4
