@@ -100,8 +100,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def parse_args_from(
+    parser: argparse.ArgumentParser, argv: list[str] | None = None
+) -> tuple[ModelConfig, TrainConfig, argparse.Namespace]:
+    """parse_args against an extended parser (e.g. predict.py's)."""
+    return _finish(parser.parse_args(argv))
+
+
 def parse_args(argv: list[str] | None = None) -> tuple[ModelConfig, TrainConfig, argparse.Namespace]:
-    args = build_parser().parse_args(argv)
+    return _finish(build_parser().parse_args(argv))
+
+
+def _finish(args: argparse.Namespace) -> tuple[ModelConfig, TrainConfig, argparse.Namespace]:
 
     # The reference leaves head[]/out_dim[] UNINITIALIZED when the flags are
     # absent (`new int[L]` + no default write, GATv2_edge_based.cu:954-986) —

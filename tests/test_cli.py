@@ -65,3 +65,39 @@ def test_config_echo_format():
     assert "Gradient clipping: true" in echo
     assert "Optimizer: adam" in echo
     assert "Learning rate: 0.01" in echo
+
+
+def test_predict_pipeline(tmp_path, learnable_graph):
+    """train --save-weights -> predict --load-weights end-to-end."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from gatv2_tpu.data.io import save_dataset
+
+    save_dataset(learnable_graph, tmp_path / "tiny")
+    env = None
+    common = [
+        "--num-layers", "2", "--heads", "2,1", "--outdims", "8,8",
+        "--dataset", "tiny", "--data-root", str(tmp_path), "--seed", "0",
+    ]
+    r = subprocess.run(
+        [sys.executable, "train.py", *common, "--epochs", "8",
+         "--optimizer", "adam", "--lr", "0.02",
+         "--save-weights", str(tmp_path / "w")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    r = subprocess.run(
+        [sys.executable, "predict.py", *common,
+         "--load-weights", str(tmp_path / "w"), "--out", str(tmp_path / "p")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    preds = np.loadtxt(tmp_path / "p" / "predictions.txt", dtype=np.int64)
+    assert preds.shape[0] == learnable_graph.num_nodes
+    assert (preds >= 0).all() and (preds < learnable_graph.num_classes).all()
+    # trained for 8 epochs on a learnable graph: beat chance
+    acc = (preds == learnable_graph.labels).mean()
+    assert acc > 1.5 / learnable_graph.num_classes
