@@ -127,8 +127,12 @@ class NeighborSampler:
             self.max_edges,
             rng_seed=(self.seed << 20) + self._batch_counter,
         )
-        features = np.zeros((self.max_nodes, g.feature_dim), np.float32)
-        features[:num_nodes] = g.features[nodes[:num_nodes]]
+        features = native_loader.gather_rows(
+            g.features, nodes[:num_nodes], self.max_nodes
+        )
+        if features is None:  # pragma: no cover — lib vanished mid-run
+            features = np.zeros((self.max_nodes, g.feature_dim), np.float32)
+            features[:num_nodes] = g.features[nodes[:num_nodes]]
         labels = np.full(self.max_nodes, -1, np.int32)
         labels[: len(seeds)] = g.labels[seeds]
         return MiniBatch(

@@ -68,6 +68,17 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int32),  # out_dst
             ctypes.POINTER(ctypes.c_longlong),  # out_num_edges
         ]
+        lib.gather_rows_f32.restype = None
+        lib.gather_rows_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # src
+            ctypes.c_longlong,  # src_rows
+            ctypes.c_longlong,  # row_len
+            ctypes.POINTER(ctypes.c_int32),  # idx
+            ctypes.c_longlong,  # k
+            ctypes.POINTER(ctypes.c_float),  # out
+            ctypes.c_longlong,  # out_rows
+            ctypes.c_int,  # num_threads
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -171,6 +182,34 @@ def sample_batch(
     if nn < 0:
         raise ValueError("native sampler: invalid arguments")
     return out_nodes, out_src, out_dst, int(nn), int(out_num_edges.value)
+
+
+def gather_rows(
+    src: np.ndarray,  # [R, F] float32 (C-contiguous)
+    idx: np.ndarray,  # [k] int32
+    out_rows: int,
+    *,
+    num_threads: int = 8,
+):
+    """Parallel out[i] = src[idx[i]] (rows >= len(idx) zeroed). None if the
+    native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.float32)
+    idx = np.ascontiguousarray(idx, np.int32)
+    out = np.empty((out_rows, src.shape[1]), np.float32)
+    lib.gather_rows_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        src.shape[0],
+        src.shape[1],
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(idx),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_rows,
+        num_threads,
+    )
+    return out
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -187,6 +188,42 @@ long long sample_batch(
   }
   *out_num_edges = static_cast<long long>(num_edges);
   return static_cast<long long>(nn);
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Parallel row gather: out[i] = src[idx[i]] for i < k; rows i >= k zeroed
+// up to out_rows. The feature-matrix copy is the host-side cost of every
+// sampled minibatch (tens of MB); numpy's fancy indexing is single-threaded.
+void gather_rows_f32(
+    const float* src, long long src_rows, long long row_len,
+    const int32_t* idx, long long k,
+    float* out, long long out_rows, int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  const long long total = out_rows;
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  const size_t row_bytes = static_cast<size_t>(row_len) * sizeof(float);
+  for (int t = 0; t < num_threads; ++t) {
+    const long long lo = total * t / num_threads;
+    const long long hi = total * (t + 1) / num_threads;
+    threads.emplace_back([=]() {
+      for (long long i = lo; i < hi; ++i) {
+        float* dst = out + i * row_len;
+        if (i < k) {
+          const int64_t r = idx[i];
+          if (r >= 0 && r < src_rows) {
+            std::memcpy(dst, src + r * row_len, row_bytes);
+            continue;
+          }
+        }
+        std::memset(dst, 0, row_bytes);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"
