@@ -65,8 +65,12 @@ def bench_config(
             k1, k2, reps = 1, 2, 1
         elif e >= 4_000_000:
             k1, k2, reps = 1, 3, 2
-        else:
+        elif e >= 500_000:
             k1, k2, reps = 8, 40, 3
+        else:
+            # tiny graphs: dispatch noise dominates; longer programs + more
+            # repeats for a stable median
+            k1, k2, reps = 10, 90, 5
     g = random_graph(n, e, f, c, seed=seed)
     config = ModelConfig(
         num_layers=layers, heads=heads, out_dims=outdims,
