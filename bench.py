@@ -82,24 +82,11 @@ def bench_config(
     num_valid = None
     feats_np, labels_np = g.features, g.labels
     if impl == "pallas":
-        from gatv2_tpu.ops.pallas_attention import (
-            prepare_edge_tiles,
-            suggest_num_chunks,
-        )
+        from gatv2_tpu.ops.pallas_attention import setup_full_graph
 
-        max_hd = max(-(-h_ * d_ // 128) * 128 for h_, d_ in zip(heads, outdims))
-        budget = (2 << 30) if e >= 30_000_000 else (4 << 30)
-        edge_tiles = prepare_edge_tiles(
-            g.row_ptr, g.col_idx, g.num_nodes,
-            num_chunks=suggest_num_chunks(e, max_hd, budget_bytes=budget),
+        edge_tiles, feats_np, labels_np, num_valid = setup_full_graph(
+            g, heads, outdims
         )
-        n_pad = edge_tiles.padded_num_nodes
-        if n_pad != n:  # pad node dim once (see train/loop.py)
-            feats_np = np.zeros((n_pad, f), np.float32)
-            feats_np[:n] = g.features
-            labels_np = np.full(n_pad, -1, np.int32)
-            labels_np[:n] = g.labels
-            num_valid = n
     feats = jnp.asarray(feats_np)
     labels = jnp.asarray(labels_np)
     if impl == "pallas":

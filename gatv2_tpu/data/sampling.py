@@ -212,26 +212,44 @@ def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
     """Run an iterator on a background thread with a bounded queue, so host
     sampling overlaps the device step (host sampling is the minibatch
     bottleneck: ~100ms/batch at OGBN-Products scale vs ~40ms device step).
+
+    If the consumer abandons the generator (exception in the training
+    step, early break), the worker is released via a stop flag instead of
+    blocking forever on the full queue holding batch arrays.
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()
     err: list[BaseException] = []
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(done)
+            put(done)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is done:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

@@ -417,6 +417,38 @@ def prepare_edge_tiles(
     )
 
 
+def setup_full_graph(graph, heads, out_dims, *, labels=None, budget_bytes=None):
+    """One-stop full-graph Pallas setup shared by the Trainer, bench, and
+    predict: builds the (auto-chunked) edge tiling and pads the node dim of
+    features/labels ONCE so no padded activation copies materialize inside
+    the step.
+
+    labels: override (e.g. split-masked) label array; default graph.labels.
+    Returns (edge_tiles, features, labels, num_valid) where num_valid is
+    None when no padding row was added. Padding labels are -1 (ignored by
+    the loss).
+    """
+    e = graph.num_edges
+    if budget_bytes is None:
+        budget_bytes = (2 << 30) if e >= 30_000_000 else (4 << 30)
+    max_hd = max(-(-h * d // 128) * 128 for h, d in zip(heads, out_dims))
+    et = prepare_edge_tiles(
+        graph.row_ptr, graph.col_idx, graph.num_nodes,
+        num_chunks=suggest_num_chunks(e, max_hd, budget_bytes=budget_bytes),
+    )
+    feats = graph.features
+    labels = graph.labels if labels is None else labels
+    num_valid = None
+    n, n_pad = graph.num_nodes, et.padded_num_nodes
+    if n_pad != n:
+        f_pad = np.zeros((n_pad, graph.feature_dim), np.float32)
+        f_pad[:n] = graph.features
+        l_pad = np.full(n_pad, -1, np.int32)
+        l_pad[:n] = labels
+        feats, labels, num_valid = f_pad, l_pad, n
+    return et, feats, labels, num_valid
+
+
 def suggest_num_chunks(
     num_edges: int, max_hd: int, *, budget_bytes: int = 4 << 30
 ) -> int:
@@ -1198,6 +1230,19 @@ def edge_attention_pallas(
         raise ValueError(
             f"zs has {zs.shape[0]} rows; edge_tiles src space is "
             f"{edge_tiles.src_num_nodes} (padded {edge_tiles.padded_src_nodes})"
+        )
+    if bwd_impl == "pallas" and a.shape[0] > STATS_L:
+        raise ValueError(
+            f"impl='pallas' supports at most {STATS_L} attention heads per "
+            f"device (compact softmax-stat lanes); got {a.shape[0]}. Use "
+            "impl='xla' or shard heads over a 'head' mesh axis "
+            "(parallel.sharded)."
+        )
+    if bwd_impl == "xla" and edge_tiles.num_chunks > 1:
+        raise ValueError(
+            "bwd_impl='xla' is unavailable for chunked edge_tiles (the flat "
+            "COO layout is not kept when num_chunks > 1); use the default "
+            "bwd_impl='pallas'"
         )
     et = edge_tiles
     te = et.tile_e

@@ -209,24 +209,6 @@ class Trainer:
         self.params = gatv2.init_params(model_config, self.key)
         self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
         self.epoch = 0  # completed epochs
-        edge_tiles = None
-        if train_config.impl == "pallas":
-            from gatv2_tpu.ops.pallas_attention import (
-                prepare_edge_tiles,
-                suggest_num_chunks,
-            )
-
-            max_hd = max(
-                -(-h * d // 128) * 128
-                for h, d in zip(model_config.heads, model_config.out_dims)
-            )
-            edge_tiles = prepare_edge_tiles(
-                graph.row_ptr,
-                graph.col_idx,
-                graph.num_nodes,
-                num_chunks=suggest_num_chunks(graph.num_edges, max_hd),
-            )
-        self.edge_tiles = edge_tiles
         num_valid = None
         feats, labels = graph.features, graph.labels
         self._full_labels = None
@@ -234,18 +216,16 @@ class Trainer:
             self._full_labels = labels
             labels = splits.masked_labels(labels, "train")
             num_valid = int(splits.train.sum())
-        if edge_tiles is not None:
-            # pad the node dim ONCE to the tile grid so no padded copies of
-            # node-space activations materialize inside the step
-            n_pad = edge_tiles.padded_num_nodes
-            if n_pad != graph.num_nodes:
-                lab_src = labels
-                feats = np.zeros((n_pad, graph.feature_dim), np.float32)
-                feats[: graph.num_nodes] = graph.features
-                labels = np.full(n_pad, -1, np.int32)
-                labels[: graph.num_nodes] = lab_src
-                if num_valid is None:
-                    num_valid = graph.num_nodes
+        edge_tiles = None
+        if train_config.impl == "pallas":
+            from gatv2_tpu.ops.pallas_attention import setup_full_graph
+
+            edge_tiles, feats, labels, pad_valid = setup_full_graph(
+                graph, model_config.heads, model_config.out_dims,
+                labels=labels,  # possibly split-masked above
+            )
+            if pad_valid is not None and num_valid is None:
+                num_valid = pad_valid
         self.features = jnp.asarray(feats)
         self.labels = jnp.asarray(labels)
         self._step = make_train_step(

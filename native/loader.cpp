@@ -147,7 +147,18 @@ int64_t parse_parallel(const char* path, T* out, int64_t capacity, ParseFn parse
         while (p < hi) {
           while (p < hi && is_space(*p)) ++p;
           if (p >= hi) break;
+          const char* before = p;
           dst[n++] = parse_one(&p);
+          if (p == before) {
+            // unconvertible token (strtof/strtol made no progress):
+            // skip it entirely so the loop always advances — a malformed
+            // file must fail the count check (-3), never hang/overflow
+            --n;
+            while (p < hi && !is_space(*p)) ++p;
+          } else {
+            // partially-converted token ("2.5x3"): drop its tail
+            while (p < hi && !is_space(*p)) ++p;
+          }
         }
         parsed[t] = n;
       });

@@ -64,23 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     num_nodes = graph.num_nodes
     feats = graph.features
     if train_config.impl == "pallas":
-        from gatv2_tpu.ops.pallas_attention import (
-            prepare_edge_tiles,
-            suggest_num_chunks,
-        )
+        from gatv2_tpu.ops.pallas_attention import setup_full_graph
 
-        max_hd = max(
-            -(-h * d // 128) * 128
-            for h, d in zip(model_config.heads, model_config.out_dims)
+        edge_tiles, feats, _, _ = setup_full_graph(
+            graph, model_config.heads, model_config.out_dims
         )
-        edge_tiles = prepare_edge_tiles(
-            graph.row_ptr, graph.col_idx, graph.num_nodes,
-            num_chunks=suggest_num_chunks(graph.num_edges, max_hd),
-        )
-        n_pad = edge_tiles.padded_num_nodes
-        if n_pad != num_nodes:
-            feats = np.zeros((n_pad, graph.feature_dim), np.float32)
-            feats[:num_nodes] = graph.features
         src = jnp.zeros(1, jnp.int32)
         dst = jnp.zeros(1, jnp.int32)
     else:
@@ -89,13 +77,13 @@ def main(argv: list[str] | None = None) -> int:
         dst = jnp.asarray(pe.dst)
 
     @jax.jit
-    def forward(params, feats, et):
+    def forward(params, feats, src, dst, et):
         return model_forward(
             params, feats, src, dst, model_config,
             impl=train_config.impl, edge_tiles=et,
         )
 
-    logits = forward(params, jnp.asarray(feats), edge_tiles)[:num_nodes]
+    logits = forward(params, jnp.asarray(feats), src, dst, edge_tiles)[:num_nodes]
     preds = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int64)
 
     out = pathlib.Path(args.out)
