@@ -143,7 +143,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="citeseer3", choices=list(CONFIGS))
     ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
-    ap.add_argument("--precision", default="highest", choices=["highest", "default"])
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "high", "default"])
     ap.add_argument("--all", action="store_true", help="bench every config (stderr)")
     args = ap.parse_args()
 
