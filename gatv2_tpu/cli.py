@@ -157,11 +157,6 @@ def _finish(args: argparse.Namespace) -> tuple[ModelConfig, TrainConfig, argpars
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
     )
-    if args.batch_size > 0 and args.impl == "pallas":
-        raise SystemExit(
-            "Error: --impl pallas is not yet supported with --batch-size "
-            "(sampled subgraphs change every batch); use --impl xla."
-        )
     try:
         warnings = train_config.validate()
     except ValueError as e:

@@ -39,13 +39,14 @@ from gatv2_tpu.data.graph import Graph
 
 @dataclasses.dataclass(frozen=True)
 class MiniBatch:
-    features: np.ndarray  # [max_nodes, F]
+    features: np.ndarray  # [max_nodes, F] (node dim tile-padded w/ tiles)
     src: np.ndarray  # [max_edges] local ids (pad: 0)
     dst: np.ndarray  # [max_edges] local ids sorted (pad: max_nodes)
     labels: np.ndarray  # [max_nodes] (-1 on non-seeds and padding)
     num_seeds: int  # loss normalizer
     num_nodes: int  # real nodes in this batch
     num_edges: int  # real edges in this batch
+    tiles: object = None  # EdgeTiles (engine emit_tiles mode; fixed shapes)
 
 
 class NeighborSampler:
@@ -62,6 +63,8 @@ class NeighborSampler:
         engine: str = "auto",  # 'auto' | 'native' | 'python'
         seed_nodes: np.ndarray | None = None,  # restrict seeds (e.g. a
         #   train split); default: every node once per epoch
+        emit_tiles: bool = False,  # attach a fixed-shape Pallas EdgeTiles
+        #   per batch (impl='pallas' minibatch training)
     ):
         self.graph = graph
         self.batch_size = batch_size
@@ -95,8 +98,14 @@ class NeighborSampler:
             max_edges += frontier * f
             frontier = frontier * f
             max_nodes += frontier
+        self.emit_tiles = emit_tiles
+        if emit_tiles:
+            # node dim padded to the tile grid; every batch's EdgeTiles then
+            # has identical shapes -> one compiled step for all batches
+            max_nodes = -(-max_nodes // 128) * 128
         self.max_nodes = max_nodes
         self.max_edges = -(-max_edges // edge_multiple) * edge_multiple
+        self._tile_budget = self.max_edges // 128 + self.max_nodes // 128
 
     def __iter__(self) -> Iterator[MiniBatch]:
         pool = self.seed_pool
@@ -109,9 +118,25 @@ class NeighborSampler:
         return math.ceil(self.seed_pool.shape[0] / self.batch_size)
 
     def sample(self, seeds: np.ndarray) -> MiniBatch:
-        if self.engine == "native":
-            return self._sample_native(seeds)
-        return self._sample_python(seeds)
+        b = (
+            self._sample_native(seeds)
+            if self.engine == "native"
+            else self._sample_python(seeds)
+        )
+        if not self.emit_tiles:
+            return b
+        import dataclasses as _dc
+
+        from gatv2_tpu.ops.pallas_attention import prepare_edge_tiles
+
+        real = b.dst[: b.num_edges]
+        row_ptr = np.zeros(self.max_nodes + 1, np.int64)
+        np.cumsum(np.bincount(real, minlength=self.max_nodes), out=row_ptr[1:])
+        tiles = prepare_edge_tiles(
+            row_ptr, b.src[: b.num_edges], self.max_nodes, tile_e=128,
+            fixed_edge_tiles=self._tile_budget,
+        )
+        return _dc.replace(b, tiles=tiles)
 
     def _sample_native(self, seeds: np.ndarray) -> MiniBatch:
         from gatv2_tpu.utils import native_loader

@@ -262,12 +262,13 @@ def _group_side(
     num_chunks: int,
     tiles_per_chunk: int,
     te: int,
+    min_chunk_et: int | None = None,  # force width (static cross-batch shapes)
 ) -> _TileSide:
     t_pad = num_chunks * tiles_per_chunk
     ext = np.concatenate(
         [tile_offsets, np.full(t_pad + 1 - len(tile_offsets), tile_offsets[-1])]
     ).astype(np.int64)
-    chunk_et = 1
+    chunk_et = min_chunk_et or 1
     for g in range(num_chunks):
         chunk_et = max(
             chunk_et, int(ext[(g + 1) * tiles_per_chunk] - ext[g * tiles_per_chunk])
@@ -303,6 +304,7 @@ def prepare_edge_tiles(
     tile_e: int | None = None,
     num_chunks: int = 1,
     num_src_nodes: int | None = None,
+    fixed_edge_tiles: int | None = None,
 ) -> EdgeTiles:
     """Build the tile-aligned edge layouts from CSR (host-side, once per
     graph).
@@ -313,6 +315,11 @@ def prepare_edge_tiles(
     num_src_nodes: for BIPARTITE edge sets (sharded layers: col_idx holds
     GLOBAL source ids while row_ptr covers this shard's local destinations).
     Default: same node space on both sides.
+    fixed_edge_tiles: force BOTH sides' total edge-tile counts to this
+    static value (error if the real layout needs more). This keeps every
+    EdgeTiles array shape constant across graphs with the same node budget,
+    so per-batch tilings (minibatch mode) reuse one compiled step — the
+    tiles are jit ARGUMENTS, not compile-time constants.
     """
     row_ptr = np.asarray(row_ptr, np.int64)
     ns = num_nodes if num_src_nodes is None else num_src_nodes
@@ -372,12 +379,39 @@ def prepare_edge_tiles(
         src_sorted_ids[o : o + c] = src_sorted[s : s + c]
         gather_perm[o : o + c] = pos_sorted[s : s + c]
 
+    if fixed_edge_tiles is not None:
+        if num_chunks != 1:
+            raise ValueError("fixed_edge_tiles requires num_chunks == 1")
+        for name, used in (
+            ("dst", int(tile_offsets[-1])),
+            ("src", int(src_tile_offsets[-1])),
+        ):
+            if used > fixed_edge_tiles:
+                raise ValueError(
+                    f"fixed_edge_tiles={fixed_edge_tiles} too small for the "
+                    f"{name} layout ({used} edge tiles needed)"
+                )
+
+        want = fixed_edge_tiles * te
+
+        def widen(arr, fill):
+            out = np.full(want, fill, arr.dtype)
+            out[: arr.shape[0]] = arr
+            return out
+
+        dst = widen(dst, num_nodes)  # extra slots: padding edges
+        src = widen(src, 0)
+        src_sorted_ids = widen(src_sorted_ids, ns)
+        gather_perm = widen(gather_perm, 0)
+        e_pad = e2_pad = want
+
     num_chunks = max(1, min(num_chunks, num_node_tiles))
     tiles_per_chunk = -(-num_node_tiles // num_chunks)
     src_tiles_per_chunk = -(-num_src_tiles // num_chunks)
 
     dst_side = _group_side(
-        dst, src, tile_offsets, num_nodes, num_chunks, tiles_per_chunk, te
+        dst, src, tile_offsets, num_nodes, num_chunks, tiles_per_chunk, te,
+        min_chunk_et=fixed_edge_tiles,
     )
     # the CSC side streams src ids and gathers by the edges' dst ids
     dst_of_src = np.zeros(e2_pad, np.int32)
@@ -386,6 +420,7 @@ def prepare_edge_tiles(
     src_side = _group_side(
         src_sorted_ids, dst_of_src, src_tile_offsets, ns,
         num_chunks, src_tiles_per_chunk, te,
+        min_chunk_et=fixed_edge_tiles,
     )
 
     if num_chunks > 1:

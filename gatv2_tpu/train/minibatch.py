@@ -28,14 +28,18 @@ from gatv2_tpu.train import optim
 def make_minibatch_step(
     model_config: ModelConfig, train_config: TrainConfig, *, donate: bool = True
 ) -> Callable:
-    """jit(step)(params, opt_state, t, features, src, dst, labels, num_seeds)
-    -> (params, opt_state, loss, acc)."""
+    """jit(step)(params, opt_state, t, features, src, dst, labels, num_seeds
+    [, edge_tiles]) -> (params, opt_state, loss, acc). With impl='pallas'
+    the per-batch EdgeTiles ride as a jit argument — fixed shapes, so every
+    batch reuses one compiled step."""
 
-    def step(params, opt_state, t, features, src, dst, labels, num_seeds):
+    def step(params, opt_state, t, features, src, dst, labels, num_seeds,
+             edge_tiles=None):
         grad_fn = jax.value_and_grad(gatv2.loss_fn, has_aux=True)
         (loss, acc), grads = grad_fn(
             params, features, src, dst, labels, model_config,
             impl=train_config.impl, num_valid=num_seeds,
+            edge_tiles=edge_tiles,
         )
         params, opt_state = optim.apply_updates(
             params, grads, opt_state, t, train_config
@@ -147,11 +151,6 @@ class MinibatchTrainer:
         self.log = log_fn
         self.metrics_sink = metrics_sink
         self.splits = splits
-        if train_config.impl == "pallas":
-            raise ValueError(
-                "--impl pallas is not yet supported in minibatch mode "
-                "(sampled subgraphs change every batch); use --impl xla"
-            )
         fanouts = train_config.fanouts or tuple(
             [10] * model_config.num_layers
         )
@@ -173,6 +172,7 @@ class MinibatchTrainer:
             seed=seed,
             engine=train_config.sampler_engine,
             seed_nodes=seed_nodes,
+            emit_tiles=(train_config.impl == "pallas"),
         )
         self.params = _g.init_params(model_config, jax.random.PRNGKey(seed))
         self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
@@ -205,13 +205,15 @@ class MinibatchTrainer:
             seed=self._seed + 1,
             engine=self.train_config.sampler_engine,
             seed_nodes=nodes,
+            emit_tiles=(self.train_config.impl == "pallas"),
         )
         if self._eval_step is None:
             mc, tc = self.model_config, self.train_config
 
-            def ev(params, features, src, dst, labels, num_seeds):
+            def ev(params, features, src, dst, labels, num_seeds, et=None):
                 logits = _g.model_forward(
-                    params, features, src, dst, mc, impl=tc.impl
+                    params, features, src, dst, mc, impl=tc.impl,
+                    edge_tiles=et,
                 )
                 _, acc = _g.loss_and_accuracy(logits, labels, num_seeds)
                 return acc
@@ -225,6 +227,7 @@ class MinibatchTrainer:
                 jnp.asarray(b.features), jnp.asarray(b.src),
                 jnp.asarray(b.dst), jnp.asarray(b.labels),
                 jnp.asarray(b.num_seeds, jnp.int32),
+                b.tiles,
             )
             correct += float(acc) * b.num_seeds
             total += b.num_seeds
@@ -254,6 +257,7 @@ class MinibatchTrainer:
                     jnp.asarray(b.dst),
                     jnp.asarray(b.labels),
                     jnp.asarray(b.num_seeds, jnp.int32),
+                    b.tiles,
                 )
                 loss_sum += float(loss) * b.num_seeds
                 correct_sum += float(acc) * b.num_seeds

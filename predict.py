@@ -25,7 +25,12 @@ import numpy as np
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
     import jax
+
+    if os.environ.get("GATV2_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["GATV2_PLATFORM"])
     import jax.numpy as jnp
 
     from gatv2_tpu import cli

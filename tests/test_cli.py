@@ -76,8 +76,10 @@ def test_predict_pipeline(tmp_path, learnable_graph):
 
     from gatv2_tpu.data.io import save_dataset
 
+    import os
+
     save_dataset(learnable_graph, tmp_path / "tiny")
-    env = None
+    env = {**os.environ, "GATV2_PLATFORM": "cpu"}
     common = [
         "--num-layers", "2", "--heads", "2,1", "--outdims", "8,8",
         "--dataset", "tiny", "--data-root", str(tmp_path), "--seed", "0",
@@ -86,13 +88,13 @@ def test_predict_pipeline(tmp_path, learnable_graph):
         [sys.executable, "train.py", *common, "--epochs", "8",
          "--optimizer", "adam", "--lr", "0.02",
          "--save-weights", str(tmp_path / "w")],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=600, env=env,
     )
     assert r.returncode == 0, r.stderr[-800:]
     r = subprocess.run(
         [sys.executable, "predict.py", *common,
          "--load-weights", str(tmp_path / "w"), "--out", str(tmp_path / "p")],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=600, env=env,
     )
     assert r.returncode == 0, r.stderr[-800:]
     preds = np.loadtxt(tmp_path / "p" / "predictions.txt", dtype=np.int64)

@@ -220,3 +220,44 @@ def test_prefetch_iterator(learnable_graph):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="worker failure"):
         list(it)
+
+
+def test_minibatch_pallas_matches_xla(learnable_graph):
+    """impl='pallas' minibatch steps (per-batch fixed-shape tiles as jit
+    args) produce the same loss as impl='xla' on identical batches."""
+    g = learnable_graph
+    config = _cfg(g)
+    sampler = NeighborSampler(
+        g, batch_size=64, fanouts=(4, 4), seed=0, emit_tiles=True
+    )
+    b = next(iter(sampler))
+    assert b.tiles is not None
+
+    params = init_params(config, jax.random.PRNGKey(0))
+    from gatv2_tpu.models.gatv2 import loss_fn
+
+    args = (
+        jnp.asarray(b.features), jnp.asarray(b.src), jnp.asarray(b.dst),
+        jnp.asarray(b.labels),
+    )
+    # interpret mode for the pallas kernels on CPU
+    from gatv2_tpu.ops import attention as attn_mod
+    import gatv2_tpu.ops.pallas_attention as pa
+
+    lx, ax = loss_fn(params, *args, config, impl="xla", num_valid=b.num_seeds)
+    orig = pa.edge_attention_pallas
+
+    def pa_interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pa.edge_attention_pallas = pa_interp
+    try:
+        lp, ap = loss_fn(
+            params, *args, config, impl="pallas", edge_tiles=b.tiles,
+            num_valid=b.num_seeds,
+        )
+    finally:
+        pa.edge_attention_pallas = orig
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+    np.testing.assert_allclose(float(ap), float(ax), atol=1e-6)

@@ -23,6 +23,13 @@ def main(argv: list[str] | None = None) -> int:
     from gatv2_tpu.train import checkpoint as ckpt
     from gatv2_tpu.utils.metrics import JsonlSink, device_memory_report
 
+    import os
+
+    if os.environ.get("GATV2_PLATFORM"):
+        # honored before first device touch; env JAX_PLATFORMS alone can be
+        # overridden by a sitecustomize pinning a hardware backend
+        jax.config.update("jax_platforms", os.environ["GATV2_PLATFORM"])
+
     model_config, train_config, args = cli.parse_args(argv)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
