@@ -27,14 +27,17 @@ Backward (custom_vjp, two selectable implementations):
         (SURVEY.md §3.5.3 — the reference loops the whole neighborhood per
         edge, O(sum deg^2), compute_grad_attn_score_kernel E:654-696),
         then d_zd and d_a. Outputs are all node-indexed (d_zd, d_a, r).
-      phase 2 (src-tiled over the transpose-graph / CSC-view tiling):
-        RECOMPUTES alpha/de/ds per edge from node arrays — zs via the
-        in-tile one-hot, zd/g/(m,l,r) via XLA row gathers in dst order —
-        and one-hot-matmuls the per-edge packet
-            c1 = alpha * g[dst] + ds
-        into d_zs. No [E, HD] packet buffer and no edge permutation ever
-        materialize in HBM, so edge-space temporaries are bounded by the
-        chunk size (below), not by E.
+      phase 2 (src-tiled over the transpose-graph / CSC-view tiling)
+        one-hot-matmuls the per-edge packet  c1 = alpha * g[dst] + ds
+        into d_zs, via one of two strategies:
+          * packet fast path (unchunked): phase 1 also streams c1 to HBM;
+            an XLA permute re-orders it src-sorted and _segsum_src_kernel
+            reduces it — fewer passes, O(E) packet buffer;
+          * streaming recompute (chunked): _bwd_src_kernel REBUILDS each
+            packet from node arrays (zs via the in-tile one-hot, zd/g and
+            compact (m|l|r) stats via XLA row gathers in dst order) — no
+            [E, HD] buffer or edge permutation ever materializes, so
+            edge-space temporaries stay O(E/G).
   - 'xla': rematerializes the XLA formulation and uses its autodiff
     transpose (scatter-based; the correctness oracle).
 
