@@ -416,3 +416,43 @@ def test_high_precision_tier_near_f32(tiny_graph):
         rel = np.abs(a_ - b_) / peak
         # bulk of elements near-f32; allow isolated LeakyReLU-kink flips
         assert np.percentile(rel, 99.9) < 1e-4
+
+
+def test_fixed_edge_tiles_validation(tiny_graph):
+    g = tiny_graph
+    with pytest.raises(ValueError, match="too small"):
+        prepare_edge_tiles(
+            g.row_ptr, g.col_idx, g.num_nodes, tile_e=128, fixed_edge_tiles=1
+        )
+    with pytest.raises(ValueError, match="num_chunks"):
+        prepare_edge_tiles(
+            g.row_ptr, g.col_idx, g.num_nodes, tile_e=128,
+            fixed_edge_tiles=64, num_chunks=2,
+        )
+
+
+def test_pallas_head_limit_guard(tiny_graph):
+    g = tiny_graph
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    h, d = 17, 4  # > STATS_L compact-stat lanes
+    zs, zd, a = _random_inputs(g, h, d, seed=50)
+    with pytest.raises(ValueError, match="at most 16 attention heads"):
+        edge_attention_pallas(
+            zs, zd, a, None, None, g.num_nodes,
+            negative_slope=0.01, edge_tiles=et, interpret=True,
+        )
+
+
+def test_chunked_xla_bwd_guard():
+    from gatv2_tpu.data.synthetic import random_graph
+
+    g = random_graph(300, 1200, 8, 3, seed=52)  # >1 node tile
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes, num_chunks=2)
+    assert et.num_chunks == 2
+    zs, zd, a = _random_inputs(g, 2, 8, seed=51)
+    with pytest.raises(ValueError, match="bwd_impl='xla' is unavailable"):
+        edge_attention_pallas(
+            zs, zd, a, None, None, g.num_nodes,
+            negative_slope=0.01, edge_tiles=et, interpret=True,
+            bwd_impl="xla",
+        )
