@@ -118,6 +118,11 @@ class NeighborSampler:
         return math.ceil(self.seed_pool.shape[0] / self.batch_size)
 
     def sample(self, seeds: np.ndarray) -> MiniBatch:
+        # both engines map labels positionally onto the first len(seeds)
+        # local nodes; duplicate seed ids would collapse in the node map and
+        # shift labels onto wrong nodes — reject them up front
+        if np.unique(np.asarray(seeds)).shape[0] != len(seeds):
+            raise ValueError("sample(seeds) requires unique seed node ids")
         b = (
             self._sample_native(seeds)
             if self.engine == "native"

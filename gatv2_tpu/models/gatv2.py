@@ -79,6 +79,23 @@ def init_params(config: ModelConfig, key: jax.Array) -> GATv2Params:
     return {"layers": tuple(layers), "w_o": w_o}
 
 
+def init_params_for_variant(config: ModelConfig, key: jax.Array) -> GATv2Params:
+    """Init matching the selected reference variant's draw order.
+
+    variant='edge': the edge program draws each layer's W as ONE fused
+    [out, 2*in] tensor (xavier_init_kernel_curand,
+    GATv2_edge_based.cu:186-248) — use params_io.init_params_fused so a
+    parity run sees the same distribution element-for-element.
+    variant='node': split draws (W_src then W_dst, GATv2_node_based.cu:
+    244-317) — init_params above.
+    """
+    if config.variant == "edge":
+        from gatv2_tpu.models.params_io import init_params_fused
+
+        return init_params_fused(config, key)
+    return init_params(config, key)
+
+
 def layer_forward(
     layer_params: dict[str, jax.Array],
     x: jax.Array,  # [N, F]

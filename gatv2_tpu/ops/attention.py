@@ -56,12 +56,36 @@ def edge_attention(
 
         from gatv2_tpu.ops.pallas_attention import edge_attention_pallas
 
+        # normalize the jax precision spec (enum, string, or (p, p) pair)
+        prec = precision
+        if isinstance(prec, tuple):
+            if len(set(prec)) != 1:
+                raise ValueError(
+                    f"impl='pallas' needs a uniform precision, got {precision!r}"
+                )
+            prec = prec[0]
+        if isinstance(prec, str):
+            prec = {
+                "highest": lax.Precision.HIGHEST,
+                "high": lax.Precision.HIGH,
+                "default": lax.Precision.DEFAULT,
+                "bfloat16_3x": lax.Precision.HIGH,
+                "tensorfloat32": lax.Precision.HIGH,
+                "float32": lax.Precision.HIGHEST,
+                "bfloat16": lax.Precision.DEFAULT,
+            }.get(prec.lower(), prec)
         prec_name = {
             lax.Precision.HIGHEST: "highest",
             lax.Precision.HIGH: "high",
             lax.Precision.DEFAULT: "default",
             None: "highest",
-        }[precision]
+        }.get(prec)
+        if prec_name is None:
+            raise ValueError(
+                f"impl='pallas' does not understand precision {precision!r}; "
+                "accepted: None, jax.lax.Precision.{HIGHEST,HIGH,DEFAULT}, "
+                "the equivalent strings, or a uniform (p, p) tuple"
+            )
         return edge_attention_pallas(
             zs,
             zd,

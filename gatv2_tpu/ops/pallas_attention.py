@@ -1259,6 +1259,10 @@ def edge_attention_pallas(
             "impl='pallas' requires edge_tiles (ops.pallas_attention."
             "prepare_edge_tiles(row_ptr, col_idx, num_nodes))"
         )
+    if not interpret and jax.default_backend() == "cpu":
+        # Pallas TPU kernels only lower on TPU; on the CPU backend fall back
+        # to the interpreter so the CLI/tests run everywhere unmodified
+        interpret = True
     if num_nodes not in (edge_tiles.num_nodes, edge_tiles.padded_num_nodes):
         raise ValueError(
             f"edge_tiles built for {edge_tiles.num_nodes} "
@@ -1269,13 +1273,29 @@ def edge_attention_pallas(
             f"zs has {zs.shape[0]} rows; edge_tiles src space is "
             f"{edge_tiles.src_num_nodes} (padded {edge_tiles.padded_src_nodes})"
         )
-    if bwd_impl == "pallas" and a.shape[0] > STATS_L:
-        raise ValueError(
-            f"impl='pallas' supports at most {STATS_L} attention heads per "
-            f"device (compact softmax-stat lanes); got {a.shape[0]}. Use "
-            "impl='xla' or shard heads over a 'head' mesh axis "
-            "(parallel.sharded)."
-        )
+    if a.shape[0] > STATS_L:
+        # compact softmax-stat lanes hold STATS_L heads per kernel pass;
+        # heads are embarrassingly parallel (head-major layouts throughout,
+        # like the reference's [H, E] buffers, GATv2_edge_based.cu:297), so
+        # larger head counts run as independent <=STATS_L-head groups. The
+        # custom VJPs compose through the slice/concat automatically.
+        num_heads, hd = int(a.shape[0]), int(a.shape[1])
+        outs = []
+        for h0 in range(0, num_heads, STATS_L):
+            h1 = min(h0 + STATS_L, num_heads)
+            if zs.ndim == 2:  # flat [N, H*D], head-major columns
+                zs_g, zd_g = zs[:, h0 * hd : h1 * hd], zd[:, h0 * hd : h1 * hd]
+            else:
+                zs_g, zd_g = zs[:, h0:h1], zd[:, h0:h1]
+            outs.append(
+                edge_attention_pallas(
+                    zs_g, zd_g, a[h0:h1], src, dst, num_nodes,
+                    negative_slope=negative_slope, edge_tiles=edge_tiles,
+                    interpret=interpret, bwd_impl=bwd_impl,
+                    precision=precision,
+                )
+            )
+        return jnp.concatenate(outs, axis=-1 if zs.ndim == 2 else 1)
     if bwd_impl == "xla" and edge_tiles.num_chunks > 1:
         raise ValueError(
             "bwd_impl='xla' is unavailable for chunked edge_tiles (the flat "

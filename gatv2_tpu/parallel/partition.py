@@ -33,10 +33,18 @@ class PartitionedGraph:
     """Stacked per-shard arrays; axis 0 is sharded over the 'graph' mesh axis
     when passed into the sharded step (global shapes shown).
 
-    features  [S * nodes_per_shard, F]
-    labels    [S * nodes_per_shard]       (-1 on padding nodes)
-    src       [S * edges_per_shard]       global source node ids
-    dst_local [S * edges_per_shard]       dst id RELATIVE to its shard block
+    Nodes live in contiguous global-id blocks (block s = global ids
+    [node_bounds[s], node_bounds[s+1])), each padded to the common
+    `nodes_per_shard`. The padded SLOT id of global node g in block s is
+    `s * nodes_per_shard + (g - node_bounds[s])`; `src` is stored in slot
+    ids so the sharded layer's gather indexes the all_gather/halo output
+    directly, independent of how the block boundaries were chosen.
+
+    features  [S * nodes_per_shard, F]   (block-scattered, 0 on padding)
+    labels    [S * nodes_per_shard]      (-1 on padding slots)
+    src       [S * edges_per_shard]      source SLOT ids (see above)
+    dst_local [S * edges_per_shard]      dst id RELATIVE to its shard block
+                                         (= nodes_per_shard on padding edges)
     """
 
     features: np.ndarray
@@ -48,45 +56,114 @@ class PartitionedGraph:
     edges_per_shard: int
     num_real_nodes: int
     num_real_edges: int
+    node_bounds: np.ndarray  # [S+1] global-id block boundaries
+    edge_counts: np.ndarray  # [S] real (pre-padding) edges per shard
 
     @property
     def padded_num_nodes(self) -> int:
         return self.num_shards * self.nodes_per_shard
 
+    def slot_of(self, global_ids: np.ndarray) -> np.ndarray:
+        """Global node ids -> padded slot ids."""
+        g = np.asarray(global_ids, np.int64)
+        s = np.searchsorted(self.node_bounds, g, side="right") - 1
+        return (s * self.nodes_per_shard + g - self.node_bounds[s]).astype(
+            np.int64
+        )
+
+    def scatter_nodes(self, values: np.ndarray, fill) -> np.ndarray:
+        """Re-lay a [N, ...] global-node-order array into partition (slot)
+        order, with `fill` on padding slots. Used for split masks/labels."""
+        values = np.asarray(values)
+        out = np.full(
+            (self.padded_num_nodes,) + values.shape[1:], fill, values.dtype
+        )
+        out[self.slot_of(np.arange(self.num_real_nodes))] = values
+        return out
+
+    def balance_report(self) -> str:
+        c = self.edge_counts
+        lo, hi = (int(c.min()), int(c.max())) if c.size else (0, 0)
+        waste = 1.0 - c.sum() / max(
+            self.num_shards * self.edges_per_shard, 1
+        )
+        return (
+            f"edges/shard min={lo} max={hi} (ratio "
+            f"{hi / max(lo, 1):.2f}), padded to {self.edges_per_shard} "
+            f"({waste * 100:.1f}% padding)"
+        )
+
 
 def partition_graph(
     graph: Graph, num_shards: int, *, edge_multiple: int = 128,
-    node_multiple: int = 8,
+    node_multiple: int = 8, balance: str = "edges",
 ) -> PartitionedGraph:
+    """Partition by contiguous dst blocks.
+
+    balance='edges' (default): block boundaries are chosen by cumulative
+    edge count (searchsorted on row_ptr), so every shard owns ~E/S edges
+    even on power-law graphs where equal node blocks would be badly skewed
+    (each shard's edge buffer is padded to the max across shards — skew is
+    pure padding waste AND straggler compute).
+    balance='nodes': equal node blocks (the round-1 layout).
+    """
     n, f = graph.num_nodes, graph.feature_dim
-    nodes_per_shard = -(-n // num_shards)
-    nodes_per_shard = -(-nodes_per_shard // node_multiple) * node_multiple
+    if balance not in ("edges", "nodes"):
+        raise ValueError(f"balance must be 'edges' or 'nodes', got {balance!r}")
+
+    row_ptr = graph.row_ptr.astype(np.int64)
+    e_total = graph.num_edges
+    if balance == "edges" and e_total > 0:
+        targets = (np.arange(1, num_shards, dtype=np.int64) * e_total) // num_shards
+        inner = np.searchsorted(row_ptr, targets, side="left")
+        node_bounds = np.concatenate(([0], inner, [n])).astype(np.int64)
+        node_bounds = np.maximum.accumulate(node_bounds)  # monotone guard
+    else:
+        per = -(-n // num_shards)
+        node_bounds = np.minimum(
+            np.arange(num_shards + 1, dtype=np.int64) * per, n
+        )
+
+    block_sizes = np.diff(node_bounds)
+    nodes_per_shard = int(block_sizes.max()) if num_shards else 0
+    nodes_per_shard = max(
+        node_multiple, -(-nodes_per_shard // node_multiple) * node_multiple
+    )
     n_pad = num_shards * nodes_per_shard
 
     features = np.zeros((n_pad, f), np.float32)
-    features[:n] = graph.features
     labels = np.full(n_pad, -1, np.int32)
-    labels[:n] = graph.labels
+    for s in range(num_shards):
+        lo, hi = node_bounds[s], node_bounds[s + 1]
+        o = s * nodes_per_shard
+        features[o : o + (hi - lo)] = graph.features[lo:hi]
+        labels[o : o + (hi - lo)] = graph.labels[lo:hi]
 
     src, dst = graph.src, graph.dst  # dst sorted ascending
-    # shard s owns dst in [s*nps, (s+1)*nps); edges stay contiguous because
-    # dst is sorted — find the boundaries with searchsorted
-    bounds = np.searchsorted(
-        dst, np.arange(num_shards + 1) * nodes_per_shard, side="left"
-    )
-    counts = np.diff(bounds)
+    # shard s owns dst in [node_bounds[s], node_bounds[s+1]); edges stay
+    # contiguous because dst is sorted
+    ebounds = row_ptr[node_bounds]
+    counts = np.diff(ebounds)
     edges_per_shard = int(counts.max()) if counts.size else 0
     edges_per_shard = max(
         edge_multiple, -(-edges_per_shard // edge_multiple) * edge_multiple
     )
 
+    # src global id -> slot id (block + offset)
+    src_block = np.searchsorted(node_bounds, src, side="right") - 1
+    src_slot = (
+        src_block.astype(np.int64) * nodes_per_shard
+        + src.astype(np.int64)
+        - node_bounds[src_block]
+    ).astype(np.int32)
+
     src_p = np.zeros((num_shards, edges_per_shard), np.int32)
     dst_l = np.full((num_shards, edges_per_shard), nodes_per_shard, np.int32)
     for s in range(num_shards):
-        lo, hi = bounds[s], bounds[s + 1]
+        lo, hi = ebounds[s], ebounds[s + 1]
         c = hi - lo
-        src_p[s, :c] = src[lo:hi]
-        dst_l[s, :c] = dst[lo:hi] - s * nodes_per_shard
+        src_p[s, :c] = src_slot[lo:hi]
+        dst_l[s, :c] = dst[lo:hi] - node_bounds[s]
 
     return PartitionedGraph(
         features=features,
@@ -98,6 +175,8 @@ def partition_graph(
         edges_per_shard=edges_per_shard,
         num_real_nodes=n,
         num_real_edges=graph.num_edges,
+        node_bounds=node_bounds,
+        edge_counts=counts.astype(np.int64),
     )
 
 

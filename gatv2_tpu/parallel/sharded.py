@@ -184,7 +184,7 @@ def make_sharded_loss_fn(
             jnp.asarray(halo_plan.src_halo),  # [S, E_s]
         )
 
-    def body(params, x_loc, src_g, dst_l, labels_loc, et_sh, halo_sh):
+    def logits_body(params, x_loc, src_g, dst_l, et_sh, halo_sh):
         et_loc = (
             jax.tree.map(lambda x: x[0], et_sh) if et_sh is not None else None
         )
@@ -211,7 +211,10 @@ def make_sharded_loss_fn(
                 interpret=interpret,
                 halo=halo_loc,
             )
-        logits = jnp.matmul(x, params["w_o"].T, precision=model_config.precision)
+        return jnp.matmul(x, params["w_o"].T, precision=model_config.precision)
+
+    def body(params, x_loc, src_g, dst_l, labels_loc, et_sh, halo_sh):
+        logits = logits_body(params, x_loc, src_g, dst_l, et_sh, halo_sh)
         # local masked sums, then one psum (padding nodes have label -1)
         logp = jax.nn.log_softmax(logits, axis=-1)
         valid = labels_loc >= 0
@@ -241,6 +244,11 @@ def make_sharded_loss_fn(
         if halo_arrays is not None
         else None
     )
+    data_specs = (
+        P(axis_name, None),  # features
+        P(axis_name),  # src
+        P(axis_name),  # dst_local
+    )
     mapped = jax.shard_map(
         body,
         mesh=mesh,
@@ -248,18 +256,29 @@ def make_sharded_loss_fn(
         check_vma=False,
         in_specs=(
             pspecs,  # params: head-TP sharded / replicated
-            P(axis_name, None),  # features
-            P(axis_name),  # src
-            P(axis_name),  # dst_local
+            *data_specs,
             P(axis_name),  # labels
             et_specs,  # stacked per-shard edge tiles (or None)
             halo_specs,  # boundary-exchange plan arrays (or None)
         ),
         out_specs=(P(), P()),
     )
-    return lambda params, feats, src, dst_l, labels: mapped(
+    # logits variant (sharded [n_pad, C] output) — the split-eval building
+    # block; built from the same body so eval shares the training forward
+    mapped_logits = jax.shard_map(
+        logits_body,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(pspecs, *data_specs, et_specs, halo_specs),
+        out_specs=P(axis_name, None),
+    )
+    fn = lambda params, feats, src, dst_l, labels: mapped(
         params, feats, src, dst_l, labels, edge_tiles, halo_arrays
     )
+    fn.logits_fn = lambda params, feats, src, dst_l: mapped_logits(
+        params, feats, src, dst_l, edge_tiles, halo_arrays
+    )
+    return fn
 
 
 def make_sharded_train_step(
@@ -309,13 +328,61 @@ def make_sharded_eval_step(
     return jax.jit(loss_fn)
 
 
+def make_sharded_split_eval_step(
+    model_config: ModelConfig,
+    mesh: Mesh,
+    *,
+    axis_name: str = "graph",
+    head_axis: str | None = "head",
+    impl: str = "xla",
+    edge_tiles=None,
+    interpret: bool = False,
+    halo_plan=None,
+) -> Callable:
+    """jit(eval)(params, features, src, dst_local, labels, *masks) ->
+    per-mask accuracies from ONE sharded full-graph forward. labels/masks
+    are partition-ordered global arrays (padding label -1 / mask False);
+    the sharded forward comes from the same body as training."""
+    loss_fn = make_sharded_loss_fn(
+        model_config, mesh, 1, axis_name=axis_name, head_axis=head_axis,
+        impl=impl, edge_tiles=edge_tiles, interpret=interpret,
+        halo_plan=halo_plan,
+    )
+
+    def eval_step(params, features, src, dst_l, labels, *masks):
+        logits = loss_fn.logits_fn(params, features, src, dst_l)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        hit = (pred == labels).astype(jnp.float32)
+        return tuple(
+            jnp.sum(jnp.where(m, hit, 0.0)) / jnp.maximum(jnp.sum(m), 1)
+            for m in masks
+        )
+
+    return jax.jit(eval_step)
+
+
+def _put_sharded(arr, sharding: NamedSharding):
+    """device_put that also works multi-process: when the sharding spans
+    non-addressable devices (a real pod or the 2-process CPU smoke test),
+    each process materializes only its addressable shards from the global
+    host array (parallel/multihost.py)."""
+    import numpy as np
+
+    if jax.process_count() > 1:
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(arr, sharding)
+
+
 def device_put_params(
     params, model_config: ModelConfig, mesh: Mesh, *, head_axis: str | None = "head"
 ):
     """Place params with their head-TP shardings (replicated otherwise)."""
     specs = param_specs(model_config, mesh, head_axis=head_axis)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        lambda x, s: _put_sharded(x, NamedSharding(mesh, s)), params, specs
     )
 
 
@@ -326,10 +393,10 @@ def device_put_partitioned(
     shard0 = NamedSharding(mesh, P(axis_name, None))
     shard1 = NamedSharding(mesh, P(axis_name))
     return (
-        jax.device_put(pg.features, shard0),
-        jax.device_put(pg.src, shard1),
-        jax.device_put(pg.dst_local, shard1),
-        jax.device_put(pg.labels, shard1),
+        _put_sharded(pg.features, shard0),
+        _put_sharded(pg.src, shard1),
+        _put_sharded(pg.dst_local, shard1),
+        _put_sharded(pg.labels, shard1),
     )
 
 
@@ -347,6 +414,7 @@ class ShardedTrainer:
         *,
         log_fn: Callable[[str], None] = print,
         metrics_sink=None,
+        splits=None,
     ):
         import time
 
@@ -363,10 +431,12 @@ class ShardedTrainer:
         self.train_config = train_config
         self.log = log_fn
         self.metrics_sink = metrics_sink
+        self.splits = splits
         from gatv2_tpu.parallel.partition import halo_exchange_plan
 
         self.mesh = make_mesh(num_devices)
         self.pg = partition_graph(graph, num_devices)
+        log_fn(f"Partition: {self.pg.balance_report()}")
         # boundary-only exchange when it moves less data than an all_gather
         plan = halo_exchange_plan(self.pg) if num_devices > 1 else None
         if plan is not None and plan.halo_size >= self.pg.padded_num_nodes:
@@ -388,7 +458,7 @@ class ShardedTrainer:
         if seed is None:
             seed = int(time.time())
         self.params = device_put_params(
-            _g.init_params(model_config, jax.random.PRNGKey(seed)),
+            _g.init_params_for_variant(model_config, jax.random.PRNGKey(seed)),
             model_config,
             self.mesh,
         )
@@ -397,10 +467,44 @@ class ShardedTrainer:
         )
         self.data = device_put_partitioned(self.pg, self.mesh)
         self.epoch = 0
+        train_labels = self.pg.labels
+        num_loss_nodes = self.pg.num_real_nodes
+        self._split_eval = None
+        if splits is not None:
+            # loss masked to train nodes: partition-order labels with -1
+            # outside the train split; denominator = train-node count
+            masked = splits.masked_labels(graph.labels, "train")
+            train_labels = self.pg.scatter_nodes(masked, -1)
+            num_loss_nodes = int(splits.train.sum())
+            shard1 = NamedSharding(self.mesh, P("graph"))
+            self._train_labels_dev = jax.device_put(train_labels, shard1)
+            self._eval_labels = jax.device_put(
+                self.pg.scatter_nodes(graph.labels, -1), shard1
+            )
+            self._masks = tuple(
+                jax.device_put(self.pg.scatter_nodes(m, False), shard1)
+                for m in (splits.train, splits.val, splits.test)
+            )
+            self._split_eval = make_sharded_split_eval_step(
+                model_config, self.mesh, impl=train_config.impl,
+                edge_tiles=tiles, halo_plan=plan,
+            )
+            self.data = (self.data[0], self.data[1], self.data[2],
+                         self._train_labels_dev)
         self._step = make_sharded_train_step(
-            model_config, train_config, self.mesh, self.pg.num_real_nodes,
+            model_config, train_config, self.mesh, num_loss_nodes,
             edge_tiles=tiles, halo_plan=plan,
         )
+
+    def evaluate(self) -> dict:
+        """Accuracy on the train/val/test splits from one sharded forward."""
+        if self._split_eval is None:
+            raise ValueError("ShardedTrainer built without splits")
+        feats, src, dst_l, _ = self.data
+        accs = self._split_eval(
+            self.params, feats, src, dst_l, self._eval_labels, *self._masks
+        )
+        return {k: float(v) for k, v in zip(("train", "val", "test"), accs)}
 
     def run(self, epochs: int | None = None) -> dict:
         import time
@@ -424,6 +528,13 @@ class ShardedTrainer:
                 f"total time: {dt_ms:.2f} ms"
             )
             last = {"epoch": self.epoch, "loss": loss, "accuracy": acc, "ms": dt_ms}
+            if self._split_eval is not None:
+                accs = self.evaluate()
+                self.log(
+                    f"Train/Val/Test Accuracy: {accs['train'] * 100:.2f}% / "
+                    f"{accs['val'] * 100:.2f}% / {accs['test'] * 100:.2f}%"
+                )
+                last.update({f"{k}_accuracy": v for k, v in accs.items()})
             if self.metrics_sink is not None:
                 self.metrics_sink.write(last)
         return last

@@ -5,10 +5,19 @@ The reference has no checkpointing beyond text-dump debug hooks
 This module provides atomic npz checkpoints. Resume restores the epoch
 counter so Adam's epoch-indexed bias correction (E:908-911) continues with
 the correct `t`.
+
+Restore validates the stored pytree structure and per-leaf shapes against
+the caller's templates and fails with an actionable message on mismatch
+(e.g. resuming with a different --num-layers/--heads); the saved metadata
+carries a model/train-config fingerprint for the same reason. Restoring
+into a sharded trainer re-places every leaf with the template's sharding
+(NamedSharding survives resume — see restore_into).
 """
 
 from __future__ import annotations
 
+import dataclasses
+import hashlib
 import json
 import os
 import pathlib
@@ -24,38 +33,93 @@ def _flatten(tree: Any, prefix: str):
     return {f"{prefix}{i}": np.asarray(l) for i, l in enumerate(leaves)}, treedef
 
 
-def save(directory: str, params: Any, opt_state: Any, epoch: int) -> pathlib.Path:
+def run_meta(model_config: Any = None, train_config: Any = None) -> dict:
+    """Fingerprint of the configs that must match between save and resume."""
+    meta: dict[str, Any] = {}
+    if model_config is not None:
+        d = dataclasses.asdict(model_config)
+        meta["model_config"] = {k: d[k] for k in sorted(d)}
+    if train_config is not None:
+        d = dataclasses.asdict(train_config)
+        # only shape-affecting / optimizer-state-affecting fields
+        keep = ("optimizer", "impl", "batch_size", "fanouts")
+        meta["train_config"] = {k: d[k] for k in keep if k in d}
+    blob = json.dumps(meta, sort_keys=True, default=str)
+    meta["config_hash"] = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    return meta
+
+
+def save(
+    directory: str, params: Any, opt_state: Any, epoch: int, *, meta: dict | None = None
+) -> pathlib.Path:
     d = pathlib.Path(directory)
     d.mkdir(parents=True, exist_ok=True)
     p_flat, p_def = _flatten(params, "p")
     o_flat, o_def = _flatten(opt_state, "o")
-    meta = {
+    full_meta = {
         "epoch": int(epoch),
         "params_treedef": str(p_def),
         "opt_treedef": str(o_def),
+        **(meta or {}),
     }
     path = d / f"ckpt_{epoch:08d}.npz"
     # atomic write: tmp file + rename (np.savez keeps names ending in .npz)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz")
     os.close(fd)
-    np.savez(tmp, __meta__=json.dumps(meta), **p_flat, **o_flat)
+    np.savez(tmp, __meta__=json.dumps(full_meta), **p_flat, **o_flat)
     os.replace(tmp, path)
     return path
 
 
-def _unflatten_like(template: Any, flat: dict[str, np.ndarray], prefix: str) -> Any:
+class CheckpointMismatch(ValueError):
+    """Stored checkpoint does not match the restore templates."""
+
+
+def _unflatten_like(
+    template: Any, flat: dict[str, np.ndarray], prefix: str, *, what: str, path
+) -> Any:
     leaves, treedef = jax.tree.flatten(template)
-    new_leaves = [flat[f"{prefix}{i}"] for i in range(len(leaves))]
+    stored = sorted(
+        (k for k in flat if k.startswith(prefix) and k[len(prefix):].isdigit()),
+        key=lambda k: int(k[len(prefix):]),
+    )
+    if len(stored) != len(leaves):
+        raise CheckpointMismatch(
+            f"{path}: checkpoint stores {len(stored)} {what} tensors but the "
+            f"current run expects {len(leaves)} — the model/optimizer "
+            f"configuration changed since the checkpoint was written"
+        )
+    new_leaves = []
+    for i, tmpl in enumerate(leaves):
+        arr = flat[f"{prefix}{i}"]
+        tshape = tuple(np.shape(tmpl))
+        if tuple(arr.shape) != tshape:
+            raise CheckpointMismatch(
+                f"{path}: {what} tensor #{i} has stored shape {tuple(arr.shape)}"
+                f" but the current run expects {tshape} — check --num-layers/"
+                f"--heads/--outdims (and the dataset's class/feature counts) "
+                f"against the checkpointed run"
+            )
+        new_leaves.append(arr)
     return jax.tree.unflatten(treedef, new_leaves)
 
 
 def restore(path: str | pathlib.Path, params_template: Any, opt_template: Any):
-    """Restore into the structure of the given templates."""
+    """Restore into the structure of the given templates (validated)."""
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         flat = {k: z[k] for k in z.files if k != "__meta__"}
-    params = _unflatten_like(params_template, flat, "p")
-    opt_state = _unflatten_like(opt_template, flat, "o")
+    for key, tmpl in (("params_treedef", params_template), ("opt_treedef", opt_template)):
+        want = str(jax.tree.flatten(tmpl)[1])
+        if meta.get(key, want) != want:
+            raise CheckpointMismatch(
+                f"{path}: stored {key} differs from the current run's "
+                f"structure.\n  stored:  {meta.get(key)}\n  current: {want}\n"
+                f"The checkpoint was written by a different model/optimizer "
+                f"configuration."
+            )
+    params = _unflatten_like(params_template, flat, "p", what="parameter", path=path)
+    opt_state = _unflatten_like(opt_template, flat, "o", what="optimizer", path=path)
     return params, opt_state, meta["epoch"]
 
 
@@ -82,13 +146,23 @@ def restore_latest(directory: str, params_template: Any = None, opt_template: An
     return restore(path, params_template, opt_template)
 
 
+def _put_like(template_leaf, value: np.ndarray):
+    """Re-place a restored leaf with the template's device placement, so a
+    sharded trainer (NamedSharding over a mesh) resumes sharded instead of
+    silently collapsing to single-device arrays."""
+    sharding = getattr(template_leaf, "sharding", None)
+    if sharding is not None:
+        return jax.device_put(value, sharding)
+    return jax.numpy.asarray(value)
+
+
 def restore_into(directory: str, trainer) -> bool:
     """Restore newest checkpoint into a Trainer in place. True if restored."""
     path = latest_path(directory)
     if path is None:
         return False
     params, opt_state, epoch = restore(path, trainer.params, trainer.opt_state)
-    trainer.params = jax.tree.map(lambda x: jax.numpy.asarray(x), params)
-    trainer.opt_state = jax.tree.map(lambda x: jax.numpy.asarray(x), opt_state)
+    trainer.params = jax.tree.map(_put_like, trainer.params, params)
+    trainer.opt_state = jax.tree.map(_put_like, trainer.opt_state, opt_state)
     trainer.epoch = epoch
     return True

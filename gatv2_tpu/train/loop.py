@@ -206,7 +206,7 @@ class Trainer:
         if seed is None:
             seed = int(time.time())  # reference seeds with time(NULL), E:1305
         self.key = jax.random.PRNGKey(seed)
-        self.params = gatv2.init_params(model_config, self.key)
+        self.params = gatv2.init_params_for_variant(model_config, self.key)
         self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
         self.epoch = 0  # completed epochs
         num_valid = None

@@ -56,30 +56,45 @@ def make_dp_minibatch_step(
     *,
     axis_name: str = "data",
     donate: bool = True,
+    tiles_template=None,  # one batch's EdgeTiles: enables the Pallas path
+    #   (the step then takes stacked per-device tiles as its last argument)
 ) -> Callable:
     """Data-parallel step: every array arg carries a leading per-device dim
-    (stacked subgraphs), sharded over `axis_name`. Loss/acc are averaged and
-    grads psum'd across the mesh."""
+    (stacked subgraphs), sharded over `axis_name`. The loss/accuracy are
+    SEED-WEIGHTED across devices (psum of per-device sums / psum of seed
+    counts), so a padding batch with num_seeds=0 contributes nothing — to
+    either the printed metrics or the gradient."""
 
-    def local_loss(params, features, src, dst, labels, num_seeds):
-        loss, acc = gatv2.loss_fn(
-            params, features, src, dst, labels, model_config,
-            impl=train_config.impl, num_valid=num_seeds,
-        )
-        return loss, acc
-
-    def sharded_loss_body(params, features, src, dst, labels, num_seeds):
+    def sharded_loss_body(params, features, src, dst, labels, num_seeds, et_sh):
         # each device sees leading dim 1: drop it
-        loss, acc = local_loss(
-            params, features[0], src[0], dst[0], labels[0], num_seeds[0]
+        et = (
+            jax.tree.map(lambda x: x[0], et_sh) if et_sh is not None else None
         )
-        loss = jax.lax.pmean(loss, axis_name)
-        acc = jax.lax.pmean(acc, axis_name)
+        n = num_seeds[0]
+        loss, acc = gatv2.loss_fn(
+            params, features[0], src[0], dst[0], labels[0], model_config,
+            impl=train_config.impl, num_valid=jnp.maximum(n, 1),
+            edge_tiles=et,
+        )
+        w = n.astype(jnp.float32)
+        total = jnp.maximum(jax.lax.psum(w, axis_name), 1.0)
+        loss = jax.lax.psum(loss * w, axis_name) / total
+        acc = jax.lax.psum(acc * w, axis_name) / total
         return loss, acc
 
+    et_specs = (
+        jax.tree.map(
+            lambda x: P(axis_name, *([None] * np.asarray(x).ndim)),
+            tiles_template,
+        )
+        if tiles_template is not None
+        else None
+    )
     sharded_loss = jax.shard_map(
         sharded_loss_body,
         mesh=mesh,
+        # pallas_call outputs carry no varying-mesh-axes metadata yet
+        check_vma=False,
         in_specs=(
             P(),
             P(axis_name, None, None),
@@ -87,13 +102,17 @@ def make_dp_minibatch_step(
             P(axis_name, None),
             P(axis_name, None),
             P(axis_name),
+            et_specs,
         ),
         out_specs=(P(), P()),
     )
 
-    def step(params, opt_state, t, features, src, dst, labels, num_seeds):
+    def step(params, opt_state, t, features, src, dst, labels, num_seeds,
+             tiles=None):
         (loss, acc), grads = jax.value_and_grad(
-            lambda p: sharded_loss(p, features, src, dst, labels, num_seeds),
+            lambda p: sharded_loss(
+                p, features, src, dst, labels, num_seeds, tiles
+            ),
             has_aux=True,
         )(params)
         params, opt_state = optim.apply_updates(
@@ -105,7 +124,10 @@ def make_dp_minibatch_step(
 
 
 def stack_batches(batches: list[MiniBatch], mesh: Mesh, *, axis_name: str = "data"):
-    """Stack per-device MiniBatches and place them sharded over the mesh."""
+    """Stack per-device MiniBatches and place them sharded over the mesh.
+    When the batches carry EdgeTiles (emit_tiles sampler mode — identical
+    shapes across batches by construction), the stacked tiles pytree is
+    returned as a sixth element."""
     feats = np.stack([b.features for b in batches])
     src = np.stack([b.src for b in batches])
     dst = np.stack([b.dst for b in batches])
@@ -114,13 +136,25 @@ def stack_batches(batches: list[MiniBatch], mesh: Mesh, *, axis_name: str = "dat
     s3 = NamedSharding(mesh, P(axis_name, None, None))
     s2 = NamedSharding(mesh, P(axis_name, None))
     s1 = NamedSharding(mesh, P(axis_name))
-    return (
+    out = (
         jax.device_put(feats, s3),
         jax.device_put(src, s2),
         jax.device_put(dst, s2),
         jax.device_put(labels, s2),
         jax.device_put(seeds, s1),
     )
+    if batches[0].tiles is None:
+        return out
+    tiles = jax.tree.map(
+        lambda *leaves: jax.device_put(
+            np.stack([np.asarray(l) for l in leaves]),
+            NamedSharding(
+                mesh, P(axis_name, *([None] * np.asarray(leaves[0]).ndim))
+            ),
+        ),
+        *[b.tiles for b in batches],
+    )
+    return out + (tiles,)
 
 
 class MinibatchTrainer:
@@ -174,7 +208,7 @@ class MinibatchTrainer:
             seed_nodes=seed_nodes,
             emit_tiles=(train_config.impl == "pallas"),
         )
-        self.params = _g.init_params(model_config, jax.random.PRNGKey(seed))
+        self.params = _g.init_params_for_variant(model_config, jax.random.PRNGKey(seed))
         self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
         self.epoch = 0
         self.step_count = 0
@@ -280,3 +314,126 @@ class MinibatchTrainer:
             if self.metrics_sink is not None:
                 self.metrics_sink.write(last)
         return last
+
+
+class DataParallelMinibatchTrainer(MinibatchTrainer):
+    """Sampled-subgraph training data-parallel over a 'data' mesh axis:
+    each device trains on its own sampled subgraph per step; gradients are
+    combined seed-weighted by the autodiff transpose of the psum in
+    make_dp_minibatch_step. Reached from the CLI via --mesh N --batch-size B.
+
+    The epoch's batch stream is grouped into N-device super-steps; a
+    trailing partial group is padded with zero-seed dummies (num_seeds=0,
+    all labels -1) that contribute nothing to metrics or gradients.
+    """
+
+    def __init__(
+        self,
+        graph,
+        model_config: ModelConfig,
+        train_config: TrainConfig,
+        num_devices: int,
+        *,
+        log_fn: Callable[[str], None] = print,
+        metrics_sink=None,
+        splits=None,
+    ):
+        super().__init__(
+            graph, model_config, train_config,
+            log_fn=log_fn, metrics_sink=metrics_sink, splits=splits,
+        )
+        from gatv2_tpu.parallel.mesh import make_mesh
+
+        self.mesh = make_mesh(num_devices, axis_name="data")
+        self.ndev = num_devices
+        self._dp_step = None  # built lazily (pallas needs a tiles template)
+
+    def _pad_group(self, group: list[MiniBatch]) -> list[MiniBatch]:
+        import dataclasses as _dc
+
+        while len(group) < self.ndev:
+            b0 = group[0]
+            group.append(
+                _dc.replace(
+                    b0,
+                    labels=np.full_like(b0.labels, -1),
+                    num_seeds=0,
+                )
+            )
+        return group
+
+    def run(self, epochs: int | None = None) -> dict:
+        import time
+
+        from gatv2_tpu.data.sampling import prefetch
+
+        epochs = epochs if epochs is not None else self.train_config.epochs
+        last = {}
+        for _ in range(epochs):
+            self.epoch += 1
+            t0 = time.perf_counter()
+            loss_sum = 0.0
+            correct_sum = 0.0
+            seeds_total = 0
+            group: list[MiniBatch] = []
+
+            def flush(group):
+                nonlocal loss_sum, correct_sum, seeds_total
+                group = self._pad_group(group)
+                if self._dp_step is None:
+                    self._dp_step = make_dp_minibatch_step(
+                        self.model_config, self.train_config, self.mesh,
+                        tiles_template=group[0].tiles,
+                    )
+                self.step_count += 1
+                stacked = stack_batches(group, self.mesh)
+                self.params, self.opt_state, loss, acc = self._dp_step(
+                    self.params, self.opt_state,
+                    jnp.asarray(self.step_count, jnp.int32), *stacked,
+                )
+                n = sum(b.num_seeds for b in group)
+                loss_sum += float(loss) * n
+                correct_sum += float(acc) * n
+                seeds_total += n
+
+            for b in prefetch(self.sampler, depth=2 * self.ndev):
+                group.append(b)
+                if len(group) == self.ndev:
+                    flush(group)
+                    group = []
+            if group:
+                flush(group)
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            avg_loss = loss_sum / max(seeds_total, 1)
+            avg_acc = correct_sum / max(seeds_total, 1)
+            self.log(f"Epoch {self.epoch}")
+            self.log(
+                f"Avg Loss: {avg_loss:.6f}, Accuracy: {avg_acc * 100.0:.2f}%  "
+                f"total time: {dt_ms:.2f} ms"
+            )
+            last = {
+                "epoch": self.epoch,
+                "loss": avg_loss,
+                "accuracy": avg_acc,
+                "ms": dt_ms,
+                "devices": self.ndev,
+            }
+            if self.metrics_sink is not None:
+                self.metrics_sink.write(last)
+        return last
+
+    def sync_step_count(self) -> None:
+        steps_per_epoch = -(-self.sampler.batches_per_epoch() // self.ndev)
+        self.step_count = self.epoch * steps_per_epoch
+
+    def evaluate(self, which: str = "test") -> float:
+        # params are replicated over the data mesh; pull a local copy so the
+        # single-device eval path runs without mesh placement constraints
+        params_mesh = self.params
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x)), params_mesh
+        )
+        try:
+            return super().evaluate(which)
+        finally:
+            self.params = params_mesh

@@ -1,0 +1,99 @@
+"""Every CLI flag combination runs end-to-end — the reference's one binary
+supports every flag together (README.md:85-140), so must this train.py.
+
+Uses the committed real dataset `data/karate` (Zachary's karate club, with
+split-mask files) as the fixture: a fresh checkout of this repo can run
+every one of these commands verbatim.
+"""
+
+import pathlib
+
+import pytest
+
+import train as train_main
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+DATA = str(REPO / "data")
+
+BASE = [
+    "--dataset", "karate", "--data-root", DATA,
+    "--num-layers", "2", "--heads", "2,2", "--outdims", "8,8",
+    "--optimizer", "adam", "--lr", "0.01", "--seed", "0",
+    "--epochs", "3",
+]
+
+
+def run(argv):
+    assert train_main.main(argv) == 0
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        [],
+        ["--impl", "pallas"],
+        ["--variant", "node"],
+        ["--clip"],
+        ["--mesh", "2"],
+        ["--mesh", "2", "--impl", "pallas"],
+        ["--batch-size", "8", "--fanouts", "4,4", "--sampler-engine", "python"],
+        ["--batch-size", "8", "--fanouts", "4,4", "--impl", "pallas",
+         "--sampler-engine", "python"],
+        ["--mesh", "2", "--batch-size", "8", "--fanouts", "4,4",
+         "--sampler-engine", "python"],
+        ["--mesh", "2", "--batch-size", "8", "--fanouts", "4,4",
+         "--impl", "pallas", "--sampler-engine", "python"],
+    ],
+    ids=[
+        "xla", "pallas", "node-variant", "clip", "mesh", "mesh-pallas",
+        "minibatch", "minibatch-pallas", "dp-minibatch", "dp-minibatch-pallas",
+    ],
+)
+def test_flag_matrix(extra, capsys):
+    run(BASE + extra)
+    out = capsys.readouterr().out
+    assert "Avg Loss:" in out
+    # karate ships mask files -> every path must report held-out accuracy
+    assert "Final Test Accuracy:" in out
+
+
+def test_checkpoint_resume_with_mesh(tmp_path, capsys):
+    ck = str(tmp_path / "ck")
+    run(BASE + ["--mesh", "2", "--checkpoint-dir", ck])
+    run(BASE[:-1] + ["6", "--mesh", "2", "--checkpoint-dir", ck, "--resume"])
+    out = capsys.readouterr().out
+    assert "Resumed from checkpoint at epoch 3" in out
+    assert "Epoch 6" in out
+
+
+def test_checkpoint_resume_minibatch(tmp_path, capsys):
+    mb = ["--batch-size", "8", "--fanouts", "4,4", "--sampler-engine", "python"]
+    ck = str(tmp_path / "ck")
+    run(BASE + mb + ["--checkpoint-dir", ck])
+    run(BASE[:-1] + ["5"] + mb + ["--checkpoint-dir", ck, "--resume"])
+    out = capsys.readouterr().out
+    assert "Resumed from checkpoint at epoch 3" in out
+
+
+def test_save_then_load_weights(tmp_path, capsys):
+    w = str(tmp_path / "w")
+    run(BASE + ["--save-weights", w])
+    run(BASE + ["--load-weights", w])
+    out = capsys.readouterr().out
+    assert f"Loaded weights from {w}/" in out
+
+
+def test_load_weights_with_resume_rejected(tmp_path):
+    with pytest.raises(SystemExit, match="--load-weights cannot be combined"):
+        run(BASE + ["--load-weights", str(tmp_path), "--resume",
+                    "--checkpoint-dir", str(tmp_path)])
+
+
+def test_resume_with_changed_model_errors(tmp_path):
+    from gatv2_tpu.train.checkpoint import CheckpointMismatch
+
+    ck = str(tmp_path / "ck")
+    run(BASE + ["--checkpoint-dir", ck])
+    wrong = [v if v != "8,8" else "16,16" for v in BASE]
+    with pytest.raises(CheckpointMismatch, match="stored shape"):
+        run(wrong + ["--checkpoint-dir", ck, "--resume"])

@@ -1,0 +1,49 @@
+"""Multi-host path: 2 OS processes + jax.distributed over a localhost
+coordinator (CPU backend, Gloo collectives) must reproduce the
+single-process 2-device-mesh losses (VERDICT round-1 item 9).
+"""
+
+import json
+import pathlib
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+SMOKE = str(REPO / "tools" / "multihost_smoke.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_matches_single_process():
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, SMOKE, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"smoke process failed:\n{err[-2000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # the psum-replicated loss is identical on every process
+    assert outs[0]["losses"] == outs[1]["losses"]
+
+    # and matches a single-process 2-virtual-device run of the same program
+    from tools.multihost_smoke import run_training
+
+    single = run_training(num_devices=2)
+    for a, b in zip(single, outs[0]["losses"]):
+        assert a == pytest.approx(b, rel=1e-6)

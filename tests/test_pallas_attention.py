@@ -431,15 +431,55 @@ def test_fixed_edge_tiles_validation(tiny_graph):
         )
 
 
-def test_pallas_head_limit_guard(tiny_graph):
+def test_pallas_many_heads_matches_xla(tiny_graph):
+    """>STATS_L heads run as independent head groups (no hard limit; the
+    round-1 guard used to reject this case). Forward AND grads match the
+    XLA oracle."""
+    from gatv2_tpu.ops.attention import _edge_attention_xla
+
     g = tiny_graph
     et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
     h, d = 17, 4  # > STATS_L compact-stat lanes
     zs, zd, a = _random_inputs(g, h, d, seed=50)
-    with pytest.raises(ValueError, match="at most 16 attention heads"):
-        edge_attention_pallas(
-            zs, zd, a, None, None, g.num_nodes,
-            negative_slope=0.01, edge_tiles=et, interpret=True,
+    pe = g.padded_edges(128)
+    src = jnp.asarray(pe.src)
+    dst = jnp.asarray(pe.dst)
+
+    def loss_pl(zs, zd, a):
+        return jnp.sum(
+            jnp.sin(
+                edge_attention_pallas(
+                    zs, zd, a, None, None, g.num_nodes,
+                    negative_slope=0.01, edge_tiles=et, interpret=True,
+                )
+            )
+        )
+
+    def loss_xla(zs, zd, a):
+        return jnp.sum(
+            jnp.sin(
+                _edge_attention_xla(
+                    zs, zd, a, src, dst, g.num_nodes, negative_slope=0.01
+                )
+            )
+        )
+
+    v_pl, v_xla = loss_pl(zs, zd, a), loss_xla(zs, zd, a)
+    assert float(v_pl) == pytest.approx(float(v_xla), rel=1e-5)
+    # flat [N, H*D] layout (the Trainer's pallas fast path) slices the same
+    # head-major groups
+    h_flat = edge_attention_pallas(
+        zs.reshape(zs.shape[0], -1), zd.reshape(zd.shape[0], -1), a,
+        None, None, g.num_nodes, negative_slope=0.01, edge_tiles=et,
+        interpret=True,
+    )
+    v_flat = float(jnp.sum(jnp.sin(h_flat[:, : h * d])))
+    assert v_flat == pytest.approx(float(v_xla), rel=1e-5)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(zs, zd, a)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(zs, zd, a)
+    for a_, b_ in zip(g_pl, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-6
         )
 
 

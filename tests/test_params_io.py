@@ -80,3 +80,39 @@ def test_txt_dump_restore_forward_equal(learnable_graph, tmp_path):
     np.testing.assert_allclose(
         np.asarray(out_a), np.asarray(out_b), rtol=1e-6, atol=1e-7
     )
+
+
+def test_init_params_for_variant_selects_draw(learnable_graph):
+    """variant='edge' initializes with the fused single-tensor draw (the
+    edge program's xavier_init_kernel_curand distribution,
+    GATv2_edge_based.cu:186-248); variant='node' with split draws."""
+    import dataclasses
+
+    import jax
+
+    from gatv2_tpu.models.gatv2 import init_params, init_params_for_variant
+    from gatv2_tpu.models.params_io import init_params_fused
+
+    g = learnable_graph
+    base = ModelConfig(
+        num_layers=2, heads=(2, 1), out_dims=(8, 4),
+        num_classes=g.num_classes, in_dim=g.feature_dim,
+    )
+    key = jax.random.PRNGKey(9)
+    edge_cfg = dataclasses.replace(base, variant="edge")
+    node_cfg = dataclasses.replace(base, variant="node")
+
+    got_edge = init_params_for_variant(edge_cfg, key)
+    want_edge = init_params_fused(edge_cfg, key)
+    for a, b in zip(jax.tree.leaves(got_edge), jax.tree.leaves(want_edge)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    got_node = init_params_for_variant(node_cfg, key)
+    want_node = init_params(node_cfg, key)
+    for a, b in zip(jax.tree.leaves(got_node), jax.tree.leaves(want_node)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the two draws genuinely differ (different stream layout)
+    assert not all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(got_edge), jax.tree.leaves(got_node))
+    )

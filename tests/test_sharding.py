@@ -29,18 +29,64 @@ def _cfg(graph, variant="edge"):
     )
 
 
-def test_partition_covers_all_edges(learnable_graph):
-    pg = partition_graph(learnable_graph, 8)
+@pytest.mark.parametrize("balance", ["edges", "nodes"])
+def test_partition_covers_all_edges(learnable_graph, balance):
+    pg = partition_graph(learnable_graph, 8, balance=balance)
     # every real edge appears exactly once with the right destination
     src = pg.src.reshape(8, -1)
     dst = pg.dst_local.reshape(8, -1)
+
+    def slot_to_global(slot):
+        s, off = divmod(int(slot), pg.nodes_per_shard)
+        return int(pg.node_bounds[s]) + off
+
     seen = []
     for s in range(8):
         real = dst[s] < pg.nodes_per_shard
         for e in np.where(real)[0]:
-            seen.append((src[s][e], dst[s][e] + s * pg.nodes_per_shard))
+            seen.append(
+                (slot_to_global(src[s][e]), dst[s][e] + int(pg.node_bounds[s]))
+            )
     want = sorted(zip(learnable_graph.src, learnable_graph.dst))
     assert sorted(seen) == [tuple(map(int, w)) for w in want]
+    # node scatter round-trips through slot ids
+    vals = np.arange(learnable_graph.num_nodes, dtype=np.int32)
+    scat = pg.scatter_nodes(vals, -1)
+    assert (scat[pg.slot_of(vals)] == vals).all()
+
+
+def test_edge_balanced_partition_on_powerlaw():
+    """On a power-law graph, equal node blocks leave a >2x edge skew that
+    the edge-balanced boundaries flatten to ~1x (VERDICT round-1 item 3)."""
+    from gatv2_tpu.data.synthetic import random_graph
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    # heavy-tailed in-degrees concentrated on low node ids
+    deg = np.minimum((rng.pareto(1.0, n) * 4).astype(np.int64), 400)
+    deg[: n // 64] += 200  # hub block
+    row_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=row_ptr[1:])
+    col_idx = rng.integers(0, n, int(row_ptr[-1]))
+    from gatv2_tpu.data.graph import Graph
+
+    g = Graph(
+        features=np.zeros((n, 4), np.float32),
+        row_ptr=row_ptr,
+        col_idx=col_idx,
+        labels=np.zeros(n, np.int32),
+    )
+    pg_nodes = partition_graph(g, 8, balance="nodes")
+    pg_edges = partition_graph(g, 8, balance="edges")
+
+    def ratio(pg):
+        c = pg.edge_counts
+        return c.max() / max(c.min(), 1)
+
+    assert ratio(pg_nodes) > 2.0  # the skew the old layout suffered
+    assert ratio(pg_edges) < 1.2
+    # balanced partition wastes far less edge padding
+    assert pg_edges.edges_per_shard * 8 < pg_nodes.edges_per_shard * 8 * 0.7
 
 
 @pytest.mark.parametrize("ndev", [2, 8])
@@ -318,3 +364,92 @@ def test_halo_exchange_matches_all_gather(learnable_graph, impl):
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-7
         )
+
+
+def test_sharded_split_eval_matches_single_device(learnable_graph):
+    """make_sharded_split_eval_step reproduces the single-device split
+    accuracies from the same params (mesh + --split-* CLI path)."""
+    from gatv2_tpu.data.splits import random_splits
+    from gatv2_tpu.parallel.sharded import (
+        device_put_partitioned,
+        make_sharded_split_eval_step,
+    )
+    from gatv2_tpu.train.loop import make_split_eval_step
+    from gatv2_tpu.config import TrainConfig
+
+    g = learnable_graph
+    config = _cfg(g)
+    params = init_params(config, jax.random.PRNGKey(7))
+    sp = random_splits(g.num_nodes, (0.6, 0.2, 0.2), seed=3)
+
+    pe = g.padded_edges(128)
+    single_eval = make_split_eval_step(config, TrainConfig())
+    accs_ref = single_eval(
+        params, jnp.asarray(g.features), jnp.asarray(pe.src),
+        jnp.asarray(pe.dst), jnp.asarray(g.labels),
+        *(jnp.asarray(m) for m in (sp.train, sp.val, sp.test)),
+    )
+
+    mesh = make_mesh(4)
+    pg = partition_graph(g, 4)
+    feats, src, dst_l, _ = device_put_partitioned(pg, mesh)
+    eval_step = make_sharded_split_eval_step(config, mesh)
+    accs_sh = eval_step(
+        params, feats, src, dst_l,
+        jnp.asarray(pg.scatter_nodes(g.labels, -1)),
+        *(jnp.asarray(pg.scatter_nodes(m, False)) for m in (sp.train, sp.val, sp.test)),
+    )
+    for a, b in zip(accs_ref, accs_sh):
+        assert float(a) == pytest.approx(float(b), abs=1e-6)
+
+
+def test_sharded_trainer_split_training_and_eval(learnable_graph):
+    """ShardedTrainer with splits: loss is masked to train nodes, per-epoch
+    split accuracies are reported, and evaluate() works."""
+    from gatv2_tpu.data.splits import random_splits
+    from gatv2_tpu.parallel.sharded import ShardedTrainer
+
+    g = learnable_graph
+    config = _cfg(g)
+    tc = TrainConfig(optimizer="adam", lr=0.02, seed=0, epochs=0)
+    sp = random_splits(g.num_nodes, (0.6, 0.2, 0.2), seed=0)
+    logs = []
+    trainer = ShardedTrainer(g, config, tc, 8, log_fn=logs.append, splits=sp)
+    last = trainer.run(8)
+    assert "test_accuracy" in last
+    assert any(l.startswith("Train/Val/Test Accuracy") for l in logs)
+    accs = trainer.evaluate()
+    assert set(accs) == {"train", "val", "test"}
+    # trained on 60% of nodes: train accuracy should move off chance
+    assert accs["train"] > 0.3
+
+
+def test_sharded_resume_preserves_sharding(learnable_graph, tmp_path):
+    """Checkpoint resume into a ShardedTrainer re-places every leaf with its
+    NamedSharding (round-1 dropped placements on restore)."""
+    from jax.sharding import NamedSharding
+    from gatv2_tpu.parallel.sharded import ShardedTrainer
+    from gatv2_tpu.train import checkpoint as ckpt
+
+    g = learnable_graph
+    config = _cfg(g)
+    tc = TrainConfig(optimizer="adam", lr=0.02, seed=0, epochs=0)
+    t1 = ShardedTrainer(g, config, tc, 8, log_fn=lambda s: None)
+    t1.run(2)
+    ckpt.save(str(tmp_path), t1.params, t1.opt_state, t1.epoch)
+
+    t2 = ShardedTrainer(g, config, tc, 8, log_fn=lambda s: None)
+    want_shardings = jax.tree.map(lambda x: x.sharding, t2.params)
+    assert ckpt.restore_into(str(tmp_path), t2)
+    assert t2.epoch == 2
+    for leaf, want in zip(
+        jax.tree.leaves(t2.params), jax.tree.leaves(want_shardings)
+    ):
+        assert isinstance(leaf.sharding, NamedSharding)
+        assert leaf.sharding == want
+    # restored values match the saved ones
+    for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and training continues from the restored state
+    t2.run(1)
+    assert t2.epoch == 3

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Train the committed real datasets across implementations and record the
+accuracy-parity table (ACCURACY.md).
+
+Each (dataset, mode) cell runs in a subprocess so the backend can differ per
+cell: xla/pallas run on the default backend (the real TPU chip when
+tunneled), mesh-8 runs on an 8-virtual-device CPU mesh (the standard JAX way
+to exercise the sharded path without a pod), dp runs data-parallel minibatch
+on a 4-virtual-device CPU mesh.
+
+Usage:
+  python tools/run_accuracy.py            # full table -> ACCURACY.md
+  python tools/run_accuracy.py --single dataset=digits mode=xla   # one cell
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+CONFIGS = {
+    "karate": ["--num-layers", "2", "--heads", "2,2", "--outdims", "8,8",
+               "--epochs", "200", "--optimizer", "adam", "--lr", "0.01",
+               "--seed", "0"],
+    "digits": ["--num-layers", "2", "--heads", "4,4", "--outdims", "16,16",
+               "--epochs", "200", "--optimizer", "adam", "--lr", "0.01",
+               "--seed", "0"],
+}
+
+MODES = {
+    "xla": (["--impl", "xla"], {}),
+    "pallas": (["--impl", "pallas"], {}),
+    "mesh8-cpu": (
+        ["--impl", "xla", "--mesh", "8"],
+        {"GATV2_PLATFORM": "cpu",
+         "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    ),
+    "mesh8-pallas-cpu": (
+        ["--impl", "pallas", "--mesh", "8"],
+        {"GATV2_PLATFORM": "cpu",
+         "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    ),
+    "dp4-minibatch-cpu": (
+        ["--impl", "xla", "--mesh", "4", "--batch-size", "128",
+         "--fanouts", "10,10"],
+        {"GATV2_PLATFORM": "cpu",
+         "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+    ),
+}
+
+
+def run_cell(dataset: str, mode: str) -> dict:
+    args, env_over = MODES[mode]
+    cmd = [sys.executable, str(REPO / "train.py"), "--dataset", dataset,
+           "--data-root", str(REPO / "data"), *CONFIGS[dataset], *args]
+    env = dict(os.environ, **env_over)
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600
+    )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"{dataset}/{mode} failed rc={out.returncode}\n{out.stdout[-2000:]}"
+            f"\n{out.stderr[-2000:]}"
+        )
+    test_acc = None
+    final_loss = None
+    for line in out.stdout.splitlines():
+        if line.startswith("Final Test Accuracy:"):
+            test_acc = float(line.split(":")[1].strip().rstrip("%"))
+        if line.startswith("Avg Loss:"):
+            final_loss = float(line.split("Avg Loss:")[1].split(",")[0])
+    return {"dataset": dataset, "mode": mode, "test_acc_pct": test_acc,
+            "final_train_loss": final_loss}
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "--single":
+        kv = dict(a.split("=", 1) for a in argv[1:])
+        print(json.dumps(run_cell(kv["dataset"], kv["mode"])))
+        return 0
+
+    results = []
+    for dataset in CONFIGS:
+        for mode in MODES:
+            if dataset == "karate" and mode == "dp4-minibatch-cpu":
+                continue  # 34 nodes < one dp group; not meaningful
+            r = run_cell(dataset, mode)
+            print(json.dumps(r), flush=True)
+            results.append(r)
+
+    write_markdown(results)
+    return 0
+
+
+def write_markdown(results: list[dict]) -> None:
+    by_ds: dict[str, dict[str, dict]] = {}
+    for r in results:
+        by_ds.setdefault(r["dataset"], {})[r["mode"]] = r
+
+    lines = [
+        "# ACCURACY — real-dataset training parity",
+        "",
+        "Genuine (non-synthetic) datasets committed in-repo under `data/` in",
+        "the reference's 4-file text format (+ split masks); generated from",
+        "offline package data by `tools/make_real_datasets.py`:",
+        "",
+        "- **karate** — Zachary's karate club (networkx): 34 nodes /",
+        "  156 directed edges / 2 classes; one-hot identity features.",
+        "- **digits** — sklearn handwritten digits: 1,797 nodes (real 8x8",
+        "  images, 64 features) / 21,651 edges (symmetrized 8-NN graph +",
+        "  self-loops) / 10 classes.",
+        "",
+        "The reference's own catalog (Cora/Citeseer/Pubmed/Arxiv/Products,",
+        "/root/reference/README.md:22-35) requires network downloads this",
+        "environment cannot perform (zero egress); `tools/convert_ogb.py`",
+        "converts locally-prepared OGB data when available. The datasets",
+        "here serve the same purpose: end-to-end training on real features/",
+        "labels with held-out test evaluation, across every execution path.",
+        "",
+        "Protocol: 2-layer GATv2, Adam lr=0.01, 200 epochs, seed 0, the",
+        "committed deterministic split masks. xla/pallas cells ran on the",
+        "real TPU v5 lite chip; mesh cells on virtual CPU meshes (8-way",
+        "edge-partitioned full-graph; 4-way data-parallel neighbor-sampled",
+        "minibatch).",
+        "",
+        "| dataset | mode | test accuracy | final train loss |",
+        "|---|---|---|---|",
+    ]
+    for ds, modes in by_ds.items():
+        for mode, r in modes.items():
+            lines.append(
+                f"| {ds} | {mode} | {r['test_acc_pct']:.2f}% | "
+                f"{r['final_train_loss']:.4f} |"
+            )
+    lines.append("")
+    for ds, modes in by_ds.items():
+        accs = [r["test_acc_pct"] for r in modes.values()]
+        if len(accs) > 1:
+            lines.append(
+                f"Cross-implementation spread ({ds}): "
+                f"{max(accs) - min(accs):.2f} pp across {len(accs)} paths."
+            )
+    lines.append("")
+    (REPO / "ACCURACY.md").write_text("\n".join(lines))
+    print(f"wrote {REPO / 'ACCURACY.md'}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -65,14 +65,25 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Split: {tr} train / {va} val / {te} test nodes")
 
     sink = JsonlSink(train_config.log_file) if train_config.log_file else None
-    if args.mesh > 0:
+    if args.mesh > 0 and train_config.batch_size > 0:
+        from gatv2_tpu.train.minibatch import DataParallelMinibatchTrainer
+
+        print(
+            f"Data-parallel minibatch mode: {args.mesh} devices x "
+            f"batch_size={train_config.batch_size}, "
+            f"fanouts={list(train_config.fanouts)}"
+        )
+        trainer = DataParallelMinibatchTrainer(
+            graph, model_config, train_config, args.mesh,
+            metrics_sink=sink, splits=splits,
+        )
+    elif args.mesh > 0:
         from gatv2_tpu.parallel.sharded import ShardedTrainer
 
-        if splits is not None:
-            raise SystemExit("--split-* is not yet supported with --mesh")
         print(f"Sharded mode: edge-partitioned over {args.mesh} devices")
         trainer = ShardedTrainer(
-            graph, model_config, train_config, args.mesh, metrics_sink=sink
+            graph, model_config, train_config, args.mesh, metrics_sink=sink,
+            splits=splits,
         )
     elif train_config.batch_size > 0:
         from gatv2_tpu.train.minibatch import MinibatchTrainer
@@ -104,41 +115,51 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Device memory allocated on {dev}: {used:.1f} MB")
 
     if args.load_weights:
+        if train_config.resume:
+            # loading fresh weights on top of a restored checkpoint would
+            # silently pair them with the checkpoint's warm Adam moments and
+            # epoch counter, corrupting the first updates
+            raise SystemExit(
+                "Error: --load-weights cannot be combined with --resume "
+                "(the restored optimizer state/epoch belong to the "
+                "checkpointed weights)."
+            )
         from gatv2_tpu.models.params_io import load_params_txt
 
         trainer.params = load_params_txt(args.load_weights, model_config)
         print(f"Loaded weights from {args.load_weights}/")
 
-    profile_ctx = None
-    if args.profile:
-        profile_ctx = jax.profiler.trace(args.profile)
-        profile_ctx.__enter__()
-        print(f"Profiling to {args.profile}/")
+    import contextlib
 
-    remaining = train_config.epochs - trainer.epoch
-    every = train_config.checkpoint_every
-    if train_config.checkpoint_dir and every > 0:
-        while trainer.epoch < train_config.epochs:
-            n = min(every, train_config.epochs - trainer.epoch)
-            trainer.run(n)
-            ckpt.save(
-                train_config.checkpoint_dir,
-                trainer.params,
-                trainer.opt_state,
-                trainer.epoch,
-            )
-    elif remaining > 0:
-        trainer.run(remaining)
-        if train_config.checkpoint_dir:
-            ckpt.save(
-                train_config.checkpoint_dir,
-                trainer.params,
-                trainer.opt_state,
-                trainer.epoch,
-            )
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
-    if splits is not None and args.mesh == 0:
+    with contextlib.ExitStack() as stack:
+        if args.profile:
+            stack.enter_context(jax.profiler.trace(args.profile))
+            print(f"Profiling to {args.profile}/")
+
+        remaining = train_config.epochs - trainer.epoch
+        every = train_config.checkpoint_every
+        if train_config.checkpoint_dir and every > 0:
+            while trainer.epoch < train_config.epochs:
+                n = min(every, train_config.epochs - trainer.epoch)
+                trainer.run(n)
+                ckpt.save(
+                    train_config.checkpoint_dir,
+                    trainer.params,
+                    trainer.opt_state,
+                    trainer.epoch,
+                    meta=ckpt.run_meta(model_config, train_config),
+                )
+        elif remaining > 0:
+            trainer.run(remaining)
+            if train_config.checkpoint_dir:
+                ckpt.save(
+                    train_config.checkpoint_dir,
+                    trainer.params,
+                    trainer.opt_state,
+                    trainer.epoch,
+                    meta=ckpt.run_meta(model_config, train_config),
+                )
+    if splits is not None:
         if train_config.batch_size > 0:
             print(f"Final Test Accuracy: {trainer.evaluate('test') * 100:.2f}%")
         else:
