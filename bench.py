@@ -45,6 +45,64 @@ CONFIGS = {
 }
 
 
+def flops_per_epoch(name: str, impl: str) -> dict:
+    """Model-FLOPs accounting for one training epoch (fwd+bwd+update).
+
+    Two categories, reported separately (VERDICT round-1 item 5):
+
+    - model_gflop: algorithmic FLOPs the math requires. Dense projections
+      (zs/zd per layer + classifier) and per-edge work (score dot, softmax,
+      aggregation ~ 6D+10 FLOPs per edge-head). Backward of a matmul costs
+      2x its forward (dW and dx), so the epoch total is ~3x forward.
+    - structural_gflop: EXTRA FLOPs the one-hot MXU segment-reduction
+      formulation burns (each 128-edge tile multiplies against a 128-wide
+      one-hot matrix -> TILE_N x the algorithmic aggregation cost; ~4 such
+      passes per layer across fwd + the three backward phases). These are
+      real device FLOPs but do no algorithmic work — edges/s is the honest
+      throughput metric; MFU is reported against the algorithmic count.
+    """
+    n, e, f, c, layers, heads, outdims = CONFIGS[name]
+    in_dims = [f] + [heads[l] * outdims[l] for l in range(layers - 1)]
+    dense = 0.0
+    edge_alg = 0.0
+    structural = 0.0
+    tile = 128
+    e_tiles = -(-e // tile)
+    for l in range(layers):
+        h, d = heads[l], outdims[l]
+        dense += 2 * 2.0 * n * in_dims[l] * h * d  # zs and zd projections
+        edge_alg += e * h * (6.0 * d + 10.0)
+        if impl == "pallas":
+            # one-hot segment matmuls: fwd seg-sum + ~3 backward phases
+            structural += 4 * 2.0 * e_tiles * tile * tile * h * d
+    dense += 2.0 * n * outdims[-1] * c  # classifier
+    fwd_bwd = 3.0  # fwd + ~2x fwd for backward
+    return {
+        "model_gflop": fwd_bwd * (dense + edge_alg) / 1e9,
+        "dense_gflop": fwd_bwd * dense / 1e9,
+        "edge_gflop": fwd_bwd * edge_alg / 1e9,
+        "structural_gflop": fwd_bwd * structural / 1e9,
+    }
+
+
+# MXU peak by device kind (dense bf16 TFLOP/s per chip, public specs).
+# f32 (precision=highest) runs as multi-pass bf16 emulation on the MXU, so
+# bf16 peak is the one hardware ceiling every mode shares.
+PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5": 459.0,  # v5p
+    "TPU v4": 275.0,
+    "TPU v6": 918.0,  # v6e (Trillium)
+}
+
+
+def _peak_tflops(device_str: str) -> float | None:
+    for k, v in PEAK_BF16_TFLOPS.items():
+        if k in device_str:
+            return v
+    return None
+
+
 def bench_config(
     name, *, k1=None, k2=None, reps=None, impl="pallas", seed=0,
     precision="highest"
@@ -129,13 +187,29 @@ def bench_config(
 
     epoch_ms = float(np.median(diffs))
     edges_per_s = e * layers / (epoch_ms / 1e3)
+    fl = flops_per_epoch(name, impl)
+    device = str(jax.devices()[0])
+    achieved = fl["model_gflop"] / epoch_ms  # GFLOP / ms == TFLOP/s
+    achieved_total = (fl["model_gflop"] + fl["structural_gflop"]) / epoch_ms
+    peak = _peak_tflops(device)
+    variance_pct = (
+        (max(diffs) - min(diffs)) / epoch_ms * 100.0 if len(diffs) > 1 else 0.0
+    )
     return {
         "config": name,
         "epoch_ms": epoch_ms,
         "epoch_ms_all": [round(d, 4) for d in diffs],
+        "variance_pct": round(variance_pct, 1),
         "edges_per_s": edges_per_s,
+        "model_gflop_per_epoch": round(fl["model_gflop"], 2),
+        "structural_gflop_per_epoch": round(fl["structural_gflop"], 2),
+        "achieved_model_tflops": round(achieved, 2),
+        "achieved_device_tflops": round(achieved_total, 2),
+        "mfu_pct_bf16_peak": (
+            round(achieved / peak * 100.0, 2) if peak else None
+        ),
         "final_loss": final_loss,
-        "device": str(jax.devices()[0]),
+        "device": device,
     }
 
 
@@ -161,6 +235,10 @@ def main():
         "unit": "ms",
         "vs_baseline": round(REFERENCE_EPOCH_MS / r["epoch_ms"], 2),
         "edges_per_s": round(r["edges_per_s"]),
+        "mfu": r["mfu_pct_bf16_peak"],
+        "achieved_model_tflops": r["achieved_model_tflops"],
+        "achieved_device_tflops": r["achieved_device_tflops"],
+        "variance_pct": r["variance_pct"],
         "device": r["device"],
         "impl": args.impl,
         "precision": args.precision,

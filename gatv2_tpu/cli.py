@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "default: train+report on ALL nodes, like the "
                         "reference)")
     p.add_argument("--split-seed", type=int, default=0)
+    p.add_argument("--overlap", action="store_true",
+                   help="with --mesh: two-pass local/halo attention "
+                        "structured so the boundary all_to_all overlaps "
+                        "local-edge compute (xla impl + boundary halo only)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize layers in the backward pass "
                         "(less HBM, ~30%% slower; for huge graphs)")

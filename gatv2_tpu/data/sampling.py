@@ -132,6 +132,25 @@ class NeighborSampler:
             return b
         import dataclasses as _dc
 
+        if self.engine == "native":
+            # tile emission in C++ (native/sampler.cpp emit_tiles): the
+            # numpy tile-prep below was the minibatch pipeline's host
+            # bottleneck at Products scale
+            from gatv2_tpu.ops.pallas_attention import edge_tiles_from_native
+            from gatv2_tpu.utils import native_loader
+
+            raw = native_loader.emit_tiles(
+                b.src, b.dst, b.num_edges, self.max_nodes, 128,
+                self._tile_budget,
+            )
+            if raw is not None:
+                return _dc.replace(
+                    b,
+                    tiles=edge_tiles_from_native(
+                        raw, self.max_nodes, 128, self._tile_budget
+                    ),
+                )
+
         from gatv2_tpu.ops.pallas_attention import prepare_edge_tiles
 
         real = b.dst[: b.num_edges]

@@ -81,8 +81,9 @@ NEG_INF = -1e30
 SOFTMAX_EPS = 1e-8
 EXP_CLAMP = -80.0
 # softmax stats (m, l, r) carry one value per head; outside the kernels they
-# are stored/streamed in 16 lanes (supports up to 16 heads) instead of 128 —
-# an 8x cut of residual and stream memory at Products scale
+# are stored/streamed in 16 lanes instead of 128 — an 8x cut of residual and
+# stream memory at Products scale. Head counts above STATS_L run as
+# independent <=STATS_L-head groups (see edge_attention_pallas).
 STATS_L = 16
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -452,6 +453,41 @@ def prepare_edge_tiles(
         src_tiles_per_chunk=(
             -1 if num_src_nodes is None else src_tiles_per_chunk
         ),
+    )
+
+
+def edge_tiles_from_native(
+    raw: dict, max_nodes: int, te: int, fixed_edge_tiles: int
+) -> EdgeTiles:
+    """Wrap native emit_tiles output (utils.native_loader.emit_tiles) into
+    an EdgeTiles, bypassing the numpy tile-prep loops. Only the fixed-budget
+    num_chunks=1 minibatch shape is supported (the G=1 grouped layouts are
+    reshaped views of the flat ones: node base 0, pad id == max_nodes)."""
+    num_node_tiles = max_nodes // TILE_N
+    dst_side = _TileSide(
+        ids_grp=jnp.asarray(raw["dst"][None]),
+        other_grp=jnp.asarray(raw["src"][None]),
+        rel_offsets=jnp.asarray(raw["tile_offsets"][None]),
+    )
+    src_side = _TileSide(
+        ids_grp=jnp.asarray(raw["src_sorted_ids"][None]),
+        other_grp=jnp.asarray(raw["dst_of_src"][None]),
+        rel_offsets=jnp.asarray(raw["src_tile_offsets"][None]),
+    )
+    return EdgeTiles(
+        src=jnp.asarray(raw["src"]),
+        dst=jnp.asarray(raw["dst"]),
+        tile_offsets=jnp.asarray(raw["tile_offsets"]),
+        num_nodes=max_nodes,
+        num_node_tiles=num_node_tiles,
+        src_sorted_ids=jnp.asarray(raw["src_sorted_ids"]),
+        gather_perm=jnp.asarray(raw["gather_perm"]),
+        src_tile_offsets=jnp.asarray(raw["src_tile_offsets"]),
+        tile_e=te,
+        num_chunks=1,
+        tiles_per_chunk=num_node_tiles,
+        dst_side=dst_side,
+        src_side=src_side,
     )
 
 

@@ -315,3 +315,59 @@ def halo_exchange_plan(pg: PartitionedGraph, *, pad_multiple: int = 8) -> HaloPl
         halo_size=s_count * m,
         m_per_pair=m,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class OverlapSplit:
+    """Edge split for halo/compute overlap (SURVEY.md §5 long-context row).
+
+    Each shard's edges are divided by src ownership:
+      - LOCAL edges (src owned by the shard) read zs_loc directly and can
+        run while the halo all_to_all is in flight;
+      - HALO edges read the exchanged halo-table rows.
+    The destination softmax spans both sets, so the sharded layer computes
+    per-set online-softmax stats (m, Σexp, Σexp·zs) and merges them — the
+    graph-world analog of ring-attention's stat merge.
+
+    local_src [S, E_l]  src row idx INTO zs_loc (pad 0)
+    local_dst [S, E_l]  local dst (pad nodes_per_shard)
+    halo_src  [S, E_h]  slot idx into the halo table (pad 0)
+    halo_dst  [S, E_h]  local dst (pad nodes_per_shard)
+    """
+
+    local_src: np.ndarray
+    local_dst: np.ndarray
+    halo_src: np.ndarray
+    halo_dst: np.ndarray
+
+
+def overlap_split_plan(
+    pg: PartitionedGraph, plan: HaloPlan, *, pad_multiple: int = 8
+) -> OverlapSplit:
+    s_count, nps = pg.num_shards, pg.nodes_per_shard
+    src = pg.src.reshape(s_count, -1)  # slot ids
+    dst = pg.dst_local.reshape(s_count, -1)
+    halo = plan.src_halo  # [S, E_s] halo-slot ids (valid on real edges)
+
+    locals_, halos = [], []
+    for j in range(s_count):
+        real = dst[j] < nps
+        own = (src[j] // nps) == j
+        li = real & own
+        hi = real & ~own
+        locals_.append((src[j][li] % nps, dst[j][li]))
+        halos.append((halo[j][hi], dst[j][hi]))
+
+    def pad_stack(pairs):
+        m = max((p[0].shape[0] for p in pairs), default=0)
+        m = max(pad_multiple, -(-m // pad_multiple) * pad_multiple)
+        s_arr = np.zeros((s_count, m), np.int32)
+        d_arr = np.full((s_count, m), nps, np.int32)
+        for j, (s_, d_) in enumerate(pairs):
+            s_arr[j, : s_.shape[0]] = s_
+            d_arr[j, : d_.shape[0]] = d_
+        return s_arr, d_arr
+
+    ls, ld = pad_stack(locals_)
+    hs, hd = pad_stack(halos)
+    return OverlapSplit(local_src=ls, local_dst=ld, halo_src=hs, halo_dst=hd)

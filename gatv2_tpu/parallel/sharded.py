@@ -42,7 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gatv2_tpu.config import ModelConfig, TrainConfig
 from gatv2_tpu.models import gatv2
-from gatv2_tpu.ops.segment import segment_softmax, segment_sum
+from gatv2_tpu.ops.segment import segment_max, segment_softmax, segment_sum
 from gatv2_tpu.parallel.partition import PartitionedGraph
 from gatv2_tpu.train import optim
 
@@ -96,12 +96,64 @@ def _sharded_layer(
     interpret: bool = False,
     halo=None,  # (send_ids_me [S, M], src_slot_ids [e_loc]) for
     #             boundary-only exchange; None -> full all_gather
+    overlap=None,  # (local_src, local_dst, halo_src, halo_dst) this-shard
+    #             rows of an OverlapSplit -> two-pass stat-merged attention
 ) -> jax.Array:
     w_src, w_dst, a = layer_params["w_src"], layer_params["w_dst"], layer_params["a"]
     n_loc = x_loc.shape[0]
     # local (head-shard's) projections — dense MXU matmuls
     zs_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_src, precision=precision)
     zd_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_dst, precision=precision)
+
+    if overlap is not None and halo is not None and impl != "pallas":
+        # halo/compute-overlap structure (the graph analog of ring
+        # attention's online-softmax merge): issue the boundary all_to_all,
+        # then run the LOCAL-src edge pass — its SDDMM/gather work has no
+        # data dependence on the exchange, so XLA's async collectives can
+        # overlap it with the transfer; the halo-src pass consumes the
+        # exchanged rows; per-destination softmax stats from the two passes
+        # merge exactly (same max-shift and eps as segment_softmax).
+        send_ids_me, _ = halo
+        s_count, m = send_ids_me.shape
+        send = jnp.take(zs_loc, send_ids_me.reshape(-1), axis=0).reshape(
+            s_count, m, *zs_loc.shape[1:]
+        )
+        halo_rows = jax.lax.all_to_all(
+            send, axis_name, split_axis=0, concat_axis=0
+        ).reshape(s_count * m, *zs_loc.shape[1:])
+
+        l_src, l_dst, h_src, h_dst = overlap
+
+        def edge_scores(space, src_idx, dst_idx):
+            zs_e = jnp.take(space, src_idx, axis=0)
+            zd_e = jnp.take(zd_loc, jnp.minimum(dst_idx, n_loc - 1), axis=0)
+            s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
+            e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)
+            return e, zs_e
+
+        e1, zs1 = edge_scores(zs_loc, l_src, l_dst)  # halo-independent
+        e2, zs2 = edge_scores(halo_rows, h_src, h_dst)
+        m1 = segment_max(e1, l_dst, n_loc)
+        m2 = segment_max(e2, h_dst, n_loc)
+        m_all = jnp.maximum(m1, m2)
+        m_all = jnp.where(jnp.isfinite(m_all), m_all, 0.0)
+
+        def pass_sums(e_k, zs_k, dst_k):
+            shifted = e_k - jnp.take(m_all, jnp.minimum(dst_k, n_loc - 1), axis=0)
+            w = jnp.exp(jnp.maximum(shifted, -80.0))
+            u = segment_sum(w[:, :, None] * zs_k, dst_k, n_loc)
+            l = segment_sum(w, dst_k, n_loc)
+            return u, l
+
+        u1, l1 = pass_sums(e1, zs1, l_dst)
+        u2, l2 = pass_sums(e2, zs2, h_dst)
+        h = (u1 + u2) / (l1 + l2 + 1e-8)[:, :, None]
+        return _combine_heads(
+            h, n_loc,
+            is_last=is_last, negative_slope=negative_slope, variant=variant,
+            head_sharded=head_sharded, head_axis=head_axis,
+            num_heads_global=num_heads_global,
+        )
 
     if halo is None:
         # halo exchange, dense form: src projections of ALL nodes
@@ -138,6 +190,20 @@ def _sharded_layer(
         alpha = segment_softmax(e, dst_l, n_loc)
         h = segment_sum(alpha[:, :, None] * zs_e, dst_l, n_loc)
 
+    return _combine_heads(
+        h, n_loc,
+        is_last=is_last, negative_slope=negative_slope, variant=variant,
+        head_sharded=head_sharded, head_axis=head_axis,
+        num_heads_global=num_heads_global,
+    )
+
+
+def _combine_heads(
+    h, n_loc, *, is_last, negative_slope, variant, head_sharded, head_axis,
+    num_heads_global,
+):
+    """Per-layer head combine: hidden concat / last-layer average, with the
+    variant's activation order (models/gatv2.py) and head-TP collectives."""
     if not is_last:
         h = jax.nn.leaky_relu(h, negative_slope)
         if head_sharded:
@@ -167,6 +233,8 @@ def make_sharded_loss_fn(
     edge_tiles=None,  # stacked per-shard tiles (prepare_partitioned_tiles)
     interpret: bool = False,
     halo_plan=None,  # partition.HaloPlan -> boundary-only exchange
+    overlap_split=None,  # partition.OverlapSplit -> two-pass stat-merged
+    #   attention structured for halo/compute overlap (xla impl + halo only)
 ) -> Callable:
     """Returns loss_fn(params, features, src, dst_local, labels) -> (loss, acc)
     where the data arguments are globally-shaped arrays sharded on axis 0
@@ -183,13 +251,30 @@ def make_sharded_loss_fn(
             jnp.asarray(halo_plan.send_ids),  # [S, S, M]
             jnp.asarray(halo_plan.src_halo),  # [S, E_s]
         )
+    overlap_arrays = None
+    if overlap_split is not None:
+        if halo_plan is None or impl == "pallas":
+            raise ValueError(
+                "overlap_split needs halo_plan and the xla impl (the fused "
+                "Pallas kernels do their own softmax internally)"
+            )
+        overlap_arrays = tuple(
+            jnp.asarray(a)
+            for a in (
+                overlap_split.local_src, overlap_split.local_dst,
+                overlap_split.halo_src, overlap_split.halo_dst,
+            )
+        )
 
-    def logits_body(params, x_loc, src_g, dst_l, et_sh, halo_sh):
+    def logits_body(params, x_loc, src_g, dst_l, et_sh, halo_sh, ov_sh):
         et_loc = (
             jax.tree.map(lambda x: x[0], et_sh) if et_sh is not None else None
         )
         halo_loc = (
             (halo_sh[0][0], halo_sh[1][0]) if halo_sh is not None else None
+        )
+        ov_loc = (
+            tuple(a[0] for a in ov_sh) if ov_sh is not None else None
         )
         x = x_loc
         for l, layer_params in enumerate(params["layers"]):
@@ -210,11 +295,12 @@ def make_sharded_loss_fn(
                 edge_tiles=et_loc,
                 interpret=interpret,
                 halo=halo_loc,
+                overlap=ov_loc,
             )
         return jnp.matmul(x, params["w_o"].T, precision=model_config.precision)
 
-    def body(params, x_loc, src_g, dst_l, labels_loc, et_sh, halo_sh):
-        logits = logits_body(params, x_loc, src_g, dst_l, et_sh, halo_sh)
+    def body(params, x_loc, src_g, dst_l, labels_loc, et_sh, halo_sh, ov_sh):
+        logits = logits_body(params, x_loc, src_g, dst_l, et_sh, halo_sh, ov_sh)
         # local masked sums, then one psum (padding nodes have label -1)
         logp = jax.nn.log_softmax(logits, axis=-1)
         valid = labels_loc >= 0
@@ -244,6 +330,11 @@ def make_sharded_loss_fn(
         if halo_arrays is not None
         else None
     )
+    overlap_specs = (
+        tuple(P(axis_name, None) for _ in range(4))
+        if overlap_arrays is not None
+        else None
+    )
     data_specs = (
         P(axis_name, None),  # features
         P(axis_name),  # src
@@ -260,6 +351,7 @@ def make_sharded_loss_fn(
             P(axis_name),  # labels
             et_specs,  # stacked per-shard edge tiles (or None)
             halo_specs,  # boundary-exchange plan arrays (or None)
+            overlap_specs,  # overlap edge split (or None)
         ),
         out_specs=(P(), P()),
     )
@@ -269,14 +361,15 @@ def make_sharded_loss_fn(
         logits_body,
         mesh=mesh,
         check_vma=False,
-        in_specs=(pspecs, *data_specs, et_specs, halo_specs),
+        in_specs=(pspecs, *data_specs, et_specs, halo_specs, overlap_specs),
         out_specs=P(axis_name, None),
     )
     fn = lambda params, feats, src, dst_l, labels: mapped(
-        params, feats, src, dst_l, labels, edge_tiles, halo_arrays
+        params, feats, src, dst_l, labels, edge_tiles, halo_arrays,
+        overlap_arrays,
     )
     fn.logits_fn = lambda params, feats, src, dst_l: mapped_logits(
-        params, feats, src, dst_l, edge_tiles, halo_arrays
+        params, feats, src, dst_l, edge_tiles, halo_arrays, overlap_arrays
     )
     return fn
 
@@ -293,13 +386,14 @@ def make_sharded_train_step(
     edge_tiles=None,
     interpret: bool = False,
     halo_plan=None,
+    overlap_split=None,
 ) -> Callable:
     """jit(step)(params, opt_state, t, features, src, dst_local, labels)
     -> (params, opt_state, loss, acc), with data sharded over the mesh."""
     loss_fn = make_sharded_loss_fn(
         model_config, mesh, num_real_nodes, axis_name=axis_name,
         head_axis=head_axis, impl=train_config.impl, edge_tiles=edge_tiles,
-        interpret=interpret, halo_plan=halo_plan,
+        interpret=interpret, halo_plan=halo_plan, overlap_split=overlap_split,
     )
 
     def step(params, opt_state, t, features, src, dst_l, labels):
@@ -338,6 +432,7 @@ def make_sharded_split_eval_step(
     edge_tiles=None,
     interpret: bool = False,
     halo_plan=None,
+    overlap_split=None,
 ) -> Callable:
     """jit(eval)(params, features, src, dst_local, labels, *masks) ->
     per-mask accuracies from ONE sharded full-graph forward. labels/masks
@@ -346,7 +441,7 @@ def make_sharded_split_eval_step(
     loss_fn = make_sharded_loss_fn(
         model_config, mesh, 1, axis_name=axis_name, head_axis=head_axis,
         impl=impl, edge_tiles=edge_tiles, interpret=interpret,
-        halo_plan=halo_plan,
+        halo_plan=halo_plan, overlap_split=overlap_split,
     )
 
     def eval_step(params, features, src, dst_l, labels, *masks):
@@ -415,6 +510,8 @@ class ShardedTrainer:
         log_fn: Callable[[str], None] = print,
         metrics_sink=None,
         splits=None,
+        overlap: bool = False,  # two-pass halo/compute-overlap attention
+        #   (xla impl with a boundary halo plan only)
     ):
         import time
 
@@ -423,6 +520,7 @@ class ShardedTrainer:
         from gatv2_tpu.models import gatv2 as _g
         from gatv2_tpu.parallel.mesh import make_mesh
         from gatv2_tpu.parallel.partition import (
+            overlap_split_plan,
             partition_graph,
             prepare_partitioned_tiles,
         )
@@ -454,6 +552,21 @@ class ShardedTrainer:
         tiles = None
         if train_config.impl == "pallas":
             tiles = prepare_partitioned_tiles(self.pg, halo_plan=plan)
+        ov = None
+        if overlap:
+            if plan is None or train_config.impl == "pallas":
+                log_fn(
+                    "Overlap: unavailable (needs a boundary halo plan and "
+                    "impl=xla); using the single-pass layer"
+                )
+            else:
+                ov = overlap_split_plan(self.pg, plan)
+                log_fn(
+                    "Overlap: two-pass local/halo attention "
+                    f"({ov.local_src.shape[1]} local + "
+                    f"{ov.halo_src.shape[1]} halo edges/shard)"
+                )
+        self.overlap_split = ov
         seed = train_config.seed
         if seed is None:
             seed = int(time.time())
@@ -487,13 +600,13 @@ class ShardedTrainer:
             )
             self._split_eval = make_sharded_split_eval_step(
                 model_config, self.mesh, impl=train_config.impl,
-                edge_tiles=tiles, halo_plan=plan,
+                edge_tiles=tiles, halo_plan=plan, overlap_split=ov,
             )
             self.data = (self.data[0], self.data[1], self.data[2],
                          self._train_labels_dev)
         self._step = make_sharded_train_step(
             model_config, train_config, self.mesh, num_loss_nodes,
-            edge_tiles=tiles, halo_plan=plan,
+            edge_tiles=tiles, halo_plan=plan, overlap_split=ov,
         )
 
     def evaluate(self) -> dict:

@@ -68,6 +68,22 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int32),  # out_dst
             ctypes.POINTER(ctypes.c_longlong),  # out_num_edges
         ]
+        lib.emit_tiles.restype = ctypes.c_longlong
+        lib.emit_tiles.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # src
+            ctypes.POINTER(ctypes.c_int32),  # dst
+            ctypes.c_longlong,  # num_edges
+            ctypes.c_longlong,  # max_nodes
+            ctypes.c_longlong,  # te
+            ctypes.c_longlong,  # want
+            ctypes.POINTER(ctypes.c_int32),  # out_src_flat
+            ctypes.POINTER(ctypes.c_int32),  # out_dst_flat
+            ctypes.POINTER(ctypes.c_int32),  # out_tile_offsets
+            ctypes.POINTER(ctypes.c_int32),  # out_src_sorted_ids
+            ctypes.POINTER(ctypes.c_int32),  # out_gather_perm
+            ctypes.POINTER(ctypes.c_int32),  # out_dst_of_src
+            ctypes.POINTER(ctypes.c_int32),  # out_src_tile_offsets
+        ]
         lib.gather_rows_f32.restype = None
         lib.gather_rows_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float),  # src
@@ -182,6 +198,50 @@ def sample_batch(
     if nn < 0:
         raise ValueError("native sampler: invalid arguments")
     return out_nodes, out_src, out_dst, int(nn), int(out_num_edges.value)
+
+
+def emit_tiles(
+    src: np.ndarray,  # [>=num_edges] int32, local ids
+    dst: np.ndarray,  # [>=num_edges] int32, dst-sorted
+    num_edges: int,
+    max_nodes: int,  # multiple of 128
+    te: int,
+    fixed_edge_tiles: int,
+):
+    """Native fixed-budget tile emission (native/sampler.cpp emit_tiles) —
+    byte-identical to prepare_edge_tiles(..., fixed_edge_tiles, num_chunks=1)
+    flat layouts. Returns a dict of arrays or None if the library is
+    unavailable. Raises ValueError when the fixed budget does not fit."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    want = fixed_edge_tiles * te
+    num_tiles = max_nodes // 128
+    out = {
+        "src": np.empty(want, np.int32),
+        "dst": np.empty(want, np.int32),
+        "tile_offsets": np.empty(num_tiles + 1, np.int32),
+        "src_sorted_ids": np.empty(want, np.int32),
+        "gather_perm": np.empty(want, np.int32),
+        "dst_of_src": np.empty(want, np.int32),
+        "src_tile_offsets": np.empty(num_tiles + 1, np.int32),
+    }
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = lib.emit_tiles(
+        i32p(src), i32p(dst), num_edges, max_nodes, te, want,
+        i32p(out["src"]), i32p(out["dst"]), i32p(out["tile_offsets"]),
+        i32p(out["src_sorted_ids"]), i32p(out["gather_perm"]),
+        i32p(out["dst_of_src"]), i32p(out["src_tile_offsets"]),
+    )
+    if rc != 0:
+        raise ValueError(
+            f"native emit_tiles: fixed budget {fixed_edge_tiles} tiles x "
+            f"te={te} does not fit (or bad inputs: {num_edges} edges, "
+            f"{max_nodes} nodes)"
+        )
+    return out
 
 
 def gather_rows(

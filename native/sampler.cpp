@@ -190,6 +190,112 @@ long long sample_batch(
   return static_cast<long long>(nn);
 }
 
+// Emits the fixed-budget Pallas edge tiling for one sampled batch — the
+// native counterpart of ops.pallas_attention.prepare_edge_tiles(...,
+// fixed_edge_tiles=K, num_chunks=1), byte-identical output. Moving this
+// from numpy into C++ removes the last host-side bottleneck of the
+// minibatch pipeline (per-batch tile prep was ~60% of host time).
+//
+// Inputs: (src, dst) local-id edges, dst-SORTED (sample_batch's output
+// layout), num_edges real edges, max_nodes a multiple of 128 (the node
+// tile), te the edge-tile width, want = fixed_edge_tiles * te.
+// Outputs (lengths: want unless noted; T = max_nodes/128 node tiles):
+//   flat dst-sorted layout : out_src_flat (pad 0), out_dst_flat
+//                            (pad max_nodes), out_tile_offsets [T+1]
+//   src-sorted mirror      : out_src_sorted_ids (pad max_nodes),
+//                            out_gather_perm (pad 0, positions in the
+//                            padded dst layout), out_dst_of_src (pad 0),
+//                            out_src_tile_offsets [T+1]
+// Returns 0, or -1 when the fixed budget/arguments don't fit.
+long long emit_tiles(
+    const int32_t* src, const int32_t* dst, long long num_edges,
+    long long max_nodes, long long te, long long want,
+    int32_t* out_src_flat, int32_t* out_dst_flat, int32_t* out_tile_offsets,
+    int32_t* out_src_sorted_ids, int32_t* out_gather_perm,
+    int32_t* out_dst_of_src, int32_t* out_src_tile_offsets) {
+  constexpr long long kTileN = 128;
+  if (max_nodes <= 0 || max_nodes % kTileN || te <= 0 || num_edges < 0) {
+    return -1;
+  }
+  const long long num_tiles = max_nodes / kTileN;
+
+  // --- dst-sorted layout: per-node-tile contiguous runs, te-padded -------
+  std::vector<int64_t> counts_d(num_tiles, 0);
+  for (long long e = 0; e < num_edges; ++e) {
+    const int32_t d = dst[e];
+    if (d < 0 || d >= max_nodes) return -1;
+    if (e > 0 && dst[e - 1] > d) return -1;  // must be dst-sorted
+    counts_d[d / kTileN]++;
+  }
+  out_tile_offsets[0] = 0;
+  for (long long i = 0; i < num_tiles; ++i) {
+    out_tile_offsets[i + 1] =
+        out_tile_offsets[i] + static_cast<int32_t>((counts_d[i] + te - 1) / te);
+  }
+  if (static_cast<long long>(out_tile_offsets[num_tiles]) * te > want) {
+    return -1;
+  }
+  for (long long i = 0; i < want; ++i) {
+    out_src_flat[i] = 0;
+    out_dst_flat[i] = static_cast<int32_t>(max_nodes);
+  }
+  std::vector<int32_t> flat_pos(num_edges);  // padded-layout position of e
+  {
+    long long e = 0;
+    for (long long i = 0; i < num_tiles; ++i) {
+      long long o = static_cast<long long>(out_tile_offsets[i]) * te;
+      for (long long c = 0; c < counts_d[i]; ++c, ++e, ++o) {
+        out_src_flat[o] = src[e];
+        out_dst_flat[o] = dst[e];
+        flat_pos[e] = static_cast<int32_t>(o);
+      }
+    }
+  }
+
+  // --- src-sorted mirror: stable counting sort by src node ---------------
+  std::vector<int64_t> node_pos(max_nodes + 1, 0);
+  for (long long e = 0; e < num_edges; ++e) {
+    const int32_t s = src[e];
+    if (s < 0 || s >= max_nodes) return -1;
+    node_pos[s + 1]++;
+  }
+  for (long long i = 0; i < max_nodes; ++i) node_pos[i + 1] += node_pos[i];
+  std::vector<int32_t> srt_src(num_edges), srt_flat(num_edges);
+  for (long long e = 0; e < num_edges; ++e) {
+    const int64_t p = node_pos[src[e]]++;
+    srt_src[p] = src[e];
+    srt_flat[p] = flat_pos[e];
+  }
+  std::vector<int64_t> counts_s(num_tiles, 0);
+  for (long long e = 0; e < num_edges; ++e) counts_s[srt_src[e] / kTileN]++;
+  out_src_tile_offsets[0] = 0;
+  for (long long i = 0; i < num_tiles; ++i) {
+    out_src_tile_offsets[i + 1] =
+        out_src_tile_offsets[i] +
+        static_cast<int32_t>((counts_s[i] + te - 1) / te);
+  }
+  if (static_cast<long long>(out_src_tile_offsets[num_tiles]) * te > want) {
+    return -1;
+  }
+  for (long long i = 0; i < want; ++i) {
+    out_src_sorted_ids[i] = static_cast<int32_t>(max_nodes);
+    out_gather_perm[i] = 0;
+    out_dst_of_src[i] = 0;
+  }
+  {
+    long long e = 0;
+    for (long long i = 0; i < num_tiles; ++i) {
+      long long o = static_cast<long long>(out_src_tile_offsets[i]) * te;
+      for (long long c = 0; c < counts_s[i]; ++c, ++e, ++o) {
+        out_src_sorted_ids[o] = srt_src[e];
+        out_gather_perm[o] = srt_flat[e];
+        out_dst_of_src[o] = out_dst_flat[srt_flat[e]];
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 extern "C" {

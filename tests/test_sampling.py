@@ -44,9 +44,6 @@ def test_sampler_shapes_and_validity(learnable_graph, engine):
         assert (b.src[: b.num_edges] < b.num_nodes).all()
         assert (b.dst[: b.num_edges] < b.num_nodes).all()
         seen_seeds += b.num_seeds
-        # sampled edges exist in the original graph
-        for k in range(min(10, b.num_edges)):
-            pass  # structural containment is checked via training behavior
     assert seen_seeds == g.num_nodes  # epoch covers every node as seed
 
 
@@ -261,3 +258,45 @@ def test_minibatch_pallas_matches_xla(learnable_graph):
         pa.edge_attention_pallas = orig
     np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
     np.testing.assert_allclose(float(ap), float(ax), atol=1e-6)
+
+
+def test_native_tile_emission_matches_python(learnable_graph):
+    """C++ emit_tiles (native/sampler.cpp) is byte-identical to the numpy
+    prepare_edge_tiles fixed-budget path — the minibatch pipeline's tile
+    prep moved to native code (VERDICT round-1 item 4)."""
+    import jax
+
+    from gatv2_tpu.ops.pallas_attention import prepare_edge_tiles
+    from gatv2_tpu.utils import native_loader
+
+    if not native_loader.available() and not native_loader.build():
+        pytest.skip("native library unavailable")
+
+    g = learnable_graph
+    s = NeighborSampler(
+        g, batch_size=16, fanouts=(4, 4), seed=1, engine="native",
+        emit_tiles=True,
+    )
+    b = s.sample(np.arange(16))
+    assert b.tiles is not None
+
+    row_ptr = np.zeros(s.max_nodes + 1, np.int64)
+    np.cumsum(
+        np.bincount(b.dst[: b.num_edges], minlength=s.max_nodes),
+        out=row_ptr[1:],
+    )
+    py = prepare_edge_tiles(
+        row_ptr, b.src[: b.num_edges], s.max_nodes, tile_e=128,
+        fixed_edge_tiles=s._tile_budget,
+    )
+    for pl, nl in zip(jax.tree.leaves(py), jax.tree.leaves(b.tiles)):
+        a_, b_ = np.asarray(pl), np.asarray(nl)
+        assert a_.shape == b_.shape
+        assert (a_ == b_).all()
+
+
+def test_duplicate_seeds_rejected(learnable_graph):
+    s = NeighborSampler(learnable_graph, batch_size=8, fanouts=(4,), seed=0,
+                        engine="python")
+    with pytest.raises(ValueError, match="unique seed"):
+        s.sample(np.array([1, 2, 2, 3]))

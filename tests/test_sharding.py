@@ -453,3 +453,64 @@ def test_sharded_resume_preserves_sharding(learnable_graph, tmp_path):
     # and training continues from the restored state
     t2.run(1)
     assert t2.epoch == 3
+
+
+def test_overlap_two_pass_matches_single_pass(learnable_graph):
+    """The halo/compute-overlap layer (local-src + halo-src passes with an
+    online-softmax stat merge) reproduces the single-pass halo layer's loss
+    and gradients (VERDICT round-1 item 6)."""
+    from gatv2_tpu.parallel.partition import (
+        halo_exchange_plan,
+        overlap_split_plan,
+    )
+    from gatv2_tpu.parallel.sharded import make_sharded_loss_fn
+
+    g = learnable_graph
+    config = _cfg(g)
+    params = init_params(config, jax.random.PRNGKey(8))
+    mesh = make_mesh(4)
+    pg = partition_graph(g, 4)
+    plan = halo_exchange_plan(pg)
+    ov = overlap_split_plan(pg, plan)
+    # the split covers every real edge exactly once
+    n_local = int((ov.local_dst < pg.nodes_per_shard).sum())
+    n_halo = int((ov.halo_dst < pg.nodes_per_shard).sum())
+    assert n_local + n_halo == g.num_edges
+
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+    single = make_sharded_loss_fn(
+        config, mesh, pg.num_real_nodes, halo_plan=plan
+    )
+    twopass = make_sharded_loss_fn(
+        config, mesh, pg.num_real_nodes, halo_plan=plan, overlap_split=ov
+    )
+    l0, a0 = jax.jit(single)(params, feats, src, dst_l, labels)
+    l1, a1 = jax.jit(twopass)(params, feats, src, dst_l, labels)
+    assert float(l1) == pytest.approx(float(l0), rel=1e-5)
+    assert float(a1) == pytest.approx(float(a0), abs=1e-6)
+
+    g0 = jax.jit(jax.grad(lambda p: single(p, feats, src, dst_l, labels)[0]))(params)
+    g1 = jax.jit(jax.grad(lambda p: twopass(p, feats, src, dst_l, labels)[0]))(params)
+    for a_, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_overlap_trainer_cli_path(learnable_graph):
+    from gatv2_tpu.data.splits import random_splits
+    from gatv2_tpu.parallel.sharded import ShardedTrainer
+
+    g = learnable_graph
+    config = _cfg(g)
+    tc = TrainConfig(optimizer="adam", lr=0.02, seed=0, epochs=0)
+    sp = random_splits(g.num_nodes, (0.6, 0.2, 0.2), seed=0)
+    logs = []
+    tr = ShardedTrainer(
+        g, config, tc, 8, log_fn=logs.append, splits=sp, overlap=True
+    )
+    last = tr.run(6)
+    assert any(l.startswith("Overlap: two-pass") for l in logs)
+    loss_lines = [l for l in logs if l.startswith("Avg Loss")]
+    first_loss = float(loss_lines[0].split("Avg Loss: ")[1].split(",")[0])
+    assert last["loss"] < first_loss

@@ -71,3 +71,21 @@ def test_native_parser_rejects_malformed(tmp_path):
     np.testing.assert_allclose(
         native_loader.parse_float_file(ok), [1.5, -2.0, 300.0]
     )
+
+
+def test_bench_flops_accounting():
+    """bench.py's FLOPs model: dense projections dominate high-F configs;
+    structural (one-hot) FLOPs only exist on the pallas path."""
+    import bench
+
+    fl_pl = bench.flops_per_epoch("citeseer3", "pallas")
+    fl_xla = bench.flops_per_epoch("citeseer3", "xla")
+    assert fl_pl["model_gflop"] == fl_xla["model_gflop"]
+    assert fl_xla["structural_gflop"] == 0
+    assert fl_pl["structural_gflop"] > 0
+    # citeseer3: F=3703 dense projections dominate the per-edge work
+    assert fl_pl["dense_gflop"] > 10 * fl_pl["edge_gflop"]
+    # rough magnitude: ~40 GFLOP/epoch (VERDICT round-1 estimate)
+    assert 20 < fl_pl["model_gflop"] < 80
+    assert bench._peak_tflops("TPU v5 lite0") == 197.0
+    assert bench._peak_tflops("unknown device") is None

@@ -83,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Sharded mode: edge-partitioned over {args.mesh} devices")
         trainer = ShardedTrainer(
             graph, model_config, train_config, args.mesh, metrics_sink=sink,
-            splits=splits,
+            splits=splits, overlap=args.overlap,
         )
     elif train_config.batch_size > 0:
         from gatv2_tpu.train.minibatch import MinibatchTrainer
