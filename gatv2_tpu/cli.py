@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "mode (default: 10 per layer)")
     p.add_argument("--sampler-engine", choices=["auto", "native", "python"],
                    default="auto", help="neighbor-sampler implementation")
+    p.add_argument("--sample-budget", choices=["auto", "worst", "probe"],
+                   default="auto",
+                   help="static-shape budget for sampled subgraphs: "
+                        "worst-case capped at graph size (auto, exact), "
+                        "uncapped worst case, or probe-batch sizing "
+                        "(cuts padding compute on large graphs)")
     p.add_argument("--split-fractions", type=str, default=None,
                    metavar="TR,VA,TE",
                    help="random train/val/test split, e.g. 0.6,0.2,0.2 "
@@ -156,6 +162,7 @@ def _finish(args: argparse.Namespace) -> tuple[ModelConfig, TrainConfig, argpars
         fanouts=tuple(args.fanouts) if args.fanouts is not None
         else tuple([10] * args.num_layers if args.batch_size > 0 else []),
         sampler_engine=args.sampler_engine,
+        sample_budget=args.sample_budget,
         log_file=args.log_file,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,

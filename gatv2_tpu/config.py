@@ -105,6 +105,10 @@ class TrainConfig:
     batch_size: int = 0
     fanouts: tuple = ()
     sampler_engine: str = "auto"  # 'auto' | 'native' | 'python'
+    # static-shape budget policy for sampled subgraphs (data/sampling.py):
+    # 'auto' (worst case capped at the graph size, exact), 'worst'
+    # (uncapped), 'probe' (sized from probe batches, big padding cut).
+    sample_budget: str = "auto"
     log_file: str | None = None  # JSONL metrics sink
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # epochs; 0 = off

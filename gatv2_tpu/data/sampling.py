@@ -65,6 +65,15 @@ class NeighborSampler:
         #   train split); default: every node once per epoch
         emit_tiles: bool = False,  # attach a fixed-shape Pallas EdgeTiles
         #   per batch (impl='pallas' minibatch training)
+        budget: str = "auto",  # static-shape budget policy:
+        #   'auto'  — analytic worst case capped at the graph size (a batch
+        #             can never hold more than N unique nodes / E distinct
+        #             edges, so the cap is EXACT, never truncates);
+        #   'worst' — uncapped analytic worst case (round-1 behavior);
+        #   'probe' — sample a few throwaway batches up front and size the
+        #             budget at ~1.35x their max (big padding/compute cut on
+        #             large graphs where frontiers dedup heavily; a rare
+        #             over-budget batch truncates neighbors, never seeds).
     ):
         self.graph = graph
         self.batch_size = batch_size
@@ -90,7 +99,7 @@ class NeighborSampler:
                     "built (make -C native)"
                 )
         self.engine = engine
-        # static shape budget
+        # static shape budget: analytic no-dedup worst case ...
         max_nodes = batch_size
         max_edges = 0
         frontier = batch_size
@@ -98,14 +107,65 @@ class NeighborSampler:
             max_edges += frontier * f
             frontier = frontier * f
             max_nodes += frontier
+        if budget not in ("auto", "worst", "probe"):
+            raise ValueError(
+                f"budget must be 'auto', 'worst' or 'probe', got {budget!r}"
+            )
+        if budget in ("auto", "probe"):
+            # ... capped at the graph itself: a subgraph cannot contain more
+            # than N unique nodes, and each node's neighborhood is expanded
+            # at most once, so edges are distinct graph edges (<= E)
+            max_nodes = min(max_nodes, graph.num_nodes)
+            max_edges = min(max_edges, graph.num_edges)
         self.emit_tiles = emit_tiles
-        if emit_tiles:
+        self._set_budgets(max_nodes, max_edges, edge_multiple)
+        if budget == "probe":
+            self._probe_budgets(edge_multiple)
+
+    def _set_budgets(self, max_nodes: int, max_edges: int, edge_multiple: int):
+        if self.emit_tiles:
             # node dim padded to the tile grid; every batch's EdgeTiles then
             # has identical shapes -> one compiled step for all batches
             max_nodes = -(-max_nodes // 128) * 128
         self.max_nodes = max_nodes
-        self.max_edges = -(-max_edges // edge_multiple) * edge_multiple
+        self.max_edges = max(
+            edge_multiple, -(-max_edges // edge_multiple) * edge_multiple
+        )
         self._tile_budget = self.max_edges // 128 + self.max_nodes // 128
+
+    def _probe_budgets(
+        self, edge_multiple: int, *, rounds: int = 4, margin: float = 1.35
+    ):
+        """Shrink the static budget to ~margin x the max size observed over
+        a few probe batches (throwaway RNG stream — the training batch
+        stream is unaffected). On big graphs frontier dedup makes real
+        subgraphs far smaller than the analytic worst case, which otherwise
+        pads (and computes) 3-10x dead rows per batch."""
+        prng = np.random.default_rng((self.seed << 1) ^ 0x9E3779B9)
+        emit, self.emit_tiles = self.emit_tiles, False  # probe without tiles
+        rng_state = self.rng.bit_generator.state  # keep the training batch
+        counter = self._batch_counter  # stream byte-identical to no-probe
+        worst_nodes, worst_edges = self.max_nodes, self.max_edges
+        seen_n, seen_e = 1, 1
+        try:
+            for _ in range(rounds):
+                seeds = prng.choice(
+                    self.seed_pool,
+                    size=min(self.batch_size, self.seed_pool.shape[0]),
+                    replace=False,
+                )
+                b = self.sample(np.sort(seeds))
+                seen_n = max(seen_n, b.num_nodes)
+                seen_e = max(seen_e, b.num_edges)
+        finally:
+            self.emit_tiles = emit
+            self.rng.bit_generator.state = rng_state
+            self._batch_counter = counter
+        self._set_budgets(
+            min(worst_nodes, int(seen_n * margin)),
+            min(worst_edges, int(seen_e * margin)),
+            edge_multiple,
+        )
 
     def __iter__(self) -> Iterator[MiniBatch]:
         pool = self.seed_pool

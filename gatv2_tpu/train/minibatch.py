@@ -207,6 +207,7 @@ class MinibatchTrainer:
             engine=train_config.sampler_engine,
             seed_nodes=seed_nodes,
             emit_tiles=(train_config.impl == "pallas"),
+            budget=train_config.sample_budget,
         )
         self.params = _g.init_params_for_variant(model_config, jax.random.PRNGKey(seed))
         self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
@@ -240,6 +241,7 @@ class MinibatchTrainer:
             engine=self.train_config.sampler_engine,
             seed_nodes=nodes,
             emit_tiles=(self.train_config.impl == "pallas"),
+            budget=self.train_config.sample_budget,
         )
         if self._eval_step is None:
             mc, tc = self.model_config, self.train_config

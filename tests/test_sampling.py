@@ -300,3 +300,30 @@ def test_duplicate_seeds_rejected(learnable_graph):
                         engine="python")
     with pytest.raises(ValueError, match="unique seed"):
         s.sample(np.array([1, 2, 2, 3]))
+
+
+def test_budget_modes(learnable_graph):
+    """'auto' caps the static budget at the graph size (exact: a subgraph
+    cannot exceed N nodes / E distinct edges); 'probe' sizes from probe
+    batches without perturbing the training batch stream."""
+    g = learnable_graph  # 200 nodes, 800 edges
+    worst = NeighborSampler(g, 64, (8, 8), seed=2, engine="python",
+                            budget="worst")
+    auto = NeighborSampler(g, 64, (8, 8), seed=2, engine="python",
+                           budget="auto")
+    probe = NeighborSampler(g, 64, (8, 8), seed=2, engine="python",
+                            budget="probe")
+    assert worst.max_nodes > g.num_nodes  # 64*(1+8+64) >> 200
+    assert auto.max_nodes <= max(g.num_nodes, 8)
+    assert probe.max_nodes <= auto.max_nodes
+    assert probe.max_edges <= auto.max_edges
+
+    b_auto = next(iter(auto))
+    b_probe = next(iter(probe))
+    n = b_auto.num_edges
+    assert b_probe.num_edges == n
+    np.testing.assert_array_equal(b_auto.src[:n], b_probe.src[:n])
+    np.testing.assert_array_equal(b_auto.dst[:n], b_probe.dst[:n])
+
+    with pytest.raises(ValueError, match="budget"):
+        NeighborSampler(g, 8, (4,), budget="banana")

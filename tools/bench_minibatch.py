@@ -36,6 +36,8 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--fanouts", default="10,10,10")
     ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--budget", default="auto",
+                    choices=["auto", "worst", "probe"])
     ap.add_argument("--batches", type=int, default=30,
                     help="batches per timed 'epoch' (full epoch is huge)")
     args = ap.parse_args(argv)
@@ -61,7 +63,7 @@ def main(argv=None) -> int:
                      batch_size=args.batch, fanouts=fanouts)
     sampler = NeighborSampler(
         g, args.batch, fanouts, seed=0, engine="native",
-        emit_tiles=(args.impl == "pallas"),
+        emit_tiles=(args.impl == "pallas"), budget=args.budget,
     )
     params = init_params(mc, jax.random.PRNGKey(0))
     opt_state = optim.init_opt_state(params, "adam")
@@ -115,6 +117,8 @@ def main(argv=None) -> int:
 
     print(json.dumps({
         "nodes": args.nodes, "edges": args.edges, "batch": args.batch,
+        "budget": args.budget,
+        "max_nodes": sampler.max_nodes, "max_edges": sampler.max_edges,
         "fanouts": list(fanouts), "impl": args.impl,
         "device_step_ms": round(device_step_ms, 2),
         "sample_ms": round(sample_ms, 2),
