@@ -563,6 +563,9 @@ def _attention_kernel(
     negative_slope: float,
     precision=_HIGHEST,
     tile_e: int = TILE_E,
+    normalize: bool = True,  # False: emit the UNNORMALIZED accumulator
+    #   u = sum exp(e - m)·zs (multi-pass softmax merge, see
+    #   edge_attention_pallas_merge); m/l outputs are unchanged
 ):
     i = pl.program_id(0)
     t0 = tile_offsets_ref[i]
@@ -643,8 +646,11 @@ def _attention_kernel(
 
     jax.lax.fori_loop(0, ntiles, body, 0)
 
-    l_rep = _kdot(l_scr[:], r_ref[:], (((1,), (0,)), ((), ())), precision)
-    out_ref[:] = acc_scr[:] / (l_rep + SOFTMAX_EPS)
+    if normalize:
+        l_rep = _kdot(l_scr[:], r_ref[:], (((1,), (0,)), ((), ())), precision)
+        out_ref[:] = acc_scr[:] / (l_rep + SOFTMAX_EPS)
+    else:
+        out_ref[:] = acc_scr[:]
     m_out_ref[:] = m_scr[:]
     l_out_ref[:] = l_scr[:]
 
@@ -662,6 +668,7 @@ def _forward_chunk(
     te: int,
     precision: str,
     interpret: bool,
+    normalize: bool = True,
 ):
     t_c = zd_chunk.shape[0] // TILE_N
     hd = zs_e.shape[1]
@@ -693,7 +700,7 @@ def _forward_chunk(
     )
     kernel = functools.partial(
         _attention_kernel, num_heads=num_heads, negative_slope=negative_slope,
-        precision=_PRECISIONS[precision], tile_e=te,
+        precision=_PRECISIONS[precision], tile_e=te, normalize=normalize,
     )
     return pl.pallas_call(
         kernel,
@@ -953,6 +960,282 @@ def _bwd_dst_chunk(
         interpret=interpret,
     )(rel_offsets, zs_e, dst_flat, zd_chunk, g_chunk, m_chunk, l_chunk,
       a_sel, r_mat, a_rep)
+
+
+# ---------------------------------------------------------------------------
+# multi-pass backward (merged-softmax two-pass attention): the segment term
+# r_j spans ALL passes' edges, so pass B and pass C of _bwd_dst_kernel run as
+# separate kernels with r merged in between (see edge_attention_pallas_merge)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_rsum_kernel(
+    tile_offsets_ref, zs_hbm, dst_hbm, zd_ref, g_ref, m_ref, l_ref,
+    a_sel_ref, r_ref,
+    rsum_ref,  # output [TILE_N, 128]
+    zs_t, dst_t, sems,
+    *, num_heads, negative_slope, precision=_HIGHEST, tile_e=TILE_E,
+):
+    """Pass B of _bwd_dst_kernel alone: this pass's contribution to the
+    softmax-Jacobian segment term r_j = sum alpha_e dalpha_e, computed with
+    MERGED (m, l) stats so alpha is the global coefficient."""
+    i = pl.program_id(0)
+    t0 = tile_offsets_ref[i]
+    ntiles = tile_offsets_ref[i + 1] - t0
+    rsum_ref[:] = jnp.zeros(rsum_ref.shape, jnp.float32)
+    node_ids = i * TILE_N + jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_N, tile_e), 0
+    )
+
+    def dmas(slot, k):
+        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
+        return (
+            pltpu.make_async_copy(
+                zs_hbm.at[pl.ds(off, tile_e), :], zs_t.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                dst_hbm.at[:, pl.ds(off, tile_e)], dst_t.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    @pl.when(ntiles > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < ntiles)
+        def _():
+            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
+                cp.start()
+
+        for cp in dmas(slot, k):
+            cp.wait()
+        mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
+        zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision)
+        s_raw = zs_t[slot] + zd_e
+        s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
+        sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision,
+                     sensitive=True)
+        m_g = _kdot(mask_f, m_ref[:], (((0,), (0,)), ((), ())), precision,
+                    sensitive=True)
+        l_g = _kdot(mask_f, l_ref[:], (((0,), (0,)), ((), ())), precision,
+                    sensitive=True)
+        alpha_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0)) / (
+            l_g + SOFTMAX_EPS
+        )
+        g_e = _kdot(mask_f, g_ref[:], (((0,), (0,)), ((), ())), precision)
+        dalpha_e = _kdot(g_e * zs_t[slot], r_ref[:], (((1,), (1,)), ((), ())),
+                         precision, sensitive=True)
+        rsum_ref[:] = rsum_ref[:] + _kdot(
+            mask_f, alpha_e * dalpha_e, (((1,), (0,)), ((), ())), precision,
+            sensitive=True,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, ntiles, body, 0)
+
+
+def _bwd_apply_kernel(
+    tile_offsets_ref, zs_hbm, dst_hbm, zd_ref, g_ref, m_ref, l_ref,
+    rsum_ref,  # INPUT [TILE_N, 128] — merged across all passes
+    a_sel_ref, r_ref, a_rep_ref,
+    dzd_ref, da_ref, c1_hbm,  # outputs
+    zs_t, dst_t, c1_t, sems,
+    *, num_heads, negative_slope, precision=_HIGHEST, tile_e=TILE_E,
+):
+    """Pass C of _bwd_dst_kernel with the segment term r arriving as an
+    input (merged over every pass) instead of being computed locally.
+    Always emits the per-edge packets c1 (the merge path is unchunked)."""
+    i = pl.program_id(0)
+    t0 = tile_offsets_ref[i]
+    ntiles = tile_offsets_ref[i + 1] - t0
+    dzd_ref[:] = jnp.zeros(dzd_ref.shape, jnp.float32)
+    da_ref[:] = jnp.zeros(da_ref.shape, jnp.float32)
+    node_ids = i * TILE_N + jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_N, tile_e), 0
+    )
+
+    def dmas(slot, k):
+        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
+        return (
+            pltpu.make_async_copy(
+                zs_hbm.at[pl.ds(off, tile_e), :], zs_t.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                dst_hbm.at[:, pl.ds(off, tile_e)], dst_t.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    def c1_dma(slot, k):
+        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
+        return pltpu.make_async_copy(
+            c1_t.at[slot], c1_hbm.at[pl.ds(off, tile_e), :], sems.at[slot, 2]
+        )
+
+    @pl.when(ntiles > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < ntiles)
+        def _():
+            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
+                cp.start()
+
+        for cp in dmas(slot, k):
+            cp.wait()
+
+        @pl.when(k >= 2)
+        def _():
+            c1_dma(slot, k - 2).wait()
+
+        mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
+        zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision)
+        s_raw = zs_t[slot] + zd_e
+        s_act = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
+        sc_e = _kdot(s_act, a_sel_ref[:], (((1,), (0,)), ((), ())), precision,
+                     sensitive=True)
+        m_g = _kdot(mask_f, m_ref[:], (((0,), (0,)), ((), ())), precision,
+                    sensitive=True)
+        l_g = _kdot(mask_f, l_ref[:], (((0,), (0,)), ((), ())), precision,
+                    sensitive=True)
+        alpha_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0)) / (
+            l_g + SOFTMAX_EPS
+        )
+        g_e = _kdot(mask_f, g_ref[:], (((0,), (0,)), ((), ())), precision)
+        dalpha_e = _kdot(g_e * zs_t[slot], r_ref[:], (((1,), (1,)), ((), ())),
+                         precision, sensitive=True)
+        r_g = _kdot(mask_f, rsum_ref[:], (((0,), (0,)), ((), ())), precision,
+                    sensitive=True)
+        de_e = alpha_e * (dalpha_e - r_g)
+        de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
+        ds = de_rep * a_rep_ref[:] * jnp.where(s_raw > 0, 1.0, negative_slope)
+        alpha_rep = _kdot(alpha_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
+        c1_t[slot] = alpha_rep * g_e + ds
+        c1_dma(slot, k).start()
+        dzd_ref[:] = dzd_ref[:] + _kdot(mask_f, ds, (((1,), (0,)), ((), ())), precision)
+        da_tile = jnp.sum(de_rep * s_act, axis=0, keepdims=True)
+        row0 = jax.lax.broadcasted_iota(jnp.int32, da_ref.shape, 0) == 0
+        da_ref[:] = da_ref[:] + jnp.where(
+            row0, jnp.broadcast_to(da_tile, da_ref.shape), 0.0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, ntiles, body, 0)
+
+    def drain(k, _):
+        c1_dma(jax.lax.rem(k, 2), k).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(ntiles - 2, 0), ntiles, drain, 0)
+
+
+def _bwd_rsum_chunk(
+    zs_e, zd_chunk, g_chunk, m_chunk, l_chunk, dst_flat, rel_offsets,
+    a_sel, r_mat,
+    *, num_heads, negative_slope, te, precision, interpret,
+):
+    t_c = zd_chunk.shape[0] // TILE_N
+    hd = zs_e.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_c,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # zs_e
+            pl.BlockSpec(memory_space=pl.ANY),  # dst ids
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, 1, te), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _bwd_rsum_kernel, num_heads=num_heads, negative_slope=negative_slope,
+        precision=_PRECISIONS[precision], tile_e=te,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_c * TILE_N, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(rel_offsets, zs_e, dst_flat, zd_chunk, g_chunk, m_chunk, l_chunk,
+      a_sel, r_mat)
+
+
+def _bwd_apply_chunk(
+    zs_e, zd_chunk, g_chunk, m_chunk, l_chunk, rsum_chunk, dst_flat,
+    rel_offsets, a_sel, r_mat, a_rep,
+    *, num_heads, negative_slope, te, precision, interpret,
+):
+    t_c = zd_chunk.shape[0] // TILE_N
+    hd = zs_e.shape[1]
+    e_chunk = zs_e.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_c,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # zs_e
+            pl.BlockSpec(memory_space=pl.ANY),  # dst ids
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # c1 packets
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, 1, te), jnp.int32),
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    kernel = functools.partial(
+        _bwd_apply_kernel, num_heads=num_heads, negative_slope=negative_slope,
+        precision=_PRECISIONS[precision], tile_e=te,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t_c * TILE_N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((t_c * 8, hd), jnp.float32),
+            jax.ShapeDtypeStruct((e_chunk, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(rel_offsets, zs_e, dst_flat, zd_chunk, g_chunk, m_chunk, l_chunk,
+      rsum_chunk, a_sel, r_mat, a_rep)
 
 
 # ---------------------------------------------------------------------------
@@ -1549,3 +1832,184 @@ def edge_attention_pallas(
 
     attn.defvjp(fwd, bwd_pallas if bwd_impl == "pallas" else bwd_xla)
     return attn(zs, zd, a, et)
+
+
+# ---------------------------------------------------------------------------
+# multi-pass merged attention (halo/compute overlap on the Pallas path)
+# ---------------------------------------------------------------------------
+
+
+def edge_attention_pallas_merge(
+    zs_parts,  # K src-space projections, each [N_k, H, D] or flat [N_k, H*D]
+    zd: jax.Array,  # [N_dst, H, D] / [N_dst, H*D] dst projections
+    a: jax.Array,  # [H, D]
+    num_nodes: int,  # real dst-node count
+    *,
+    negative_slope: float,
+    edge_tiles_parts,  # K bipartite EdgeTiles (num_chunks=1, same dst space)
+    interpret: bool = False,
+    precision: str = "highest",
+) -> jax.Array:
+    """Fused attention over K edge subsets whose per-destination softmax is
+    MERGED across subsets — the kernel-level building block for
+    halo/compute-overlapped sharded layers (local-src edges in one pass,
+    halo-src edges in another; the all_to_all only gates the halo pass).
+
+    Each pass runs the forward kernel unnormalized (u_k = sum exp(e - m_k)
+    zs, plus stats m_k / l_k); passes merge with the standard online-softmax
+    rescale (the graph analog of ring attention's stat merge):
+
+        M = max_k m_k;  h = sum_k e^{m_k - M} u_k / (sum_k e^{m_k - M} l_k + eps)
+
+    The backward is exact: the softmax-Jacobian segment term r_j spans ALL
+    passes, so phase 1 runs as two kernels — per-pass r contributions
+    (_bwd_rsum_kernel) merged in node space, then per-pass application
+    (_bwd_apply_kernel) with the merged (M, L, r) stats; phase 2 is the
+    per-pass packet permute + src-tiled segment sum, giving each pass's
+    d_zs in its own src space.
+    """
+    ets = tuple(edge_tiles_parts)
+    zs_parts = tuple(zs_parts)
+    if len(ets) != len(zs_parts) or not ets:
+        raise ValueError("need one EdgeTiles per zs part")
+    if any(et.num_chunks != 1 for et in ets):
+        raise ValueError("merge path supports num_chunks == 1 tiles only")
+    n_pad = ets[0].padded_num_nodes
+    if any(et.padded_num_nodes != n_pad for et in ets):
+        raise ValueError("all parts must share the dst node space")
+    num_heads, head_dim = int(a.shape[0]), int(a.shape[1])
+    if num_heads > STATS_L:
+        raise ValueError(
+            f"edge_attention_pallas_merge supports at most {STATS_L} heads"
+        )
+    for zs_k, et in zip(zs_parts, ets):
+        if zs_k.shape[0] not in (et.src_num_nodes, et.padded_src_nodes):
+            raise ValueError(
+                f"zs part has {zs_k.shape[0]} rows; its tiles' src space is "
+                f"{et.src_num_nodes} (padded {et.padded_src_nodes})"
+            )
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    hd_real = num_heads * head_dim
+    flat_io = zs_parts[0].ndim == 2
+
+    def prep(z, rows):
+        n = z.shape[0]
+        hd = -(-hd_real // 128) * 128
+        z = z.reshape(n, hd_real)
+        if hd != hd_real:
+            z = jnp.pad(z, ((0, 0), (0, hd - hd_real)))
+        if n != rows:
+            z = jnp.pad(z, ((0, rows - n), (0, 0)))
+        return z, hd
+
+    def rep_heads(x_heads, hd):
+        """[n, 128] per-head stats -> [n, hd] feature-lane broadcast."""
+        r = jnp.repeat(x_heads[:, :num_heads], head_dim, axis=1)
+        return jnp.pad(r, ((0, 0), (0, hd - hd_real)))
+
+    def forward_parts(zs_t, zd_, a_, ets_):
+        zd_flat, hd = prep(zd_, n_pad)
+        a_sel, r_mat, _ = _head_matrices(a_, hd)
+        outs = []
+        for zs_k, et in zip(zs_t, ets_):
+            zs_flat, _ = prep(zs_k, et.padded_src_nodes)
+            zs_e = jnp.take(zs_flat, et.dst_side.other_grp[0], axis=0)
+            outs.append(
+                _forward_chunk(
+                    zs_e, zd_flat, et.dst_side.ids_grp[0][None, :],
+                    et.dst_side.rel_offsets[0], a_sel, r_mat,
+                    num_heads=num_heads, negative_slope=negative_slope,
+                    te=et.tile_e, precision=precision, interpret=interpret,
+                    normalize=False,
+                )
+            )
+        return outs, hd
+
+    def merge(outs, hd):
+        m_all = outs[0][1]
+        for _, m_k, _ in outs[1:]:
+            m_all = jnp.maximum(m_all, m_k)
+        m_safe = jnp.where(m_all <= NEG_INF, 0.0, m_all)
+        u_tot = jnp.zeros((n_pad, hd), jnp.float32)
+        l_tot = jnp.zeros((n_pad, 128), jnp.float32)
+        for u_k, m_k, l_k in outs:
+            c = jnp.where(m_k <= NEG_INF, 0.0, jnp.exp(m_k - m_safe))
+            u_tot = u_tot + u_k * rep_heads(c, hd)
+            l_tot = l_tot + l_k * c
+        h = u_tot / (rep_heads(l_tot, hd) + SOFTMAX_EPS)
+        return h, m_all, l_tot
+
+    def restore(out2d):
+        out = out2d[:num_nodes, :hd_real]
+        return out if flat_io else out.reshape(num_nodes, num_heads, head_dim)
+
+    # the tiles ride as an ARGUMENT of the custom_vjp function (closure
+    # capture would leak tracers when called inside shard_map) and get a
+    # None cotangent
+    @jax.custom_vjp
+    def attn(zs_t, zd_, a_, ets_):
+        outs, hd = forward_parts(zs_t, zd_, a_, ets_)
+        h, _, _ = merge(outs, hd)
+        return restore(h)
+
+    def fwd(zs_t, zd_, a_, ets_):
+        outs, hd = forward_parts(zs_t, zd_, a_, ets_)
+        h, m_all, l_tot = merge(outs, hd)
+        res = (zs_t, zd_, a_, m_all[:, :STATS_L], l_tot[:, :STATS_L], ets_)
+        return restore(h), res
+
+    def bwd(res, gout):
+        zs_t, zd_, a_, m16, l16, ets_ = res
+        zd_flat, hd = prep(zd_, n_pad)
+        g_flat, _ = prep(gout, n_pad)
+        a_sel, r_mat, a_rep = _head_matrices(a_, hd)
+        m128 = jnp.pad(m16, ((0, 0), (0, 128 - STATS_L)))
+        l128 = jnp.pad(l16, ((0, 0), (0, 128 - STATS_L)))
+        zs_es = []
+        for zs_k, et in zip(zs_t, ets_):
+            zs_flat, _ = prep(zs_k, et.padded_src_nodes)
+            zs_es.append(jnp.take(zs_flat, et.dst_side.other_grp[0], axis=0))
+
+        # phase A: per-pass softmax-Jacobian segment contributions, merged
+        rsum = None
+        for zs_e, et in zip(zs_es, ets_):
+            r_k = _bwd_rsum_chunk(
+                zs_e, zd_flat, g_flat, m128, l128,
+                et.dst_side.ids_grp[0][None, :], et.dst_side.rel_offsets[0],
+                a_sel, r_mat,
+                num_heads=num_heads, negative_slope=negative_slope,
+                te=et.tile_e, precision=precision, interpret=interpret,
+            )
+            rsum = r_k if rsum is None else rsum + r_k
+
+        # phase B + C: per-pass gradient application with merged stats
+        dzd_pad = jnp.zeros((n_pad, hd), jnp.float32)
+        da_acc = jnp.zeros((hd,), jnp.float32)
+        dzs_out = []
+        for zs_k, zs_e, et in zip(zs_t, zs_es, ets_):
+            dzd_k, da_k, c1_k = _bwd_apply_chunk(
+                zs_e, zd_flat, g_flat, m128, l128, rsum,
+                et.dst_side.ids_grp[0][None, :], et.dst_side.rel_offsets[0],
+                a_sel, r_mat, a_rep,
+                num_heads=num_heads, negative_slope=negative_slope,
+                te=et.tile_e, precision=precision, interpret=interpret,
+            )
+            dzd_pad = dzd_pad + dzd_k
+            da_acc = da_acc + jnp.sum(da_k, axis=0)
+            c1s = jnp.take(c1_k, et.gather_perm, axis=0)
+            t_src = et.padded_src_nodes // TILE_N
+            dzs_pad = _segsum_src(
+                c1s, et.src_sorted_ids[None, :], et.src_tile_offsets, t_src,
+                te=et.tile_e, hd=hd, precision=precision, interpret=interpret,
+            )
+            dzs_out.append(
+                dzs_pad[: zs_k.shape[0], :hd_real].reshape(zs_k.shape)
+            )
+
+        dzd = dzd_pad[: zd_.shape[0], :hd_real].reshape(zd_.shape)
+        da = da_acc[:hd_real].reshape(num_heads, head_dim)
+        return tuple(dzs_out), dzd, da, None
+
+    attn.defvjp(fwd, bwd)
+    return attn(zs_parts, zd, a, ets)

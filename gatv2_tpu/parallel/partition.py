@@ -224,8 +224,16 @@ def prepare_partitioned_tiles(
             )
         )
 
-    # pad every array leaf to the max shape across shards (tail regions are
-    # never referenced: the per-tile offsets only cover real edge tiles)
+    return _stack_tiles(per_shard)
+
+
+def _stack_tiles(per_shard):
+    """Pad every array leaf to the max shape across shards and stack on a
+    leading shard axis (tail regions are never referenced: the per-tile
+    offsets only cover real edge tiles)."""
+    import jax
+    import jax.numpy as jnp
+
     leaves = [jax.tree.flatten(t)[0] for t in per_shard]
     treedef = jax.tree.flatten(per_shard[0])[1]
     stacked = []
@@ -240,6 +248,40 @@ def prepare_partitioned_tiles(
             padded.append(np.pad(a, pad))
         stacked.append(jnp.asarray(np.stack(padded)))
     return jax.tree.unflatten(treedef, stacked)
+
+
+def prepare_overlap_tiles(
+    pg: PartitionedGraph, plan: "HaloPlan", split: "OverlapSplit",
+    tile_e: int = 128,
+):
+    """Per-shard tile PAIRS for the Pallas halo/compute-overlap layer
+    (ops.pallas_attention.edge_attention_pallas_merge): the LOCAL pass's
+    src space is the shard's own nodes, the HALO pass's src space is the
+    halo table. Returns (stacked_local_tiles, stacked_halo_tiles)."""
+    from gatv2_tpu.ops.pallas_attention import prepare_edge_tiles
+
+    s_count, nps = pg.num_shards, pg.nodes_per_shard
+
+    def build(src_all, dst_all, n_src):
+        per = []
+        for s in range(s_count):
+            real = dst_all[s] < nps
+            dst_s = dst_all[s][real]  # still dst-sorted (filtered in order)
+            src_s = src_all[s][real]
+            counts = np.bincount(dst_s, minlength=nps)
+            row_ptr = np.zeros(nps + 1, np.int64)
+            np.cumsum(counts, out=row_ptr[1:])
+            per.append(
+                prepare_edge_tiles(
+                    row_ptr, src_s, nps, tile_e=tile_e, num_src_nodes=n_src
+                )
+            )
+        return _stack_tiles(per)
+
+    return (
+        build(split.local_src, split.local_dst, nps),
+        build(split.halo_src, split.halo_dst, plan.halo_size),
+    )
 
 
 @dataclasses.dataclass(frozen=True)

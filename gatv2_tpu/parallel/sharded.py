@@ -98,12 +98,51 @@ def _sharded_layer(
     #             boundary-only exchange; None -> full all_gather
     overlap=None,  # (local_src, local_dst, halo_src, halo_dst) this-shard
     #             rows of an OverlapSplit -> two-pass stat-merged attention
+    overlap_tiles=None,  # (local_tiles, halo_tiles) EdgeTiles pair ->
+    #             Pallas two-pass merged-softmax kernels (partition.
+    #             prepare_overlap_tiles); requires halo
 ) -> jax.Array:
     w_src, w_dst, a = layer_params["w_src"], layer_params["w_dst"], layer_params["a"]
     n_loc = x_loc.shape[0]
     # local (head-shard's) projections — dense MXU matmuls
     zs_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_src, precision=precision)
     zd_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_dst, precision=precision)
+
+    if overlap_tiles is not None and halo is not None and impl == "pallas":
+        # Pallas halo/compute overlap: the boundary all_to_all is issued
+        # first; the LOCAL pass's fused kernel has no data dependence on it
+        # and can run underneath; the HALO pass consumes the exchanged rows;
+        # the per-destination online-softmax stats merge exactly inside
+        # edge_attention_pallas_merge (custom VJP spans both passes).
+        import jax.lax as lax
+
+        from gatv2_tpu.ops.pallas_attention import edge_attention_pallas_merge
+
+        send_ids_me, _ = halo
+        s_count, m = send_ids_me.shape
+        send = jnp.take(zs_loc, send_ids_me.reshape(-1), axis=0).reshape(
+            s_count, m, *zs_loc.shape[1:]
+        )
+        halo_rows = jax.lax.all_to_all(
+            send, axis_name, split_axis=0, concat_axis=0
+        ).reshape(s_count * m, *zs_loc.shape[1:])
+        prec_name = {
+            lax.Precision.HIGHEST: "highest",
+            lax.Precision.HIGH: "high",
+            lax.Precision.DEFAULT: "default",
+            None: "highest",
+        }[precision]
+        h = edge_attention_pallas_merge(
+            (zs_loc, halo_rows), zd_loc, a, n_loc,
+            negative_slope=negative_slope, edge_tiles_parts=overlap_tiles,
+            interpret=interpret, precision=prec_name,
+        )  # [n_loc, H_loc, D]
+        return _combine_heads(
+            h, n_loc,
+            is_last=is_last, negative_slope=negative_slope, variant=variant,
+            head_sharded=head_sharded, head_axis=head_axis,
+            num_heads_global=num_heads_global,
+        )
 
     if overlap is not None and halo is not None and impl != "pallas":
         # halo/compute-overlap structure (the graph analog of ring
@@ -235,6 +274,8 @@ def make_sharded_loss_fn(
     halo_plan=None,  # partition.HaloPlan -> boundary-only exchange
     overlap_split=None,  # partition.OverlapSplit -> two-pass stat-merged
     #   attention structured for halo/compute overlap (xla impl + halo only)
+    overlap_tiles=None,  # (local, halo) stacked EdgeTiles pair -> Pallas
+    #   two-pass merged-softmax layer (partition.prepare_overlap_tiles)
 ) -> Callable:
     """Returns loss_fn(params, features, src, dst_local, labels) -> (loss, acc)
     where the data arguments are globally-shaped arrays sharded on axis 0
@@ -243,8 +284,13 @@ def make_sharded_loss_fn(
     from parallel.partition.prepare_partitioned_tiles)."""
     hs = _head_axis_size(mesh, head_axis)
     has_head_axis = head_axis is not None and head_axis in mesh.axis_names
-    if impl == "pallas" and edge_tiles is None:
-        raise ValueError("impl='pallas' needs edge_tiles (stacked per shard)")
+    if impl == "pallas" and edge_tiles is None and overlap_tiles is None:
+        raise ValueError(
+            "impl='pallas' needs edge_tiles (stacked per shard) or "
+            "overlap_tiles"
+        )
+    if overlap_tiles is not None and halo_plan is None:
+        raise ValueError("overlap_tiles needs halo_plan (boundary exchange)")
     halo_arrays = None
     if halo_plan is not None:
         halo_arrays = (
@@ -266,7 +312,8 @@ def make_sharded_loss_fn(
             )
         )
 
-    def logits_body(params, x_loc, src_g, dst_l, et_sh, halo_sh, ov_sh):
+    def logits_body(params, x_loc, src_g, dst_l, et_sh, halo_sh, ov_sh,
+                    ovt_sh):
         et_loc = (
             jax.tree.map(lambda x: x[0], et_sh) if et_sh is not None else None
         )
@@ -275,6 +322,11 @@ def make_sharded_loss_fn(
         )
         ov_loc = (
             tuple(a[0] for a in ov_sh) if ov_sh is not None else None
+        )
+        ovt_loc = (
+            jax.tree.map(lambda x: x[0], ovt_sh)
+            if ovt_sh is not None
+            else None
         )
         x = x_loc
         for l, layer_params in enumerate(params["layers"]):
@@ -296,11 +348,15 @@ def make_sharded_loss_fn(
                 interpret=interpret,
                 halo=halo_loc,
                 overlap=ov_loc,
+                overlap_tiles=ovt_loc,
             )
         return jnp.matmul(x, params["w_o"].T, precision=model_config.precision)
 
-    def body(params, x_loc, src_g, dst_l, labels_loc, et_sh, halo_sh, ov_sh):
-        logits = logits_body(params, x_loc, src_g, dst_l, et_sh, halo_sh, ov_sh)
+    def body(params, x_loc, src_g, dst_l, labels_loc, et_sh, halo_sh, ov_sh,
+             ovt_sh):
+        logits = logits_body(
+            params, x_loc, src_g, dst_l, et_sh, halo_sh, ov_sh, ovt_sh
+        )
         # local masked sums, then one psum (padding nodes have label -1)
         logp = jax.nn.log_softmax(logits, axis=-1)
         valid = labels_loc >= 0
@@ -335,6 +391,13 @@ def make_sharded_loss_fn(
         if overlap_arrays is not None
         else None
     )
+    ovt_specs = (
+        jax.tree.map(
+            lambda x: P(axis_name, *([None] * (x.ndim - 1))), overlap_tiles
+        )
+        if overlap_tiles is not None
+        else None
+    )
     data_specs = (
         P(axis_name, None),  # features
         P(axis_name),  # src
@@ -352,6 +415,7 @@ def make_sharded_loss_fn(
             et_specs,  # stacked per-shard edge tiles (or None)
             halo_specs,  # boundary-exchange plan arrays (or None)
             overlap_specs,  # overlap edge split (or None)
+            ovt_specs,  # overlap tile pair (or None)
         ),
         out_specs=(P(), P()),
     )
@@ -361,15 +425,17 @@ def make_sharded_loss_fn(
         logits_body,
         mesh=mesh,
         check_vma=False,
-        in_specs=(pspecs, *data_specs, et_specs, halo_specs, overlap_specs),
+        in_specs=(pspecs, *data_specs, et_specs, halo_specs, overlap_specs,
+                  ovt_specs),
         out_specs=P(axis_name, None),
     )
     fn = lambda params, feats, src, dst_l, labels: mapped(
         params, feats, src, dst_l, labels, edge_tiles, halo_arrays,
-        overlap_arrays,
+        overlap_arrays, overlap_tiles,
     )
     fn.logits_fn = lambda params, feats, src, dst_l: mapped_logits(
-        params, feats, src, dst_l, edge_tiles, halo_arrays, overlap_arrays
+        params, feats, src, dst_l, edge_tiles, halo_arrays, overlap_arrays,
+        overlap_tiles,
     )
     return fn
 
@@ -387,6 +453,7 @@ def make_sharded_train_step(
     interpret: bool = False,
     halo_plan=None,
     overlap_split=None,
+    overlap_tiles=None,
 ) -> Callable:
     """jit(step)(params, opt_state, t, features, src, dst_local, labels)
     -> (params, opt_state, loss, acc), with data sharded over the mesh."""
@@ -394,6 +461,7 @@ def make_sharded_train_step(
         model_config, mesh, num_real_nodes, axis_name=axis_name,
         head_axis=head_axis, impl=train_config.impl, edge_tiles=edge_tiles,
         interpret=interpret, halo_plan=halo_plan, overlap_split=overlap_split,
+        overlap_tiles=overlap_tiles,
     )
 
     def step(params, opt_state, t, features, src, dst_l, labels):
@@ -433,6 +501,7 @@ def make_sharded_split_eval_step(
     interpret: bool = False,
     halo_plan=None,
     overlap_split=None,
+    overlap_tiles=None,
 ) -> Callable:
     """jit(eval)(params, features, src, dst_local, labels, *masks) ->
     per-mask accuracies from ONE sharded full-graph forward. labels/masks
@@ -442,6 +511,7 @@ def make_sharded_split_eval_step(
         model_config, mesh, 1, axis_name=axis_name, head_axis=head_axis,
         impl=impl, edge_tiles=edge_tiles, interpret=interpret,
         halo_plan=halo_plan, overlap_split=overlap_split,
+        overlap_tiles=overlap_tiles,
     )
 
     def eval_step(params, features, src, dst_l, labels, *masks):
@@ -550,23 +620,33 @@ class ShardedTrainer:
             )
         )
         tiles = None
-        if train_config.impl == "pallas":
+        if train_config.impl == "pallas" and not (overlap and plan is not None):
             tiles = prepare_partitioned_tiles(self.pg, halo_plan=plan)
         ov = None
+        ov_tiles = None
         if overlap:
-            if plan is None or train_config.impl == "pallas":
+            if plan is None:
                 log_fn(
-                    "Overlap: unavailable (needs a boundary halo plan and "
-                    "impl=xla); using the single-pass layer"
+                    "Overlap: unavailable (needs a boundary halo plan); "
+                    "using the single-pass layer"
                 )
             else:
-                ov = overlap_split_plan(self.pg, plan)
+                split = overlap_split_plan(self.pg, plan)
                 log_fn(
                     "Overlap: two-pass local/halo attention "
-                    f"({ov.local_src.shape[1]} local + "
-                    f"{ov.halo_src.shape[1]} halo edges/shard)"
+                    f"({split.local_src.shape[1]} local + "
+                    f"{split.halo_src.shape[1]} halo edges/shard)"
                 )
+                if train_config.impl == "pallas":
+                    from gatv2_tpu.parallel.partition import (
+                        prepare_overlap_tiles,
+                    )
+
+                    ov_tiles = prepare_overlap_tiles(self.pg, plan, split)
+                else:
+                    ov = split
         self.overlap_split = ov
+        self.overlap_tiles = ov_tiles
         seed = train_config.seed
         if seed is None:
             seed = int(time.time())
@@ -601,12 +681,14 @@ class ShardedTrainer:
             self._split_eval = make_sharded_split_eval_step(
                 model_config, self.mesh, impl=train_config.impl,
                 edge_tiles=tiles, halo_plan=plan, overlap_split=ov,
+                overlap_tiles=ov_tiles,
             )
             self.data = (self.data[0], self.data[1], self.data[2],
                          self._train_labels_dev)
         self._step = make_sharded_train_step(
             model_config, train_config, self.mesh, num_loss_nodes,
             edge_tiles=tiles, halo_plan=plan, overlap_split=ov,
+            overlap_tiles=ov_tiles,
         )
 
     def evaluate(self) -> dict:

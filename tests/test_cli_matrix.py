@@ -36,6 +36,8 @@ def run(argv):
         ["--clip"],
         ["--mesh", "2"],
         ["--mesh", "2", "--impl", "pallas"],
+        ["--mesh", "2", "--overlap"],
+        ["--mesh", "2", "--impl", "pallas", "--overlap"],
         ["--batch-size", "8", "--fanouts", "4,4", "--sampler-engine", "python"],
         ["--batch-size", "8", "--fanouts", "4,4", "--impl", "pallas",
          "--sampler-engine", "python"],
@@ -46,6 +48,7 @@ def run(argv):
     ],
     ids=[
         "xla", "pallas", "node-variant", "clip", "mesh", "mesh-pallas",
+        "mesh-overlap", "mesh-pallas-overlap",
         "minibatch", "minibatch-pallas", "dp-minibatch", "dp-minibatch-pallas",
     ],
 )

@@ -496,3 +496,63 @@ def test_chunked_xla_bwd_guard():
             negative_slope=0.01, edge_tiles=et, interpret=True,
             bwd_impl="xla",
         )
+
+
+def test_merge_two_pass_matches_oracle(tiny_graph):
+    """edge_attention_pallas_merge: attention over two edge subsets with a
+    merged per-destination softmax equals the XLA oracle over the union —
+    forward and ALL gradients (the Pallas halo/compute-overlap primitive)."""
+    from gatv2_tpu.ops.attention import _edge_attention_xla
+    from gatv2_tpu.ops.pallas_attention import edge_attention_pallas_merge
+
+    g = tiny_graph
+    h, d = 3, 8
+    zs, zd, a = _random_inputs(g, h, d, seed=60)
+
+    # split edges by src parity into two subsets (both on the full node
+    # space), each with its own dst-sorted CSR + tiling
+    src_all, dst_all = g.src, g.dst
+    tiles, subsets = [], []
+    for part in (0, 1):
+        sel = (src_all % 2) == part
+        s_k, d_k = src_all[sel], dst_all[sel]
+        order = np.argsort(d_k, kind="stable")
+        s_k, d_k = s_k[order], d_k[order]
+        row_ptr = np.zeros(g.num_nodes + 1, np.int64)
+        np.cumsum(np.bincount(d_k, minlength=g.num_nodes), out=row_ptr[1:])
+        tiles.append(prepare_edge_tiles(row_ptr, s_k, g.num_nodes))
+        subsets.append((s_k, d_k))
+    assert subsets[0][0].size + subsets[1][0].size == g.num_edges
+
+    def loss_merge(zs1, zs2, zd, a):
+        out = edge_attention_pallas_merge(
+            (zs1, zs2), zd, a, g.num_nodes,
+            negative_slope=0.01, edge_tiles_parts=tiles, interpret=True,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    pe = g.padded_edges(128)
+
+    def loss_xla(zs, zd, a):
+        out = _edge_attention_xla(
+            zs, zd, a, jnp.asarray(pe.src), jnp.asarray(pe.dst),
+            g.num_nodes, negative_slope=0.01,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    v_m = loss_merge(zs, zs, zd, a)
+    v_x = loss_xla(zs, zd, a)
+    assert float(v_m) == pytest.approx(float(v_x), rel=1e-5)
+
+    g_m = jax.grad(loss_merge, argnums=(0, 1, 2, 3))(zs, zs, zd, a)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(zs, zd, a)
+    # dzs splits across the two passes; their sum is the oracle's dzs
+    np.testing.assert_allclose(
+        np.asarray(g_m[0] + g_m[1]), np.asarray(g_x[0]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_m[2]), np.asarray(g_x[1]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_m[3]), np.asarray(g_x[2]), rtol=1e-4, atol=1e-6
+    )
