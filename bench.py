@@ -105,7 +105,7 @@ def _peak_tflops(device_str: str) -> float | None:
 
 def bench_config(
     name, *, k1=None, k2=None, reps=None, impl="pallas", seed=0,
-    precision="highest"
+    precision="highest", tile_e=None
 ):
     import jax
     import jax.numpy as jnp
@@ -143,7 +143,7 @@ def bench_config(
         from gatv2_tpu.ops.pallas_attention import setup_full_graph
 
         edge_tiles, feats_np, labels_np, num_valid = setup_full_graph(
-            g, heads, outdims
+            g, heads, outdims, tile_e=tile_e
         )
     feats = jnp.asarray(feats_np)
     labels = jnp.asarray(labels_np)
@@ -220,14 +220,16 @@ def main():
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
     ap.add_argument("--all", action="store_true", help="bench every config (stderr)")
+    ap.add_argument("--tile-e", type=int, default=None,
+                    help="override the Pallas edge-tile size (default: auto)")
     args = ap.parse_args()
 
     if args.all:
         for name in CONFIGS:
-            r = bench_config(name, impl=args.impl, precision=args.precision)
+            r = bench_config(name, impl=args.impl, precision=args.precision, tile_e=args.tile_e)
             print(json.dumps(r), file=sys.stderr)
 
-    r = bench_config(args.config, impl=args.impl, precision=args.precision)
+    r = bench_config(args.config, impl=args.impl, precision=args.precision, tile_e=args.tile_e)
     nodes, edges = CONFIGS[args.config][0], CONFIGS[args.config][1]
     result = {
         "metric": f"epoch_time_{args.config}_{nodes}N_{edges}E_fwd_bwd_update",

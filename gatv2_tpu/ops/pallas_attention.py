@@ -491,7 +491,9 @@ def edge_tiles_from_native(
     )
 
 
-def setup_full_graph(graph, heads, out_dims, *, labels=None, budget_bytes=None):
+def setup_full_graph(
+    graph, heads, out_dims, *, labels=None, budget_bytes=None, tile_e=None
+):
     """One-stop full-graph Pallas setup shared by the Trainer, bench, and
     predict: builds the (auto-chunked) edge tiling and pads the node dim of
     features/labels ONCE so no padded activation copies materialize inside
@@ -507,7 +509,7 @@ def setup_full_graph(graph, heads, out_dims, *, labels=None, budget_bytes=None):
         budget_bytes = (2 << 30) if e >= 30_000_000 else (4 << 30)
     max_hd = max(-(-h * d // 128) * 128 for h, d in zip(heads, out_dims))
     et = prepare_edge_tiles(
-        graph.row_ptr, graph.col_idx, graph.num_nodes,
+        graph.row_ptr, graph.col_idx, graph.num_nodes, tile_e=tile_e,
         num_chunks=suggest_num_chunks(e, max_hd, budget_bytes=budget_bytes),
     )
     feats = graph.features

@@ -556,3 +556,32 @@ def test_merge_two_pass_matches_oracle(tiny_graph):
     np.testing.assert_allclose(
         np.asarray(g_m[3]), np.asarray(g_x[2]), rtol=1e-4, atol=1e-6
     )
+
+
+def test_precision_spec_normalization(tiny_graph):
+    """edge_attention(impl='pallas') accepts enum/string/uniform-tuple
+    precision specs and rejects unknown ones with a clear error."""
+    import jax.lax as lax
+
+    from gatv2_tpu.ops.attention import edge_attention
+
+    g = tiny_graph
+    zs, zd, a = _random_inputs(g, 2, 8, seed=70)
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+
+    def run(prec):
+        return edge_attention(
+            zs, zd, a, None, None, g.num_nodes, negative_slope=0.01,
+            impl="pallas", edge_tiles=et, precision=prec, interpret=True,
+        )
+
+    want = run(lax.Precision.HIGHEST)
+    for spec in ("highest", "float32",
+                 (lax.Precision.HIGHEST, lax.Precision.HIGHEST)):
+        np.testing.assert_allclose(
+            np.asarray(run(spec)), np.asarray(want), rtol=1e-6
+        )
+    with pytest.raises(ValueError, match="does not understand precision"):
+        run("banana")
+    with pytest.raises(ValueError, match="uniform precision"):
+        run((lax.Precision.HIGHEST, lax.Precision.DEFAULT))
