@@ -284,6 +284,10 @@ class NeighborSampler:
                         local_of[u] = len(nodes)
                         nodes.append(u)
                         next_frontier.append(u)
+                    if len(edges_src) >= self.max_edges:
+                        continue  # edge budget exhausted (probe margin);
+                        #           truncates neighbors, never seeds —
+                        #           mirrors native/sampler.cpp's guard
                     edges_src.append(local_of[u])
                     edges_dst.append(local_of[v])
             frontier = next_frontier

@@ -25,6 +25,44 @@ import jax.numpy as jnp
 from gatv2_tpu.ops.segment import segment_softmax, segment_sum
 
 
+def precision_name(precision) -> str:
+    """Normalize a jax matmul-precision spec (enum, string, uniform (p, p)
+    tuple, or None) to the Pallas kernels' tier name
+    ('highest' | 'high' | 'default'). Raises ValueError on anything else."""
+    import jax.lax as lax
+
+    prec = precision
+    if isinstance(prec, tuple):
+        if len(set(prec)) != 1:
+            raise ValueError(
+                f"impl='pallas' needs a uniform precision, got {precision!r}"
+            )
+        prec = prec[0]
+    if isinstance(prec, str):
+        prec = {
+            "highest": lax.Precision.HIGHEST,
+            "high": lax.Precision.HIGH,
+            "default": lax.Precision.DEFAULT,
+            "bfloat16_3x": lax.Precision.HIGH,
+            "tensorfloat32": lax.Precision.HIGH,
+            "float32": lax.Precision.HIGHEST,
+            "bfloat16": lax.Precision.DEFAULT,
+        }.get(prec.lower(), prec)
+    name = {
+        lax.Precision.HIGHEST: "highest",
+        lax.Precision.HIGH: "high",
+        lax.Precision.DEFAULT: "default",
+        None: "highest",
+    }.get(prec)
+    if name is None:
+        raise ValueError(
+            f"impl='pallas' does not understand precision {precision!r}; "
+            "accepted: None, jax.lax.Precision.{HIGHEST,HIGH,DEFAULT}, "
+            "the equivalent strings, or a uniform (p, p) tuple"
+        )
+    return name
+
+
 def edge_attention(
     zs: jax.Array,  # [N, H, D] src projections (X @ W_src^T); the pallas
     #                 impl also accepts (and then returns) flat [N, H*D]
@@ -52,40 +90,9 @@ def edge_attention(
             negative_slope=negative_slope, precision=precision,
         )
     if impl == "pallas":
-        import jax.lax as lax
-
         from gatv2_tpu.ops.pallas_attention import edge_attention_pallas
 
-        # normalize the jax precision spec (enum, string, or (p, p) pair)
-        prec = precision
-        if isinstance(prec, tuple):
-            if len(set(prec)) != 1:
-                raise ValueError(
-                    f"impl='pallas' needs a uniform precision, got {precision!r}"
-                )
-            prec = prec[0]
-        if isinstance(prec, str):
-            prec = {
-                "highest": lax.Precision.HIGHEST,
-                "high": lax.Precision.HIGH,
-                "default": lax.Precision.DEFAULT,
-                "bfloat16_3x": lax.Precision.HIGH,
-                "tensorfloat32": lax.Precision.HIGH,
-                "float32": lax.Precision.HIGHEST,
-                "bfloat16": lax.Precision.DEFAULT,
-            }.get(prec.lower(), prec)
-        prec_name = {
-            lax.Precision.HIGHEST: "highest",
-            lax.Precision.HIGH: "high",
-            lax.Precision.DEFAULT: "default",
-            None: "highest",
-        }.get(prec)
-        if prec_name is None:
-            raise ValueError(
-                f"impl='pallas' does not understand precision {precision!r}; "
-                "accepted: None, jax.lax.Precision.{HIGHEST,HIGH,DEFAULT}, "
-                "the equivalent strings, or a uniform (p, p) tuple"
-            )
+        prec_name = precision_name(precision)
         return edge_attention_pallas(
             zs,
             zd,

@@ -464,6 +464,12 @@ def edge_tiles_from_native(
     num_chunks=1 minibatch shape is supported (the G=1 grouped layouts are
     reshaped views of the flat ones: node base 0, pad id == max_nodes)."""
     num_node_tiles = max_nodes // TILE_N
+    want = fixed_edge_tiles * te
+    if raw["src"].shape[0] != want:
+        raise ValueError(
+            f"native tile arrays hold {raw['src'].shape[0]} edge slots but "
+            f"fixed_edge_tiles={fixed_edge_tiles} x te={te} = {want}"
+        )
     dst_side = _TileSide(
         ids_grp=jnp.asarray(raw["dst"][None]),
         other_grp=jnp.asarray(raw["src"][None]),

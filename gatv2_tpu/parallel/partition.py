@@ -87,10 +87,14 @@ class PartitionedGraph:
         waste = 1.0 - c.sum() / max(
             self.num_shards * self.edges_per_shard, 1
         )
+        blocks = np.diff(self.node_bounds)
         return (
             f"edges/shard min={lo} max={hi} (ratio "
             f"{hi / max(lo, 1):.2f}), padded to {self.edges_per_shard} "
-            f"({waste * 100:.1f}% padding)"
+            f"({waste * 100:.1f}% padding); nodes/shard "
+            f"min={int(blocks.min()) if blocks.size else 0} "
+            f"max={int(blocks.max()) if blocks.size else 0} "
+            f"(padded to {self.nodes_per_shard})"
         )
 
 
@@ -118,6 +122,21 @@ def partition_graph(
         inner = np.searchsorted(row_ptr, targets, side="left")
         node_bounds = np.concatenate(([0], inner, [n])).astype(np.int64)
         node_bounds = np.maximum.accumulate(node_bounds)  # monotone guard
+        # cap node-block sizes at 2x the even share: every shard's padded
+        # node buffer (features/labels/projections) is nodes_per_shard =
+        # MAX block size, so unbounded edge balancing on a degree-sorted
+        # graph could give one shard ~all N nodes and blow padded memory
+        # S-fold. Two steps, provably bounding EVERY block at <= cap while
+        # staying as close to edge-balanced as the cap allows:
+        #   1. clamp b_s <= s*cap (so no prefix outruns the cap budget);
+        #   2. backward pass b_s = max(b_s, b_{s+1} - cap) — after it,
+        #      block s = b_{s+1} - b_s <= cap for all s, and monotonicity
+        #      plus b_s <= s*cap are preserved (b_{s+1} - cap <= s*cap).
+        cap = min(n, 2 * (-(-n // num_shards)))
+        s_idx = np.arange(num_shards + 1, dtype=np.int64)
+        node_bounds = np.minimum(node_bounds, s_idx * cap)
+        for s in range(num_shards - 1, 0, -1):
+            node_bounds[s] = max(node_bounds[s], node_bounds[s + 1] - cap)
     else:
         per = -(-n // num_shards)
         node_bounds = np.minimum(

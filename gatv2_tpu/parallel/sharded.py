@@ -57,6 +57,19 @@ def _layer_head_sharded(num_heads: int, head_size: int) -> bool:
     return head_size > 1 and num_heads % head_size == 0
 
 
+def _halo_all_to_all(zs_loc, send_ids_me, axis_name):
+    """Boundary-only halo exchange: gather the rows each peer references
+    and route them with one all_to_all (autodiff transposes it back)."""
+    s_count, m = send_ids_me.shape
+    send = jnp.take(zs_loc, send_ids_me.reshape(-1), axis=0).reshape(
+        s_count, m, *zs_loc.shape[1:]
+    )
+    return jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0
+    ).reshape(s_count * m, *zs_loc.shape[1:])
+
+
+
 def param_specs(
     model_config: ModelConfig, mesh: Mesh, *, head_axis: str | None = "head"
 ):
@@ -114,24 +127,11 @@ def _sharded_layer(
         # and can run underneath; the HALO pass consumes the exchanged rows;
         # the per-destination online-softmax stats merge exactly inside
         # edge_attention_pallas_merge (custom VJP spans both passes).
-        import jax.lax as lax
-
+        from gatv2_tpu.ops.attention import precision_name
         from gatv2_tpu.ops.pallas_attention import edge_attention_pallas_merge
 
-        send_ids_me, _ = halo
-        s_count, m = send_ids_me.shape
-        send = jnp.take(zs_loc, send_ids_me.reshape(-1), axis=0).reshape(
-            s_count, m, *zs_loc.shape[1:]
-        )
-        halo_rows = jax.lax.all_to_all(
-            send, axis_name, split_axis=0, concat_axis=0
-        ).reshape(s_count * m, *zs_loc.shape[1:])
-        prec_name = {
-            lax.Precision.HIGHEST: "highest",
-            lax.Precision.HIGH: "high",
-            lax.Precision.DEFAULT: "default",
-            None: "highest",
-        }[precision]
+        halo_rows = _halo_all_to_all(zs_loc, halo[0], axis_name)
+        prec_name = precision_name(precision)
         h = edge_attention_pallas_merge(
             (zs_loc, halo_rows), zd_loc, a, n_loc,
             negative_slope=negative_slope, edge_tiles_parts=overlap_tiles,
@@ -152,14 +152,7 @@ def _sharded_layer(
         # overlap it with the transfer; the halo-src pass consumes the
         # exchanged rows; per-destination softmax stats from the two passes
         # merge exactly (same max-shift and eps as segment_softmax).
-        send_ids_me, _ = halo
-        s_count, m = send_ids_me.shape
-        send = jnp.take(zs_loc, send_ids_me.reshape(-1), axis=0).reshape(
-            s_count, m, *zs_loc.shape[1:]
-        )
-        halo_rows = jax.lax.all_to_all(
-            send, axis_name, split_axis=0, concat_axis=0
-        ).reshape(s_count * m, *zs_loc.shape[1:])
+        halo_rows = _halo_all_to_all(zs_loc, halo[0], axis_name)
 
         l_src, l_dst, h_src, h_dst = overlap
 
@@ -203,14 +196,7 @@ def _sharded_layer(
         # peers reference (HaloPlan); one all_to_all per layer, volume
         # O(edge cut) instead of O(N). Autodiff transposes it back.
         send_ids_me, src_idx = halo
-        s_count, m = send_ids_me.shape
-        send = jnp.take(zs_loc, send_ids_me.reshape(-1), axis=0).reshape(
-            s_count, m, *zs_loc.shape[1:]
-        )
-        halo_rows = jax.lax.all_to_all(
-            send, axis_name, split_axis=0, concat_axis=0
-        )
-        zs_space = halo_rows.reshape(s_count * m, *zs_loc.shape[1:])
+        zs_space = _halo_all_to_all(zs_loc, send_ids_me, axis_name)
 
     if impl == "pallas":
         # fused bipartite kernels: src space = exchanged rows, dst = local

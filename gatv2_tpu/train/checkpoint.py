@@ -105,11 +105,18 @@ def _unflatten_like(
 
 
 def restore(path: str | pathlib.Path, params_template: Any, opt_template: Any):
-    """Restore into the structure of the given templates (validated)."""
+    """Restore into the structure of the given templates (validated).
+
+    An EMPTY template (no leaves, e.g. `{}`) opts that group out of both
+    validation and restoration — predict.py loads weights this way without
+    caring about the checkpointed optimizer state."""
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         flat = {k: z[k] for k in z.files if k != "__meta__"}
-    for key, tmpl in (("params_treedef", params_template), ("opt_treedef", opt_template)):
+
+    def _restore_group(tmpl, prefix, key, what):
+        if not jax.tree.leaves(tmpl):
+            return tmpl  # caller skips this group (e.g. predict: opt state)
         want = str(jax.tree.flatten(tmpl)[1])
         if meta.get(key, want) != want:
             raise CheckpointMismatch(
@@ -118,8 +125,10 @@ def restore(path: str | pathlib.Path, params_template: Any, opt_template: Any):
                 f"The checkpoint was written by a different model/optimizer "
                 f"configuration."
             )
-    params = _unflatten_like(params_template, flat, "p", what="parameter", path=path)
-    opt_state = _unflatten_like(opt_template, flat, "o", what="optimizer", path=path)
+        return _unflatten_like(tmpl, flat, prefix, what=what, path=path)
+
+    params = _restore_group(params_template, "p", "params_treedef", "parameter")
+    opt_state = _restore_group(opt_template, "o", "opt_treedef", "optimizer")
     return params, opt_state, meta["epoch"]
 
 

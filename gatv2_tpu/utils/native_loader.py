@@ -96,7 +96,10 @@ def _get_lib():
             ctypes.c_int,  # num_threads
         ]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale libgatv2_loader.so built before a newer
+        # symbol existed — fall back to the numpy paths (rebuild with
+        # `make -C native` to restore the fast path)
         _lib = None
     return _lib
 

@@ -1,5 +1,6 @@
 """Checkpoint/resume: bitwise state restore, Adam t continuity."""
 
+import jax
 import numpy as np
 
 from gatv2_tpu.config import ModelConfig, TrainConfig
@@ -54,3 +55,25 @@ def test_latest_of_multiple(tmp_path, learnable_graph):
     ckpt.save(str(tmp_path), t.params, t.opt_state, 1)
     ckpt.save(str(tmp_path), t.params, t.opt_state, 2)
     assert ckpt.latest_path(str(tmp_path)).name == "ckpt_00000002.npz"
+
+
+def test_restore_with_empty_opt_template(tmp_path, learnable_graph):
+    """predict.py restores weights with an empty {} optimizer template —
+    the treedef/shape validation must skip empty groups rather than flag a
+    mismatch (round-2 review finding)."""
+    from gatv2_tpu.config import ModelConfig
+    from gatv2_tpu.models.gatv2 import init_params
+    from gatv2_tpu.train import checkpoint as ckpt
+    from gatv2_tpu.train import optim
+
+    g = learnable_graph
+    mc = ModelConfig(num_layers=2, heads=(2, 1), out_dims=(8, 8),
+                     num_classes=g.num_classes, in_dim=g.feature_dim)
+    params = init_params(mc, jax.random.PRNGKey(0))
+    opt = optim.init_opt_state(params, "adam")
+    path = ckpt.save(str(tmp_path), params, opt, 5)
+
+    restored, opt_out, epoch = ckpt.restore(path, params, {})
+    assert epoch == 5 and opt_out == {}
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

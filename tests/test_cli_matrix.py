@@ -33,6 +33,8 @@ def run(argv):
         [],
         ["--impl", "pallas"],
         ["--variant", "node"],
+        ["--variant", "node", "--impl", "pallas"],
+        ["--precision", "high"],
         ["--clip"],
         ["--mesh", "2"],
         ["--mesh", "2", "--impl", "pallas"],
@@ -47,7 +49,8 @@ def run(argv):
          "--impl", "pallas", "--sampler-engine", "python"],
     ],
     ids=[
-        "xla", "pallas", "node-variant", "clip", "mesh", "mesh-pallas",
+        "xla", "pallas", "node-variant", "node-pallas", "precision-high",
+        "clip", "mesh", "mesh-pallas",
         "mesh-overlap", "mesh-pallas-overlap",
         "minibatch", "minibatch-pallas", "dp-minibatch", "dp-minibatch-pallas",
     ],
@@ -100,3 +103,23 @@ def test_resume_with_changed_model_errors(tmp_path):
     wrong = [v if v != "8,8" else "16,16" for v in BASE]
     with pytest.raises(CheckpointMismatch, match="stored shape"):
         run(wrong + ["--checkpoint-dir", ck, "--resume"])
+
+
+def test_predict_from_checkpoint(tmp_path, capsys):
+    """predict.py --checkpoint-dir end-to-end (restores weights with an
+    empty optimizer template — round-2 review regression)."""
+    import predict as predict_main
+
+    ck = str(tmp_path / "ck")
+    run(BASE + ["--checkpoint-dir", ck])
+    out_dir = str(tmp_path / "preds")
+    assert predict_main.main(
+        ["--dataset", "karate", "--data-root", DATA,
+         "--num-layers", "2", "--heads", "2,2", "--outdims", "8,8",
+         "--checkpoint-dir", ck, "--out", out_dir]
+    ) == 0
+    outp = capsys.readouterr().out
+    assert "Loaded checkpoint at epoch 3" in outp
+    import numpy as np
+    preds = np.loadtxt(f"{out_dir}/predictions.txt", dtype=np.int64)
+    assert preds.shape[0] == 34  # karate nodes

@@ -327,3 +327,17 @@ def test_budget_modes(learnable_graph):
 
     with pytest.raises(ValueError, match="budget"):
         NeighborSampler(g, 8, (4,), budget="banana")
+
+
+def test_python_sampler_truncates_at_edge_budget(learnable_graph):
+    """The python engine honors max_edges by truncating neighbors (never
+    crashing) when a batch exceeds a probe-sized budget — mirroring the
+    native engine's guard (round-2 review finding)."""
+    g = learnable_graph
+    s = NeighborSampler(g, batch_size=32, fanouts=(8, 8), seed=0,
+                        engine="python", budget="auto")
+    s.max_edges = 64  # force an artificially tight budget
+    b = s.sample(np.arange(32))
+    assert b.num_edges <= 64
+    assert b.num_seeds == 32  # seeds are never dropped
+    assert (b.dst[: b.num_edges] < b.num_nodes).all()

@@ -574,3 +574,30 @@ def test_pallas_overlap_trainer(learnable_graph):
     loss_lines = [l for l in logs if l.startswith("Avg Loss")]
     first_loss = float(loss_lines[0].split("Avg Loss: ")[1].split(",")[0])
     assert last["loss"] < first_loss
+
+
+def test_edge_balance_caps_node_skew():
+    """On a degree-sorted graph (all edges on the first nodes), edge
+    balancing must not let one shard own ~all nodes: block sizes are capped
+    at 2x the even share so padded node memory stays bounded (round-2
+    review finding)."""
+    from gatv2_tpu.data.graph import Graph
+
+    rng = np.random.default_rng(1)
+    n, s_count = 4096, 8
+    deg = np.zeros(n, np.int64)
+    deg[: n // 32] = 300  # every edge lands on the first 3% of nodes
+    row_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=row_ptr[1:])
+    g = Graph(
+        features=np.zeros((n, 4), np.float32),
+        row_ptr=row_ptr,
+        col_idx=rng.integers(0, n, int(row_ptr[-1])),
+        labels=np.zeros(n, np.int32),
+    )
+    pg = partition_graph(g, s_count, balance="edges")
+    even = -(-n // s_count)
+    assert pg.nodes_per_shard <= 2 * even + 8  # cap (+node_multiple round)
+    # and every edge is still covered exactly once
+    real = pg.dst_local.reshape(s_count, -1) < pg.nodes_per_shard
+    assert int(real.sum()) == g.num_edges

@@ -68,6 +68,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.mesh > 0 and train_config.batch_size > 0:
         from gatv2_tpu.train.minibatch import DataParallelMinibatchTrainer
 
+        if args.overlap:
+            print(
+                "Warning: --overlap applies to full-graph --mesh training "
+                "only; ignored in data-parallel minibatch mode (sampled "
+                "subgraphs are device-local, there is no halo exchange).",
+                file=sys.stderr,
+            )
         print(
             f"Data-parallel minibatch mode: {args.mesh} devices x "
             f"batch_size={train_config.batch_size}, "
