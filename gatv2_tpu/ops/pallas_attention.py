@@ -375,7 +375,12 @@ def prepare_edge_tiles(
     src_tile_offsets = np.zeros(num_src_tiles + 1, np.int32)
     np.cumsum(padded2 // te, out=src_tile_offsets[1:])
     e2_pad = max(int(src_tile_offsets[-1]) * te, te)
-    src_sorted_ids = np.full(e2_pad, ns, np.int32)
+    # padding slots carry the PADDED src-grid size: when ns is not a lane
+    # multiple, row `ns` is a live row of the padded node grid and a pad id
+    # of ns would one-hot-match it in _segsum_src_kernel, adding garbage
+    # packets into d_zs[ns] (round-2 review finding)
+    ns_pad_id = num_src_tiles * TILE_N
+    src_sorted_ids = np.full(e2_pad, ns_pad_id, np.int32)
     gather_perm = np.zeros(e2_pad, np.int32)
     for i in range(num_src_tiles):
         c = int(counts2[i])
@@ -405,7 +410,7 @@ def prepare_edge_tiles(
 
         dst = widen(dst, num_nodes)  # extra slots: padding edges
         src = widen(src, 0)
-        src_sorted_ids = widen(src_sorted_ids, ns)
+        src_sorted_ids = widen(src_sorted_ids, ns_pad_id)
         gather_perm = widen(gather_perm, 0)
         e_pad = e2_pad = want
 
@@ -735,6 +740,32 @@ def _forward_chunk(
 # ---------------------------------------------------------------------------
 
 
+def _edge_recompute(
+    mask_f, zs_tile, zd_all, g_all, m_all, l_all, a_sel, r_mat,
+    precision, negative_slope,
+):
+    """Per-edge backward recompute shared by every dst-tiled backward
+    kernel: gathers (zd, g, m, l) through the tile's one-hot mask and
+    rebuilds (alpha_e, dalpha_e, s_raw, s_act, g_e) edge-major. Keeping it
+    in ONE place guarantees the single-pass and merge-path backwards use
+    bit-identical math (precision tiers, sensitive flags, clamps)."""
+    zd_e = _kdot(mask_f, zd_all, (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
+    s_raw = zs_tile + zd_e
+    s_act = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
+    sc_e = _kdot(s_act, a_sel, (((1,), (0,)), ((), ())), precision,
+                 sensitive=True)  # [tile_e, 128]
+    m_g = _kdot(mask_f, m_all, (((0,), (0,)), ((), ())), precision,
+                sensitive=True)
+    l_g = _kdot(mask_f, l_all, (((0,), (0,)), ((), ())), precision,
+                sensitive=True)
+    p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
+    alpha_e = p_e / (l_g + SOFTMAX_EPS)
+    g_e = _kdot(mask_f, g_all, (((0,), (0,)), ((), ())), precision)
+    dalpha_e = _kdot(g_e * zs_tile, r_mat, (((1,), (1,)), ((), ())),
+                     precision, sensitive=True)  # [tile_e, 128]
+    return alpha_e, dalpha_e, s_raw, s_act, g_e
+
+
 def _bwd_dst_kernel(
     # scalar prefetch
     tile_offsets_ref,  # [T_c+1] int32 (chunk-relative edge-tile units)
@@ -821,22 +852,10 @@ def _bwd_dst_kernel(
                 cp.start()
 
     def edge_alpha_dalpha(slot, mask_f):
-        """Recompute (alpha_e, dalpha_e, s_raw, s_act, g_e) edge-major."""
-        zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
-        s_raw = zs_t[slot] + zd_e
-        s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
-        sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision,
-                     sensitive=True)  # [tile_e, 128]
-        m_g = _kdot(mask_f, m_ref[:], (((0,), (0,)), ((), ())), precision,
-                    sensitive=True)  # [tile_e, 128]
-        l_g = _kdot(mask_f, l_ref[:], (((0,), (0,)), ((), ())), precision,
-                    sensitive=True)
-        p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
-        alpha_e = p_e / (l_g + SOFTMAX_EPS)  # [tile_e, 128]
-        g_e = _kdot(mask_f, g_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
-        dalpha_e = _kdot(g_e * zs_t[slot], r_ref[:], (((1,), (1,)), ((), ())),
-                         precision, sensitive=True)  # [tile_e, 128]
-        return alpha_e, dalpha_e, s_raw, s, g_e
+        return _edge_recompute(
+            mask_f, zs_t[slot], zd_ref[:], g_ref[:], m_ref[:], l_ref[:],
+            a_sel_ref[:], r_ref[:], precision, negative_slope,
+        )
 
     # ---- pass B: segment term r_j = sum alpha * dalpha ------------------
     start_first()
@@ -1023,21 +1042,10 @@ def _bwd_rsum_kernel(
         for cp in dmas(slot, k):
             cp.wait()
         mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
-        zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision)
-        s_raw = zs_t[slot] + zd_e
-        s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
-        sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision,
-                     sensitive=True)
-        m_g = _kdot(mask_f, m_ref[:], (((0,), (0,)), ((), ())), precision,
-                    sensitive=True)
-        l_g = _kdot(mask_f, l_ref[:], (((0,), (0,)), ((), ())), precision,
-                    sensitive=True)
-        alpha_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0)) / (
-            l_g + SOFTMAX_EPS
+        alpha_e, dalpha_e, _, _, _ = _edge_recompute(
+            mask_f, zs_t[slot], zd_ref[:], g_ref[:], m_ref[:], l_ref[:],
+            a_sel_ref[:], r_ref[:], precision, negative_slope,
         )
-        g_e = _kdot(mask_f, g_ref[:], (((0,), (0,)), ((), ())), precision)
-        dalpha_e = _kdot(g_e * zs_t[slot], r_ref[:], (((1,), (1,)), ((), ())),
-                         precision, sensitive=True)
         rsum_ref[:] = rsum_ref[:] + _kdot(
             mask_f, alpha_e * dalpha_e, (((1,), (0,)), ((), ())), precision,
             sensitive=True,
@@ -1106,21 +1114,10 @@ def _bwd_apply_kernel(
             c1_dma(slot, k - 2).wait()
 
         mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
-        zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision)
-        s_raw = zs_t[slot] + zd_e
-        s_act = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
-        sc_e = _kdot(s_act, a_sel_ref[:], (((1,), (0,)), ((), ())), precision,
-                     sensitive=True)
-        m_g = _kdot(mask_f, m_ref[:], (((0,), (0,)), ((), ())), precision,
-                    sensitive=True)
-        l_g = _kdot(mask_f, l_ref[:], (((0,), (0,)), ((), ())), precision,
-                    sensitive=True)
-        alpha_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0)) / (
-            l_g + SOFTMAX_EPS
+        alpha_e, dalpha_e, s_raw, s_act, g_e = _edge_recompute(
+            mask_f, zs_t[slot], zd_ref[:], g_ref[:], m_ref[:], l_ref[:],
+            a_sel_ref[:], r_ref[:], precision, negative_slope,
         )
-        g_e = _kdot(mask_f, g_ref[:], (((0,), (0,)), ((), ())), precision)
-        dalpha_e = _kdot(g_e * zs_t[slot], r_ref[:], (((1,), (1,)), ((), ())),
-                         precision, sensitive=True)
         r_g = _kdot(mask_f, rsum_ref[:], (((0,), (0,)), ((), ())), precision,
                     sensitive=True)
         de_e = alpha_e * (dalpha_e - r_g)
@@ -1629,6 +1626,11 @@ def edge_attention_pallas(
             "COO layout is not kept when num_chunks > 1); use the default "
             "bwd_impl='pallas'"
         )
+    if bwd_impl == "xla" and edge_tiles.num_src_nodes >= 0:
+        raise ValueError(
+            "bwd_impl='xla' supports monopartite tiles only (bipartite "
+            "src/dst spaces need the Pallas backward); use bwd_impl='pallas'"
+        )
     et = edge_tiles
     te = et.tile_e
     g_chunks = et.num_chunks
@@ -1726,19 +1728,35 @@ def edge_attention_pallas(
 
     def bwd_xla(res, g):
         zs, zd, a, et_ = res
-        def f(zs_, zd_, a_):
+        # the recompute must run in the REAL node space: the flat layout's
+        # padding edges carry dst == et_.num_nodes, which is only out of
+        # segment range when num_segments == the real count. Inputs may be
+        # node-padded (Trainer layouts); slice them down and zero-pad the
+        # grads back (padded rows feed constant-zero outputs, so their true
+        # cotangent is zero).
+        n_real = et_.num_nodes
+
+        def f(zs_r, zd_r, a_):
             # the tiled flat layout interleaves padding ids (== num_nodes)
             # BETWEEN tiles, so dst is NOT globally sorted here
             out3 = _edge_attention_xla(
-                zs_.reshape(num_nodes, num_heads, head_dim),
-                zd_.reshape(num_nodes, num_heads, head_dim),
-                a_, et_.src, et_.dst, num_nodes,
+                zs_r.reshape(n_real, num_heads, head_dim),
+                zd_r.reshape(n_real, num_heads, head_dim),
+                a_, et_.src, et_.dst, n_real,
                 negative_slope=negative_slope, indices_sorted=False,
             )
-            return out3.reshape(num_nodes, hd_real) if flat_io else out3
+            return out3.reshape(n_real, hd_real) if flat_io else out3
 
-        _, vjp = jax.vjp(f, zs, zd, a)
-        return (*vjp(g), None)
+        _, vjp = jax.vjp(f, zs[:n_real], zd[:n_real], a)
+        dzs_r, dzd_r, da = vjp(g[:n_real])
+
+        def padback(d, like):
+            pad = like.shape[0] - n_real
+            if pad == 0:
+                return d
+            return jnp.pad(d, ((0, pad),) + ((0, 0),) * (d.ndim - 1))
+
+        return padback(dzs_r, zs), padback(dzd_r, zd), da, None
 
     def bwd_pallas(res, gout):
         zs, zd, a = res[0], res[1], res[2]
@@ -1749,7 +1767,6 @@ def edge_attention_pallas(
         sid_ids = et_.src_side.ids_grp
         sid_other = et_.src_side.other_grp
         src_rel = et_.src_side.rel_offsets
-        n = zs.shape[0]
         zs_flat, hd = _prep(zs, ns_pad)
         zd_flat, _ = _prep(zd)
         a_sel, r_mat, a_rep = _head_matrices(a, hd)

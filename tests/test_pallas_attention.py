@@ -585,3 +585,49 @@ def test_precision_spec_normalization(tiny_graph):
         run("banana")
     with pytest.raises(ValueError, match="uniform precision"):
         run((lax.Precision.HIGHEST, lax.Precision.DEFAULT))
+
+
+@pytest.mark.parametrize("bwd_impl", ["pallas", "xla"])
+def test_padded_node_space_grads(bwd_impl):
+    """Node-padded inputs (the Trainer's layout: N not a lane multiple,
+    zs/zd/num_nodes padded to the tile grid): gradients on real rows match
+    the unpadded oracle and padding-row gradients are exactly zero.
+    Round-2 review: the src-sorted pad id used to collide with live row N,
+    and bwd_impl='xla' ran its recompute in the padded segment space."""
+    from gatv2_tpu.data.synthetic import random_graph
+
+    g = random_graph(150, 700, 8, 3, seed=42)  # 150 % 128 != 0
+    h, d = 2, 8
+    zs, zd, a = _random_inputs(g, h, d, seed=43)
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    n_pad = et.padded_num_nodes
+    assert n_pad != g.num_nodes
+    zs_p = jnp.pad(zs, ((0, n_pad - 150), (0, 0), (0, 0)))
+    zd_p = jnp.pad(zd, ((0, n_pad - 150), (0, 0), (0, 0)))
+
+    def loss_pl(zs_, zd_, a_):
+        out = edge_attention_pallas(
+            zs_, zd_, a_, None, None, n_pad,
+            negative_slope=0.01, edge_tiles=et, interpret=True,
+            bwd_impl=bwd_impl,
+        )
+        return jnp.sum(jnp.sin(out[:150]))
+
+    pe = g.padded_edges(128)
+
+    def loss_xla(zs_, zd_, a_):
+        out = _edge_attention_xla(
+            zs_, zd_, a_, jnp.asarray(pe.src), jnp.asarray(pe.dst),
+            g.num_nodes, negative_slope=0.01,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(zs_p, zd_p, a)
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(zs, zd, a)
+    for got, want in zip(g_pl[:2], g_ref[:2]):
+        got = np.asarray(got)
+        np.testing.assert_allclose(got[:150], np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_array_equal(got[150:], 0.0)  # padding rows
+    np.testing.assert_allclose(np.asarray(g_pl[2]), np.asarray(g_ref[2]),
+                               rtol=2e-5, atol=2e-6)
