@@ -219,8 +219,8 @@ def prepare_partitioned_tiles(
     s_count = pg.num_shards
     nps = pg.nodes_per_shard
     if halo_plan is not None:
-        # src ids are halo-table slots, the src space the halo rows
-        n_glob = halo_plan.halo_size
+        # src ids index the per-shard gather space [zs_loc | halo rows]
+        n_glob = halo_plan.space_size
         src_all = halo_plan.src_halo
     else:
         n_glob = pg.padded_num_nodes
@@ -242,6 +242,11 @@ def prepare_partitioned_tiles(
                 num_src_nodes=n_glob,
             )
         )
+        if tile_e is None:
+            # tile_e=None auto-selects per degree profile; the stacked
+            # layout's static aux (shard 0's) must describe EVERY shard,
+            # so pin the remaining shards to shard 0's choice
+            tile_e = per_shard[0].tile_e
 
     return _stack_tiles(per_shard)
 
@@ -249,12 +254,21 @@ def prepare_partitioned_tiles(
 def _stack_tiles(per_shard):
     """Pad every array leaf to the max shape across shards and stack on a
     leading shard axis (tail regions are never referenced: the per-tile
-    offsets only cover real edge tiles)."""
+    offsets only cover real edge tiles). The static aux data (tile_e,
+    chunking, node counts) is taken from shard 0 and must agree across
+    shards — enforced here because a silent mismatch would make the kernel
+    stream wrong edge ranges."""
     import jax
     import jax.numpy as jnp
 
     leaves = [jax.tree.flatten(t)[0] for t in per_shard]
     treedef = jax.tree.flatten(per_shard[0])[1]
+    for s, t in enumerate(per_shard[1:], 1):
+        if jax.tree.flatten(t)[1] != treedef:
+            raise ValueError(
+                f"shard {s}'s tile aux data (tile_e/chunking/node counts) "
+                f"differs from shard 0's — stacked tiles must be uniform"
+            )
     stacked = []
     for i in range(len(leaves[0])):
         arrs = [np.asarray(l[i]) for l in leaves]
@@ -308,24 +322,37 @@ class HaloPlan:
     """Boundary-only exchange plan (SURVEY.md §5 'long-context' row).
 
     Instead of all_gathering every node's src projection, each shard sends
-    only the rows its peers' edges reference:
+    only the rows its peers' edges reference. OWN-shard rows are never
+    exchanged: the sharded layer gathers from the concatenation
+    [zs_loc (nps rows) | halo table (S*M exchanged rows)], so only the
+    cross-shard edge cut moves over ICI (a shard's densest block is
+    usually its own diagonal — including it used to inflate M and could
+    even disable the plan on exactly the high-locality partitions it
+    targets).
 
       send_ids [S, S, M]  send_ids[i, j] = i-local node ids shard j needs
-                          from shard i (0-padded to the common max M);
-      src_halo [S, E_s]   each edge's src remapped to its halo slot
-                          (receiving shard j stores the row from i at
-                          position k in slot i*M + k).
+                          from shard i (0-padded to the common OFF-DIAGONAL
+                          max M; the i == j block is unused);
+      src_halo [S, E_s]   each edge's src remapped to its gather slot:
+                          LOCAL src -> its zs_loc row (< nps); remote src
+                          from shard i at send position k -> nps + i*M + k.
 
-    Communication volume drops from O(N * HD) to O(S * M * HD) per shard,
-    where M tracks the partition's edge cut. (On locality-free random
-    graphs M ~ N/S and the plan degenerates to an all_gather's volume —
-    use the all_gather path there.)
+    Communication volume is O(S * M * HD) per shard, M tracking the
+    cross-shard edge cut. (On locality-free random graphs M ~ N/S and the
+    plan degenerates to an all_gather's volume — use the all_gather path
+    there.)
     """
 
     send_ids: np.ndarray  # [S, S, M] int32
-    src_halo: np.ndarray  # [S, edges_per_shard] int32 (halo-slot ids)
-    halo_size: int  # S * M (the per-shard halo table row count)
+    src_halo: np.ndarray  # [S, edges_per_shard] int32 (gather-slot ids)
+    halo_size: int  # S * M (exchanged rows per shard; gather space adds nps)
     m_per_pair: int
+    nodes_per_shard: int  # local rows preceding the halo table in the space
+
+    @property
+    def space_size(self) -> int:
+        """Rows of the per-shard gather space: [zs_loc | halo table]."""
+        return self.nodes_per_shard + self.halo_size
 
 
 def halo_exchange_plan(pg: PartitionedGraph, *, pad_multiple: int = 8) -> HaloPlan:
@@ -333,7 +360,7 @@ def halo_exchange_plan(pg: PartitionedGraph, *, pad_multiple: int = 8) -> HaloPl
     src = pg.src.reshape(s_count, -1)
     dst = pg.dst_local.reshape(s_count, -1)
 
-    # per (owner i, consumer j): sorted unique i-local ids j references
+    # per (owner i, consumer j != i): sorted unique i-local ids j references
     needed: list[list[np.ndarray]] = []
     m = 1
     for j in range(s_count):
@@ -342,6 +369,10 @@ def halo_exchange_plan(pg: PartitionedGraph, *, pad_multiple: int = 8) -> HaloPl
         owners = uniq // nps
         per_owner = []
         for i in range(s_count):
+            if i == j:
+                # own rows come straight from zs_loc — never exchanged
+                per_owner.append(np.empty(0, np.int64))
+                continue
             ids = uniq[owners == i] - i * nps
             per_owner.append(ids.astype(np.int64))
             m = max(m, len(ids))
@@ -354,7 +385,7 @@ def halo_exchange_plan(pg: PartitionedGraph, *, pad_multiple: int = 8) -> HaloPl
             ids = needed[j][i]
             send_ids[i, j, : len(ids)] = ids
 
-    # remap each shard's edge srcs to halo slots
+    # remap each shard's edge srcs to gather slots in [zs_loc | halo table]
     src_halo = np.zeros((s_count, src.shape[1]), np.int32)
     for j in range(s_count):
         real = dst[j] < nps
@@ -366,15 +397,19 @@ def halo_exchange_plan(pg: PartitionedGraph, *, pad_multiple: int = 8) -> HaloPl
             sel = owners == i
             if not sel.any():
                 continue
+            if i == j:
+                slots[sel] = local[sel]  # direct zs_loc rows
+                continue
             # position of each referenced id inside the (sorted) send list
             k = np.searchsorted(needed[j][i], local[sel])
-            slots[sel] = i * m + k
+            slots[sel] = nps + i * m + k
         src_halo[j, real] = slots.astype(np.int32)
     return HaloPlan(
         send_ids=send_ids,
         src_halo=src_halo,
         halo_size=s_count * m,
         m_per_pair=m,
+        nodes_per_shard=nps,
     )
 
 
@@ -417,7 +452,9 @@ def overlap_split_plan(
         li = real & own
         hi = real & ~own
         locals_.append((src[j][li] % nps, dst[j][li]))
-        halos.append((halo[j][hi], dst[j][hi]))
+        # src_halo numbers remote rows nps + slot (the concat gather space);
+        # the overlap halo pass gathers from the halo TABLE alone
+        halos.append((halo[j][hi] - nps, dst[j][hi]))
 
     def pad_stack(pairs):
         m = max((p[0].shape[0] for p in pairs), default=0)

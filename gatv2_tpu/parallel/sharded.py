@@ -33,16 +33,20 @@ all_gathers into reduce_scatters in the backward pass automatically.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gatv2_tpu.config import ModelConfig, TrainConfig
-from gatv2_tpu.models import gatv2
-from gatv2_tpu.ops.segment import segment_max, segment_softmax, segment_sum
+from gatv2_tpu.ops.segment import (
+    EXP_CLAMP,
+    SOFTMAX_EPS,
+    segment_max,
+    segment_softmax,
+    segment_sum,
+)
 from gatv2_tpu.parallel.partition import PartitionedGraph
 from gatv2_tpu.train import optim
 
@@ -172,14 +176,14 @@ def _sharded_layer(
 
         def pass_sums(e_k, zs_k, dst_k):
             shifted = e_k - jnp.take(m_all, jnp.minimum(dst_k, n_loc - 1), axis=0)
-            w = jnp.exp(jnp.maximum(shifted, -80.0))
+            w = jnp.exp(jnp.maximum(shifted, EXP_CLAMP))
             u = segment_sum(w[:, :, None] * zs_k, dst_k, n_loc)
             l = segment_sum(w, dst_k, n_loc)
             return u, l
 
         u1, l1 = pass_sums(e1, zs1, l_dst)
         u2, l2 = pass_sums(e2, zs2, h_dst)
-        h = (u1 + u2) / (l1 + l2 + 1e-8)[:, :, None]
+        h = (u1 + u2) / (l1 + l2 + SOFTMAX_EPS)[:, :, None]
         return _combine_heads(
             h, n_loc,
             is_last=is_last, negative_slope=negative_slope, variant=variant,
@@ -196,7 +200,10 @@ def _sharded_layer(
         # peers reference (HaloPlan); one all_to_all per layer, volume
         # O(edge cut) instead of O(N). Autodiff transposes it back.
         send_ids_me, src_idx = halo
-        zs_space = _halo_all_to_all(zs_loc, send_ids_me, axis_name)
+        halo_rows = _halo_all_to_all(zs_loc, send_ids_me, axis_name)
+        # gather space = [own rows | exchanged rows]: the diagonal block is
+        # never exchanged (HaloPlan), local srcs index zs_loc directly
+        zs_space = jnp.concatenate([zs_loc, halo_rows], axis=0)
 
     if impl == "pallas":
         # fused bipartite kernels: src space = exchanged rows, dst = local
@@ -316,26 +323,36 @@ def make_sharded_loss_fn(
         )
         x = x_loc
         for l, layer_params in enumerate(params["layers"]):
-            x = _sharded_layer(
-                layer_params,
-                x,
-                src_g,
-                dst_l,
-                axis_name=axis_name,
-                head_axis=head_axis if has_head_axis else None,
-                head_sharded=_layer_head_sharded(model_config.heads[l], hs),
-                num_heads_global=model_config.heads[l],
-                is_last=(l == model_config.num_layers - 1),
-                negative_slope=model_config.negative_slope,
-                variant=model_config.variant,
-                precision=model_config.precision,
-                impl=impl,
-                edge_tiles=et_loc,
-                interpret=interpret,
-                halo=halo_loc,
-                overlap=ov_loc,
-                overlap_tiles=ovt_loc,
-            )
+            def run_layer(layer_params, x, l=l):
+                return _sharded_layer(
+                    layer_params,
+                    x,
+                    src_g,
+                    dst_l,
+                    axis_name=axis_name,
+                    head_axis=head_axis if has_head_axis else None,
+                    head_sharded=_layer_head_sharded(
+                        model_config.heads[l], hs
+                    ),
+                    num_heads_global=model_config.heads[l],
+                    is_last=(l == model_config.num_layers - 1),
+                    negative_slope=model_config.negative_slope,
+                    variant=model_config.variant,
+                    precision=model_config.precision,
+                    impl=impl,
+                    edge_tiles=et_loc,
+                    interpret=interpret,
+                    halo=halo_loc,
+                    overlap=ov_loc,
+                    overlap_tiles=ovt_loc,
+                )
+
+            if model_config.remat:
+                # collectives and pallas calls replay fine under checkpoint;
+                # the single-device forward honors the same flag
+                # (models/gatv2.py)
+                run_layer = jax.checkpoint(run_layer)
+            x = run_layer(layer_params, x)
         return jnp.matmul(x, params["w_o"].T, precision=model_config.precision)
 
     def body(params, x_loc, src_g, dst_l, labels_loc, et_sh, halo_sh, ov_sh,
@@ -469,9 +486,13 @@ def make_sharded_eval_step(
     *,
     axis_name: str = "graph",
     head_axis: str | None = "head",
+    **loss_kwargs,
 ) -> Callable:
+    """jit of make_sharded_loss_fn — forwards impl/edge_tiles/halo_plan/
+    overlap_* so evaluation runs the SAME configured forward as training."""
     loss_fn = make_sharded_loss_fn(
-        model_config, mesh, num_real_nodes, axis_name=axis_name, head_axis=head_axis
+        model_config, mesh, num_real_nodes, axis_name=axis_name,
+        head_axis=head_axis, **loss_kwargs,
     )
     return jax.jit(loss_fn)
 
@@ -636,6 +657,16 @@ class ShardedTrainer:
         seed = train_config.seed
         if seed is None:
             seed = int(time.time())
+            if jax.process_count() > 1:
+                # each process computes its own time — broadcast host 0's so
+                # the 'replicated' params really are identical across hosts
+                from jax.experimental import multihost_utils
+
+                seed = int(
+                    multihost_utils.broadcast_one_to_all(
+                        jnp.asarray(seed, jnp.int32)
+                    )
+                )
         self.params = device_put_params(
             _g.init_params_for_variant(model_config, jax.random.PRNGKey(seed)),
             model_config,
@@ -656,12 +687,12 @@ class ShardedTrainer:
             train_labels = self.pg.scatter_nodes(masked, -1)
             num_loss_nodes = int(splits.train.sum())
             shard1 = NamedSharding(self.mesh, P("graph"))
-            self._train_labels_dev = jax.device_put(train_labels, shard1)
-            self._eval_labels = jax.device_put(
+            self._train_labels_dev = _put_sharded(train_labels, shard1)
+            self._eval_labels = _put_sharded(
                 self.pg.scatter_nodes(graph.labels, -1), shard1
             )
             self._masks = tuple(
-                jax.device_put(self.pg.scatter_nodes(m, False), shard1)
+                _put_sharded(self.pg.scatter_nodes(m, False), shard1)
                 for m in (splits.train, splits.val, splits.test)
             )
             self._split_eval = make_sharded_split_eval_step(

@@ -601,3 +601,40 @@ def test_edge_balance_caps_node_skew():
     # and every edge is still covered exactly once
     real = pg.dst_local.reshape(s_count, -1) < pg.nodes_per_shard
     assert int(real.sum()) == g.num_edges
+
+
+def test_halo_plan_excludes_diagonal_on_community_graph():
+    """Own-shard rows must never be exchanged: on a high-locality
+    community partition the halo volume tracks the CROSS-shard cut (a few
+    % of all_gather), instead of being inflated by the dense diagonal
+    block to the point of disabling the plan (round-2 review finding)."""
+    from gatv2_tpu.data.graph import Graph
+    from gatv2_tpu.parallel.partition import halo_exchange_plan
+
+    rng = np.random.default_rng(0)
+    n, s_count = 4096, 8
+    per = n // s_count
+    dst = np.repeat(np.arange(n), 8)
+    src = np.where(
+        rng.random(dst.size) < 0.95,
+        (dst // per) * per + rng.integers(0, per, dst.size),
+        rng.integers(0, n, dst.size),
+    ).astype(np.int64)
+    order = np.argsort(dst, kind="stable")
+    src, dst_s = src[order], dst[order]
+    rp = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(dst_s, minlength=n), out=rp[1:])
+    g = Graph(features=np.zeros((n, 4), np.float32), row_ptr=rp,
+              col_idx=src, labels=np.zeros(n, np.int32))
+    pg = partition_graph(g, s_count, balance="nodes")
+    plan = halo_exchange_plan(pg)
+    assert plan.halo_size < 0.2 * pg.padded_num_nodes
+    # local srcs index zs_loc rows (< nps); remote srcs the halo table
+    real = pg.dst_local.reshape(s_count, -1) < pg.nodes_per_shard
+    src_slots = pg.src.reshape(s_count, -1)
+    for j in range(s_count):
+        own = (src_slots[j] // pg.nodes_per_shard) == j
+        sel = real[j]
+        halo = plan.src_halo[j][sel]
+        assert (halo[own[sel]] < pg.nodes_per_shard).all()
+        assert (halo[~own[sel]] >= pg.nodes_per_shard).all()
