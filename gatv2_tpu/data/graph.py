@@ -45,6 +45,18 @@ class Graph:
             raise ValueError(
                 f"row_ptr[-1]={self.row_ptr[-1]} != num_edges={self.col_idx.shape[0]}"
             )
+        # catch malformed exports at LOAD time: inside jit, out-of-range
+        # gather indices clamp silently (wrong results, no error), and the
+        # two sampler engines would diverge from the full-graph path
+        if (np.diff(self.row_ptr) < 0).any():
+            raise ValueError("row_ptr must be non-decreasing")
+        if self.col_idx.size:
+            lo, hi = int(self.col_idx.min()), int(self.col_idx.max())
+            if lo < 0 or hi >= n:
+                raise ValueError(
+                    f"col_idx contains node id {lo if lo < 0 else hi} outside "
+                    f"[0, {n}) — is the dataset 1-indexed?"
+                )
 
     @property
     def num_nodes(self) -> int:

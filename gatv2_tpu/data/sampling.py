@@ -98,6 +98,10 @@ class NeighborSampler:
                     "native sampler requested but libgatv2_loader.so is not "
                     "built (make -C native)"
                 )
+        elif engine != "python":
+            raise ValueError(
+                f"engine must be 'auto', 'native' or 'python', got {engine!r}"
+            )
         self.engine = engine
         # static shape budget: analytic no-dedup worst case ...
         max_nodes = batch_size

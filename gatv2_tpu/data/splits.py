@@ -78,11 +78,22 @@ def random_splits(
 
 
 def load_split_files(directory: str | pathlib.Path, num_nodes: int) -> Splits | None:
-    """Load mask files from a dataset directory; None if absent."""
+    """Load mask files from a dataset directory; None if absent.
+
+    PARTIAL mask sets are an error (silently ignoring a provided
+    train_mask because test_mask is missing would leak held-out nodes
+    into training)."""
     d = pathlib.Path(directory)
     paths = [d / f for f in MASK_FILES]
-    if not all(p.exists() for p in paths):
+    present = [p.exists() for p in paths]
+    if not any(present):
         return None
+    if not all(present):
+        missing = [f for f, ok in zip(MASK_FILES, present) if not ok]
+        raise FileNotFoundError(
+            f"{d}: partial split masks — missing {', '.join(missing)} "
+            f"(provide all three of {', '.join(MASK_FILES)}, or none)"
+        )
     masks = []
     for p in paths:
         m = np.loadtxt(p, dtype=np.int64).reshape(-1)

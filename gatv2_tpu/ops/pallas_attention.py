@@ -475,25 +475,28 @@ def edge_tiles_from_native(
             f"native tile arrays hold {raw['src'].shape[0]} edge slots but "
             f"fixed_edge_tiles={fixed_edge_tiles} x te={te} = {want}"
         )
+    # leaves stay NUMPY: per-batch tiles cross to the device exactly once
+    # (inside the jit call); jnp conversion here would add a device round
+    # trip per batch in the DP stack path (stack_batches pulls them back)
     dst_side = _TileSide(
-        ids_grp=jnp.asarray(raw["dst"][None]),
-        other_grp=jnp.asarray(raw["src"][None]),
-        rel_offsets=jnp.asarray(raw["tile_offsets"][None]),
+        ids_grp=raw["dst"][None],
+        other_grp=raw["src"][None],
+        rel_offsets=raw["tile_offsets"][None],
     )
     src_side = _TileSide(
-        ids_grp=jnp.asarray(raw["src_sorted_ids"][None]),
-        other_grp=jnp.asarray(raw["dst_of_src"][None]),
-        rel_offsets=jnp.asarray(raw["src_tile_offsets"][None]),
+        ids_grp=raw["src_sorted_ids"][None],
+        other_grp=raw["dst_of_src"][None],
+        rel_offsets=raw["src_tile_offsets"][None],
     )
     return EdgeTiles(
-        src=jnp.asarray(raw["src"]),
-        dst=jnp.asarray(raw["dst"]),
-        tile_offsets=jnp.asarray(raw["tile_offsets"]),
+        src=raw["src"],
+        dst=raw["dst"],
+        tile_offsets=raw["tile_offsets"],
         num_nodes=max_nodes,
         num_node_tiles=num_node_tiles,
-        src_sorted_ids=jnp.asarray(raw["src_sorted_ids"]),
-        gather_perm=jnp.asarray(raw["gather_perm"]),
-        src_tile_offsets=jnp.asarray(raw["src_tile_offsets"]),
+        src_sorted_ids=raw["src_sorted_ids"],
+        gather_perm=raw["gather_perm"],
+        src_tile_offsets=raw["src_tile_offsets"],
         tile_e=te,
         num_chunks=1,
         tiles_per_chunk=num_node_tiles,

@@ -38,11 +38,17 @@ def run_meta(model_config: Any = None, train_config: Any = None) -> dict:
     meta: dict[str, Any] = {}
     if model_config is not None:
         d = dataclasses.asdict(model_config)
-        meta["model_config"] = {k: d[k] for k in sorted(d)}
+        # execution knobs (precision tier, remat, dtypes) may differ between
+        # the saving and resuming runs without changing what the params mean
+        skip = {"matmul_precision", "remat", "compute_dtype", "param_dtype"}
+        meta["model_config"] = {k: d[k] for k in sorted(d) if k not in skip}
     if train_config is not None:
         d = dataclasses.asdict(train_config)
-        # only shape-affecting / optimizer-state-affecting fields
-        keep = ("optimizer", "impl", "batch_size", "fanouts")
+        # only fields whose change breaks a resume: the optimizer family
+        # (moment semantics) and the minibatch shape (step-count/bias
+        # correction). Execution knobs like impl/precision may legitimately
+        # differ between the saving and resuming runs.
+        keep = ("optimizer", "batch_size", "fanouts")
         meta["train_config"] = {k: d[k] for k in keep if k in d}
     blob = json.dumps(meta, sort_keys=True, default=str)
     meta["config_hash"] = hashlib.sha256(blob.encode()).hexdigest()[:16]
@@ -165,11 +171,40 @@ def _put_like(template_leaf, value: np.ndarray):
     return jax.numpy.asarray(value)
 
 
-def restore_into(directory: str, trainer) -> bool:
-    """Restore newest checkpoint into a Trainer in place. True if restored."""
+def read_meta(path: str | pathlib.Path) -> dict:
+    """The checkpoint's stored metadata (epoch, treedefs, config blobs)."""
+    with np.load(path, allow_pickle=False) as z:
+        return json.loads(str(z["__meta__"]))
+
+
+def restore_into(directory: str, trainer, *, expect_meta: dict | None = None) -> bool:
+    """Restore newest checkpoint into a Trainer in place. True if restored.
+
+    expect_meta (a run_meta() dict for the CURRENT run): when both it and
+    the stored checkpoint carry a config fingerprint, a mismatch raises
+    CheckpointMismatch naming the differing fields — shapes can coincide
+    while semantics differ (e.g. resuming an edge-variant checkpoint as
+    --variant node, or with a different --batch-size, which corrupts the
+    Adam step count)."""
     path = latest_path(directory)
     if path is None:
         return False
+    if expect_meta is not None and "config_hash" in expect_meta:
+        stored = read_meta(path)
+        if "config_hash" in stored and (
+            stored["config_hash"] != expect_meta["config_hash"]
+        ):
+            diffs = []
+            for group in ("model_config", "train_config"):
+                a, b = stored.get(group, {}), expect_meta.get(group, {})
+                for k in sorted(set(a) | set(b)):
+                    if a.get(k) != b.get(k):
+                        diffs.append(f"{group}.{k}: stored={a.get(k)!r} "
+                                     f"current={b.get(k)!r}")
+            raise CheckpointMismatch(
+                f"{path}: checkpoint was written by a different "
+                f"configuration:\n  " + "\n  ".join(diffs)
+            )
     params, opt_state, epoch = restore(path, trainer.params, trainer.opt_state)
     trainer.params = jax.tree.map(_put_like, trainer.params, params)
     trainer.opt_state = jax.tree.map(_put_like, trainer.opt_state, opt_state)

@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gatv2_tpu.config import ModelConfig, TrainConfig
-from gatv2_tpu.data.sampling import MiniBatch
+from gatv2_tpu.data.sampling import MiniBatch, NeighborSampler, prefetch
 from gatv2_tpu.models import gatv2
 from gatv2_tpu.train import optim
 
@@ -225,24 +225,28 @@ class MinibatchTrainer:
     def evaluate(self, which: str = "test") -> float:
         """Accuracy on a split via sampled-subgraph inference: every node of
         the split seeds exactly one batch; accuracy is seed-weighted."""
-        import numpy as np
-
-        from gatv2_tpu.data.sampling import NeighborSampler, prefetch
         from gatv2_tpu.models import gatv2 as _g
 
         if self.splits is None:
             raise ValueError("MinibatchTrainer built without splits")
-        nodes = np.nonzero(getattr(self.splits, which))[0]
-        sampler = NeighborSampler(
-            self.graph,
-            self.train_config.batch_size,
-            self.sampler.fanouts,
-            seed=self._seed + 1,
-            engine=self.train_config.sampler_engine,
-            seed_nodes=nodes,
-            emit_tiles=(self.train_config.impl == "pallas"),
-            budget=self.train_config.sample_budget,
-        )
+        # one sampler per split, cached: rebuilding would re-run probe
+        # batches and (with probe-sized budgets) recompile the eval step
+        if not hasattr(self, "_eval_samplers"):
+            self._eval_samplers = {}
+        sampler = self._eval_samplers.get(which)
+        if sampler is None:
+            nodes = np.nonzero(getattr(self.splits, which))[0]
+            sampler = NeighborSampler(
+                self.graph,
+                self.train_config.batch_size,
+                self.sampler.fanouts,
+                seed=self._seed + 1,
+                engine=self.train_config.sampler_engine,
+                seed_nodes=nodes,
+                emit_tiles=(self.train_config.impl == "pallas"),
+                budget=self.train_config.sample_budget,
+            )
+            self._eval_samplers[which] = sampler
         if self._eval_step is None:
             mc, tc = self.model_config, self.train_config
 
@@ -280,8 +284,6 @@ class MinibatchTrainer:
             loss_sum = 0.0
             correct_sum = 0.0
             seeds_total = 0
-            from gatv2_tpu.data.sampling import prefetch
-
             for b in prefetch(self.sampler, depth=2):
                 self.step_count += 1
                 self.params, self.opt_state, loss, acc = self._step(
@@ -366,8 +368,6 @@ class DataParallelMinibatchTrainer(MinibatchTrainer):
 
     def run(self, epochs: int | None = None) -> dict:
         import time
-
-        from gatv2_tpu.data.sampling import prefetch
 
         epochs = epochs if epochs is not None else self.train_config.epochs
         last = {}

@@ -101,8 +101,12 @@ def test_resume_with_changed_model_errors(tmp_path):
     ck = str(tmp_path / "ck")
     run(BASE + ["--checkpoint-dir", ck])
     wrong = [v if v != "8,8" else "16,16" for v in BASE]
-    with pytest.raises(CheckpointMismatch, match="stored shape"):
+    # the config fingerprint catches it before any shape comparison
+    with pytest.raises(CheckpointMismatch, match="out_dims"):
         run(wrong + ["--checkpoint-dir", ck, "--resume"])
+    # a changed execution knob (precision tier) must NOT block the resume
+    run(BASE[:-1] + ["5", "--precision", "high", "--checkpoint-dir", ck,
+                     "--resume"])
 
 
 def test_predict_from_checkpoint(tmp_path, capsys):

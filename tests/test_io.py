@@ -96,3 +96,19 @@ def test_native_loader_matches_numpy(tmp_path, tiny_graph):
     )
     ints = native_loader.parse_int_file(tmp_path / "nat" / "row_ptr.txt")
     np.testing.assert_array_equal(ints, tiny_graph.row_ptr)
+
+
+def test_graph_rejects_out_of_range_col_idx():
+    """Malformed (e.g. 1-indexed) datasets fail at LOAD time instead of
+    silently clamping inside jit (round-2 review finding)."""
+    import pytest
+
+    from gatv2_tpu.data.graph import Graph
+
+    feats = np.zeros((3, 2), np.float32)
+    with pytest.raises(ValueError, match="outside"):
+        Graph(features=feats, row_ptr=np.array([0, 1, 2, 3]),
+              col_idx=np.array([1, 2, 3]), labels=np.zeros(3, np.int32))
+    with pytest.raises(ValueError, match="non-decreasing"):
+        Graph(features=feats, row_ptr=np.array([0, 2, 1, 3]),
+              col_idx=np.array([0, 1, 2]), labels=np.zeros(3, np.int32))

@@ -341,3 +341,8 @@ def test_python_sampler_truncates_at_edge_budget(learnable_graph):
     assert b.num_edges <= 64
     assert b.num_seeds == 32  # seeds are never dropped
     assert (b.dst[: b.num_edges] < b.num_nodes).all()
+
+
+def test_unknown_engine_rejected(learnable_graph):
+    with pytest.raises(ValueError, match="engine"):
+        NeighborSampler(learnable_graph, 8, (4,), engine="Native")

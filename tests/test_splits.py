@@ -68,3 +68,17 @@ def test_trainer_split_evaluation(learnable_graph):
     assert accs["train"] > 0.5
     assert accs["test"] > 0.35
     assert any("Train/Val/Test Accuracy" in line for line in logs)
+
+
+def test_partial_mask_files_error(tmp_path):
+    """1-2 of the 3 mask files present is an error (silently ignoring a
+    provided train mask would leak held-out nodes into training), while
+    none present means 'no masks'."""
+    import pytest
+
+    from gatv2_tpu.data.splits import load_split_files
+
+    assert load_split_files(tmp_path, 10) is None
+    (tmp_path / "train_mask.txt").write_text(" ".join(["1"] * 10))
+    with pytest.raises(FileNotFoundError, match="partial split masks"):
+        load_split_files(tmp_path, 10)

@@ -111,7 +111,10 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     if train_config.resume and train_config.checkpoint_dir:
-        if ckpt.restore_into(train_config.checkpoint_dir, trainer):
+        if ckpt.restore_into(
+            train_config.checkpoint_dir, trainer,
+            expect_meta=ckpt.run_meta(model_config, train_config),
+        ):
             print(f"Resumed from checkpoint at epoch {trainer.epoch}")
             if hasattr(trainer, "sync_step_count"):
                 trainer.sync_step_count()
