@@ -224,18 +224,28 @@ def main():
                     help="override the Pallas edge-tile size (default: auto)")
     args = ap.parse_args()
 
+    r = None
     if args.all:
         for name in CONFIGS:
-            r = bench_config(name, impl=args.impl, precision=args.precision, tile_e=args.tile_e)
-            print(json.dumps(r), file=sys.stderr)
+            rr = bench_config(name, impl=args.impl, precision=args.precision, tile_e=args.tile_e)
+            print(json.dumps(rr), file=sys.stderr)
+            if name == args.config:
+                r = rr  # reuse for the headline line (no duplicate run)
 
-    r = bench_config(args.config, impl=args.impl, precision=args.precision, tile_e=args.tile_e)
+    if r is None:
+        r = bench_config(args.config, impl=args.impl, precision=args.precision, tile_e=args.tile_e)
     nodes, edges = CONFIGS[args.config][0], CONFIGS[args.config][1]
     result = {
         "metric": f"epoch_time_{args.config}_{nodes}N_{edges}E_fwd_bwd_update",
         "value": round(r["epoch_ms"], 3),
         "unit": "ms",
-        "vs_baseline": round(REFERENCE_EPOCH_MS / r["epoch_ms"], 2),
+        # the reference's single published number is the CITESEER3 example;
+        # dividing it by another config's epoch time is not a speedup claim
+        "vs_baseline": (
+            round(REFERENCE_EPOCH_MS / r["epoch_ms"], 2)
+            if args.config == "citeseer3"
+            else None
+        ),
         "edges_per_s": round(r["edges_per_s"]),
         "mfu": r["mfu_pct_bf16_peak"],
         "achieved_model_tflops": r["achieved_model_tflops"],

@@ -123,3 +123,30 @@ class PaddedEdges:
     src: np.ndarray
     dst: np.ndarray
     num_real: int
+
+
+def edges_to_csr(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int, *,
+    make_undirected: bool = False, dedup: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Directed edge list -> (row_ptr, col_idx) CSR over DESTINATIONS, the
+    framework's canonical layout (dst-major stable sort). Shared by the
+    dataset tools so every converter normalizes edges identically.
+
+    make_undirected: add the reversed edges first.
+    dedup: drop duplicate (src, dst) pairs (multi-edges kept by default —
+    the reference treats repeated col_idx entries as distinct edges).
+    """
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if make_undirected:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    order = np.lexsort((src, dst)) if dedup else np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    if dedup and src.size:
+        keep = np.ones(src.shape[0], bool)
+        keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        src, dst = src[keep], dst[keep]
+    row_ptr = np.zeros(num_nodes + 1, np.int64)
+    np.cumsum(np.bincount(dst, minlength=num_nodes), out=row_ptr[1:])
+    return row_ptr, src

@@ -76,6 +76,9 @@ class NeighborSampler:
         #             over-budget batch truncates neighbors, never seeds).
     ):
         self.graph = graph
+        # the native ABI takes int64 row_ptr; Graph stores int32 — convert
+        # ONCE (a per-call conversion copies ~20MB/batch at Products scale)
+        self._row_ptr64 = np.ascontiguousarray(graph.row_ptr, np.int64)
         self.batch_size = batch_size
         self.fanouts = tuple(fanouts)
         self.seed = seed
@@ -232,7 +235,7 @@ class NeighborSampler:
         g = self.graph
         self._batch_counter += 1
         nodes, src, dst, num_nodes, num_edges = native_loader.sample_batch(
-            g.row_ptr,
+            self._row_ptr64,
             g.col_idx,
             np.asarray(seeds, np.int32),
             np.asarray(self.fanouts, np.int32),

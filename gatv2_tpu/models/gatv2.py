@@ -188,16 +188,14 @@ def model_forward(
     return jnp.matmul(x, params["w_o"].T, precision=config.precision)  # [N, C]
 
 
-LOG_CLAMP = 1e-12  # probability clamp before log (edge variant, E:527)
-
-
 def loss_and_accuracy(
     logits: jax.Array, labels: jax.Array, num_valid: int | jax.Array | None = None
 ) -> tuple[jax.Array, jax.Array]:
     """Mean CE + argmax accuracy over all nodes (E:514-550).
 
     Computed from logits via log-softmax (numerically superior to the
-    reference's prob-then-log, which it guards with a 1e-12 clamp).
+    reference's prob-then-log, which needs its 1e-12 clamp, E:527 — the
+    clamp is therefore deliberately absent here).
     `num_valid` supports padded node sets (sharded / minibatch paths);
     padding rows must carry label < 0.
     """

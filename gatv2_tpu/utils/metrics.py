@@ -21,6 +21,8 @@ class JsonlSink:
         self._f: IO | None = open(path, "a", buffering=1)
 
     def write(self, record: dict[str, Any]) -> None:
+        if self._f is None:
+            raise ValueError(f"JsonlSink({self.path!r}) is closed")
         record = dict(record, ts=time.time())
         self._f.write(json.dumps(record) + "\n")
 

@@ -77,8 +77,10 @@ def main(argv=None) -> int:
             b.tiles,
         )
 
+    batches_n = min(args.batches, sampler.batches_per_epoch())
+
     # compile + measure the device step on a fixed batch
-    b0 = sampler.sample(np.arange(args.batch))
+    b0 = sampler.sample(np.arange(min(args.batch, args.nodes)))
     jax.block_until_ready(run_step(b0))  # compile
     t0 = time.perf_counter()
     reps = 10
@@ -88,32 +90,34 @@ def main(argv=None) -> int:
     device_step_ms = (time.perf_counter() - t0) / reps * 1e3
 
     # host sampling + tile emission alone
+    rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     for i in range(5):
-        sampler.sample(np.arange(i * args.batch, (i + 1) * args.batch))
+        sampler.sample(np.sort(rng.choice(
+            args.nodes, size=min(args.batch, args.nodes), replace=False)))
     sample_ms = (time.perf_counter() - t0) / 5 * 1e3
 
     # the real pipeline: prefetch(sampler) feeding the device
     it = iter(sampler)
-    batches = [next(it) for _ in range(args.batches)]  # fixed batch list
+    batches = [next(it) for _ in range(batches_n)]  # fixed batch list
 
     t0 = time.perf_counter()
     last = None
     for b in prefetch(iter(batches), depth=2):
         last = run_step(b)
     jax.block_until_ready(last)
-    replay_ms = (time.perf_counter() - t0) / args.batches * 1e3  # no sampling
+    replay_ms = (time.perf_counter() - t0) / batches_n * 1e3  # no sampling
 
     def fresh_batches():
         it = iter(sampler)
-        for _ in range(args.batches):
+        for _ in range(batches_n):
             yield next(it)
 
     t0 = time.perf_counter()
     for b in prefetch(fresh_batches(), depth=2):
         last = run_step(b)
     jax.block_until_ready(last)
-    epoch_ms = (time.perf_counter() - t0) / args.batches * 1e3
+    epoch_ms = (time.perf_counter() - t0) / batches_n * 1e3
 
     print(json.dumps({
         "nodes": args.nodes, "edges": args.edges, "batch": args.batch,

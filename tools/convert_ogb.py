@@ -87,14 +87,11 @@ def load_from_ogb(name: str, ogb_root: pathlib.Path):
 
 
 def to_csr_by_dst(edges: np.ndarray, n: int, make_undirected: bool):
-    src, dst = edges[:, 0], edges[:, 1]
-    if make_undirected:
-        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
-    order = np.argsort(dst, kind="stable")
-    src, dst = src[order], dst[order]
-    row_ptr = np.zeros(n + 1, np.int64)
-    np.cumsum(np.bincount(dst, minlength=n), out=row_ptr[1:])
-    return row_ptr, src
+    from gatv2_tpu.data.graph import edges_to_csr
+
+    return edges_to_csr(
+        edges[:, 0], edges[:, 1], n, make_undirected=make_undirected
+    )
 
 
 def main() -> int:

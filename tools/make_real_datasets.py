@@ -41,17 +41,11 @@ from gatv2_tpu.data.splits import random_splits, save_split_files
 
 
 def _csr_from_edges(src: np.ndarray, dst: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Directed edge list -> CSR over destinations (row_ptr, col_idx),
-    dst-major sorted, deduplicated."""
-    order = np.lexsort((src, dst))
-    src, dst = src[order], dst[order]
-    keep = np.ones(src.shape[0], bool)
-    keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
-    src, dst = src[keep], dst[keep]
-    counts = np.bincount(dst, minlength=n)
-    row_ptr = np.zeros(n + 1, np.int64)
-    np.cumsum(counts, out=row_ptr[1:])
-    return row_ptr.astype(np.int32), src.astype(np.int32)
+    """Dedup'd dst-CSR via the shared converter (data.graph.edges_to_csr)."""
+    from gatv2_tpu.data.graph import edges_to_csr
+
+    row_ptr, col_idx = edges_to_csr(src, dst, n, dedup=True)
+    return row_ptr.astype(np.int32), col_idx.astype(np.int32)
 
 
 def make_karate() -> Graph:

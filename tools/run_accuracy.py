@@ -74,6 +74,11 @@ def run_cell(dataset: str, mode: str) -> dict:
             test_acc = float(line.split(":")[1].strip().rstrip("%"))
         if line.startswith("Avg Loss:"):
             final_loss = float(line.split("Avg Loss:")[1].split(",")[0])
+    if test_acc is None or final_loss is None:
+        raise RuntimeError(
+            f"{dataset}/{mode}: could not parse accuracy/loss from train.py "
+            f"output (does the dataset ship split masks?)\n{out.stdout[-1500:]}"
+        )
     return {"dataset": dataset, "mode": mode, "test_acc_pct": test_acc,
             "final_train_loss": final_loss}
 
