@@ -23,6 +23,7 @@ Improvements over the reference (documented, intentional):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from gatv2_tpu.config import ModelConfig, TrainConfig
@@ -123,6 +124,10 @@ def parse_args(argv: list[str] | None = None) -> tuple[ModelConfig, TrainConfig,
 
 def _finish(args: argparse.Namespace) -> tuple[ModelConfig, TrainConfig, argparse.Namespace]:
 
+    if args.num_layers < 1:
+        raise SystemExit(
+            f"Error: --num-layers must be >= 1 (got {args.num_layers})."
+        )
     # The reference leaves head[]/out_dim[] UNINITIALIZED when the flags are
     # absent (`new int[L]` + no default write, GATv2_edge_based.cu:954-986) —
     # undefined behavior. We define sane defaults instead: 1 head / 16 dims.
@@ -156,7 +161,14 @@ def _finish(args: argparse.Namespace) -> tuple[ModelConfig, TrainConfig, argpars
         clip=args.clip,
         seed=args.seed,
         dataset=args.dataset,
-        data_root=args.data_root if args.data_root is not None else "",
+        # resolve the documented precedence HERE so train_config.data_root
+        # is directly usable: --data-root flag, else DATA_ROOT env, else
+        # ./data (reference GATv2_edge_based.cu:1050-1073)
+        data_root=(
+            args.data_root
+            if args.data_root is not None
+            else os.environ.get("DATA_ROOT", "./data")
+        ),
         impl=args.impl,
         batch_size=args.batch_size,
         fanouts=tuple(args.fanouts) if args.fanouts is not None

@@ -133,4 +133,12 @@ class TrainConfig:
                 warnings.append(
                     "Warning: beta parameters are ignored when using SGD optimizer."
                 )
+        if self.batch_size < 0:
+            raise ValueError(f"--batch-size must be >= 0, got {self.batch_size}")
+        if self.batch_size > 0 and any(f < 1 for f in self.fanouts):
+            # fanout 0 would silently train on edge-free subgraphs (and the
+            # two sampler engines diverge on negatives)
+            raise ValueError(
+                f"--fanouts entries must be >= 1, got {list(self.fanouts)}"
+            )
         return warnings

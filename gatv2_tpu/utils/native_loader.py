@@ -124,6 +124,17 @@ def build(verbose: bool = False) -> bool:
     return available()
 
 
+def _parse_error(kind: str, got: int, want: int, path) -> str:
+    reasons = {
+        -1: "cannot read the file",
+        -2: "token count changed between passes",
+        -3: "token count mismatch",
+        -4: f"malformed token (non-numeric text or out-of-range {kind})",
+    }
+    why = reasons.get(got, f"parsed {got}/{want} {kind}")
+    return f"native loader: {path}: {why}"
+
+
 def parse_float_file(path: os.PathLike) -> np.ndarray | None:
     """Parse a whitespace-float file. None if native lib unavailable."""
     lib = _get_lib()
@@ -138,7 +149,7 @@ def parse_float_file(path: os.PathLike) -> np.ndarray | None:
         p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
     )
     if got != n:
-        raise IOError(f"native loader: parsed {got}/{n} floats from {path}")
+        raise IOError(_parse_error("floats", got, n, path))
     return out
 
 
@@ -154,7 +165,7 @@ def parse_int_file(path: os.PathLike) -> np.ndarray | None:
     out = np.empty(n, dtype=np.int32)
     got = lib.parse_ints(p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n)
     if got != n:
-        raise IOError(f"native loader: parsed {got}/{n} ints from {path}")
+        raise IOError(_parse_error("ints", got, n, path))
     return out
 
 

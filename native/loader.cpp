@@ -14,6 +14,7 @@
 #include <cctype>
 #include <cerrno>
 #include <cstdint>
+#include <climits>
 #include <cstdlib>
 #include <cstring>
 #include <fcntl.h>
@@ -134,8 +135,12 @@ int64_t parse_parallel(const char* path, T* out, int64_t capacity, ParseFn parse
   int64_t total = static_cast<int64_t>(offsets[nt]);
   if (total > capacity) return -2;
 
-  // Pass 2: parse (parallel).
+  // Pass 2: parse (parallel). Tokens must convert IN FULL: a partially
+  // numeric token ("2.5x3") or an out-of-range int marks the file
+  // malformed (-4) — silently dropping the tail would load corrupted data
+  // that diverges from the numpy fallback.
   std::vector<int64_t> parsed(nt);
+  std::vector<char> badv(nt, 0);
   {
     std::vector<std::thread> threads;
     for (unsigned t = 0; t < nt; ++t)
@@ -144,26 +149,28 @@ int64_t parse_parallel(const char* path, T* out, int64_t capacity, ParseFn parse
         const char* hi = mf.data + chunks.end[t];
         T* dst = out + offsets[t];
         int64_t n = 0;
+        bool bad = false;
         while (p < hi) {
           while (p < hi && is_space(*p)) ++p;
           if (p >= hi) break;
           const char* before = p;
-          dst[n++] = parse_one(&p);
-          if (p == before) {
-            // unconvertible token (strtof/strtol made no progress):
-            // skip it entirely so the loop always advances — a malformed
-            // file must fail the count check (-3), never hang/overflow
-            --n;
-            while (p < hi && !is_space(*p)) ++p;
+          bool ok = true;
+          T v = parse_one(&p, &ok);
+          if (p == before || !ok || (p < hi && !is_space(*p))) {
+            // no progress, range error, or unconsumed token tail
+            bad = true;
+            while (p < hi && !is_space(*p)) ++p;  // always advance
           } else {
-            // partially-converted token ("2.5x3"): drop its tail
-            while (p < hi && !is_space(*p)) ++p;
+            dst[n++] = v;
           }
         }
         parsed[t] = n;
+        badv[t] = bad ? 1 : 0;
       });
     for (auto& th : threads) th.join();
   }
+  for (unsigned t = 0; t < nt; ++t)
+    if (badv[t]) return -4;
   int64_t got = 0;
   for (unsigned t = 0; t < nt; ++t) got += parsed[t];
   return got == total ? total : -3;
@@ -192,21 +199,27 @@ int64_t count_numbers(const char* path) {
   return total;
 }
 
-// Parse all floats into `out` (capacity elements). Returns count parsed or <0.
+// Parse all floats into `out` (capacity elements). Returns count parsed or
+// <0 (-1 io, -2 capacity, -3 count mismatch, -4 malformed token).
 int64_t parse_floats(const char* path, float* out, int64_t capacity) {
-  return parse_parallel<float>(path, out, capacity, [](const char** p) {
+  return parse_parallel<float>(path, out, capacity,
+                               [](const char** p, bool* /*ok*/) {
     char* endp;
-    float v = strtof(*p, &endp);
+    float v = strtof(*p, &endp);  // ERANGE -> +-inf/0, like the reference
     *p = endp;
     return v;
   });
 }
 
-// Parse all ints into `out`. Returns count parsed or <0.
+// Parse all ints into `out`. Returns count parsed or <0 (see parse_floats;
+// values outside int32 are malformed, not silently wrapped).
 int64_t parse_ints(const char* path, int32_t* out, int64_t capacity) {
-  return parse_parallel<int32_t>(path, out, capacity, [](const char** p) {
+  return parse_parallel<int32_t>(path, out, capacity,
+                                 [](const char** p, bool* ok) {
     char* endp;
-    long v = strtol(*p, &endp, 10);
+    errno = 0;
+    long long v = strtoll(*p, &endp, 10);
+    if (errno == ERANGE || v > INT32_MAX || v < INT32_MIN) *ok = false;
     *p = endp;
     return static_cast<int32_t>(v);
   });

@@ -59,6 +59,25 @@ def main(argv: list[str] | None = None) -> int:
         path = ckpt.latest_path(args.checkpoint_dir)
         if path is None:
             raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
+        # shapes can coincide while semantics differ (edge vs node variant
+        # have identical params): compare the stored model fingerprint
+        import json
+
+        stored = ckpt.read_meta(path).get("model_config")
+        # JSON round-trip the current fingerprint too (tuples -> lists), so
+        # the comparison is apples-to-apples with the stored one
+        want = json.loads(json.dumps(ckpt.run_meta(model_config).get(
+            "model_config"), default=str))
+        if stored is not None and stored != want:
+            diffs = [
+                f"{k}: stored={stored.get(k)!r} current={want.get(k)!r}"
+                for k in sorted(set(stored) | set(want))
+                if stored.get(k) != want.get(k)
+            ]
+            raise SystemExit(
+                "Error: checkpoint was trained with a different model "
+                "configuration:\n  " + "\n  ".join(diffs)
+            )
         template = init_params(model_config, jax.random.PRNGKey(0))
         params, _, epoch = ckpt.restore(path, template, {})
         print(f"Loaded checkpoint at epoch {epoch}")

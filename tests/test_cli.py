@@ -103,3 +103,30 @@ def test_predict_pipeline(tmp_path, learnable_graph):
     # trained for 8 epochs on a learnable graph: beat chance
     acc = (preds == learnable_graph.labels).mean()
     assert acc > 1.5 / learnable_graph.num_classes
+
+
+def test_num_layers_validation():
+    import pytest
+
+    with pytest.raises(SystemExit, match="num-layers must be >= 1"):
+        cli.parse_args(["--num-layers", "0"])
+
+
+def test_fanout_validation():
+    import pytest
+
+    with pytest.raises(SystemExit, match="fanouts entries must be >= 1"):
+        cli.parse_args(["--batch-size", "8", "--fanouts", "0,5"])
+
+
+def test_data_root_resolution(monkeypatch):
+    """train_config.data_root carries the documented precedence: flag, else
+    DATA_ROOT env, else ./data — directly usable by any consumer."""
+    monkeypatch.delenv("DATA_ROOT", raising=False)
+    _, tc, _ = cli.parse_args([])
+    assert tc.data_root == "./data"
+    monkeypatch.setenv("DATA_ROOT", "/somewhere")
+    _, tc, _ = cli.parse_args([])
+    assert tc.data_root == "/somewhere"
+    _, tc, _ = cli.parse_args(["--data-root", "/flag"])
+    assert tc.data_root == "/flag"

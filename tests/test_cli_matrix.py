@@ -127,3 +127,20 @@ def test_predict_from_checkpoint(tmp_path, capsys):
     import numpy as np
     preds = np.loadtxt(f"{out_dir}/predictions.txt", dtype=np.int64)
     assert preds.shape[0] == 34  # karate nodes
+
+
+def test_predict_rejects_mismatched_variant(tmp_path, capsys):
+    """predict.py refuses a checkpoint trained with a different model
+    configuration even when parameter shapes coincide (edge vs node
+    variant; round-2 review finding)."""
+    import predict as predict_main
+
+    ck = str(tmp_path / "ck")
+    run(BASE + ["--checkpoint-dir", ck])  # variant=edge (default)
+    with pytest.raises(SystemExit, match="variant"):
+        predict_main.main(
+            ["--dataset", "karate", "--data-root", DATA,
+             "--num-layers", "2", "--heads", "2,2", "--outdims", "8,8",
+             "--variant", "node", "--checkpoint-dir", ck,
+             "--out", str(tmp_path / "p")]
+        )
