@@ -26,6 +26,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main() -> int:
     proc_id, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "step"
     os.environ["JAX_NUM_PROCESSES"] = str(nprocs)  # multihost detection
     import jax
 
@@ -42,9 +43,40 @@ def main() -> int:
     assert ok, "multihost.initialize() did not trigger"
     print(multihost.process_summary(), file=sys.stderr)
 
-    losses = run_training(num_devices=jax.device_count())
+    run = run_training if mode == "step" else run_trainer
+    losses = run(num_devices=jax.device_count())
     print(json.dumps({"process": proc_id, "losses": losses}), flush=True)
     return 0
+
+
+def run_trainer(num_devices: int, epochs: int = 4) -> list[float]:
+    """The full ShardedTrainer class (splits, masked labels, per-epoch
+    split eval, broadcast default seed, multi-host-safe placements) —
+    everything `--mesh --split-*` reaches from the CLI."""
+    from gatv2_tpu.config import ModelConfig, TrainConfig
+    from gatv2_tpu.data.splits import random_splits
+    from gatv2_tpu.data.synthetic import random_graph
+    from gatv2_tpu.parallel.sharded import ShardedTrainer
+
+    g = random_graph(256, 2048, 16, 4, seed=11)
+    mc = ModelConfig(
+        num_layers=2, heads=(2, 2), out_dims=(8, 6),
+        num_classes=g.num_classes, in_dim=g.feature_dim,
+    )
+    # seed=None exercises the time-based default + process-0 broadcast
+    tc = TrainConfig(optimizer="adam", lr=0.02, seed=None, epochs=0)
+    sp = random_splits(g.num_nodes, (0.6, 0.2, 0.2), seed=3)
+    tr = ShardedTrainer(
+        g, mc, tc, num_devices, log_fn=lambda s: None, splits=sp
+    )
+    losses = []
+    for _ in range(epochs):
+        last = tr.run(1)
+        losses.append(
+            [last["loss"], last["train_accuracy"], last["val_accuracy"],
+             last["test_accuracy"]]
+        )
+    return losses
 
 
 def run_training(num_devices: int, epochs: int = 4) -> list[float]:
