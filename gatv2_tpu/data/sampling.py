@@ -227,6 +227,12 @@ class NeighborSampler:
             row_ptr, b.src[: b.num_edges], self.max_nodes, tile_e=128,
             fixed_edge_tiles=self._tile_budget,
         )
+        # numpy leaves, like the native fast path: per-batch tiles cross to
+        # the device once (inside the jit call); device-resident leaves
+        # would cost a D2H round trip per super-step in the DP stack path
+        import jax
+
+        tiles = jax.tree.map(np.asarray, tiles)
         return _dc.replace(b, tiles=tiles)
 
     def _sample_native(self, seeds: np.ndarray) -> MiniBatch:

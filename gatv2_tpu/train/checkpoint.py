@@ -191,6 +191,9 @@ def restore_into(directory: str, trainer, *, expect_meta: dict | None = None) ->
         return False
     if expect_meta is not None and "config_hash" in expect_meta:
         stored = read_meta(path)
+        # JSON round-trip the current fingerprint (tuples -> lists) so the
+        # diff listing compares like with like
+        expect_meta = json.loads(json.dumps(expect_meta, default=str))
         if "config_hash" in stored and (
             stored["config_hash"] != expect_meta["config_hash"]
         ):

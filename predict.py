@@ -45,7 +45,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write softmax probabilities (N x C floats)")
     model_config, train_config, args = cli.parse_args_from(p, argv)
 
-    graph = load_dataset(train_config.dataset, args.data_root)
+    graph = load_dataset(train_config.dataset, train_config.data_root)
     model_config = dataclasses.replace(
         model_config, num_classes=graph.num_classes, in_dim=graph.feature_dim
     )

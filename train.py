@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_debug_nans", True)
 
     print(cli.echo_config(model_config, train_config))
-    data_root = args.data_root  # None -> DATA_ROOT env or ./data
+    data_root = train_config.data_root  # precedence resolved by the CLI
     dataset_dir = resolve_dataset_dir(train_config.dataset, data_root)
     print(f"Using dataset: {train_config.dataset}")
     print(f"Dataset path: {dataset_dir}/")
@@ -95,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
     elif train_config.batch_size > 0:
         from gatv2_tpu.train.minibatch import MinibatchTrainer
 
+        if args.overlap:
+            print("Warning: --overlap requires --mesh; ignored.",
+                  file=sys.stderr)
         print(
             f"Minibatch mode: batch_size={train_config.batch_size}, "
             f"fanouts={list(train_config.fanouts)}, "
@@ -105,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
             splits=splits,
         )
     else:
+        if args.overlap:
+            print("Warning: --overlap requires --mesh; ignored.",
+                  file=sys.stderr)
         trainer = Trainer(
             graph, model_config, train_config, metrics_sink=sink,
             splits=splits,
