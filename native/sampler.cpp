@@ -78,12 +78,51 @@ struct NodeMap {
 
 extern "C" {
 
+// Draw exactly min(deg, fanout) distinct neighbor EDGE indices for one
+// node into `dst` (preallocated). Deterministic per (rng_seed, layer,
+// v_glob) — the per-node stream makes the draws thread-order-independent,
+// so frontier expansion parallelizes without changing results.
+static void draw_neighbors(
+    const int64_t* row_ptr, int32_t v_glob, int64_t fanout,
+    uint64_t rng_seed, int layer, int64_t* dst) {
+  const int64_t lo = row_ptr[v_glob], hi = row_ptr[v_glob + 1];
+  const int64_t deg = hi - lo;
+  if (deg <= 0) return;
+  if (deg <= fanout) {
+    for (int64_t e = lo; e < hi; ++e) *dst++ = e;
+    return;
+  }
+  uint64_t node_seed = rng_seed;
+  node_seed ^= (static_cast<uint64_t>(v_glob) + 0x9e3779b97f4a7c15ULL) *
+               0xbf58476d1ce4e5b9ULL;
+  node_seed ^= (static_cast<uint64_t>(layer) + 1) * 0x94d049bb133111ebULL;
+  SplitMix64 rng(node_seed);
+  // Floyd's algorithm: fanout distinct draws from [0, deg)
+  NodeMap seen(static_cast<size_t>(fanout));
+  int32_t cnt = 0;
+  for (int64_t j = deg - fanout; j < deg; ++j) {
+    int64_t t = static_cast<int64_t>(rng.bounded(j + 1));
+    if (seen.get_or_insert(t, cnt) != cnt) {
+      seen.get_or_insert(j, cnt);  // t already taken -> take j
+      *dst++ = lo + j;
+    } else {
+      *dst++ = lo + t;
+    }
+    ++cnt;
+  }
+}
+
 // Samples one minibatch subgraph. Returns the number of batch nodes, or -1
 // on invalid arguments. Outputs:
 //   out_nodes     [max_nodes]  global ids of batch nodes (local id = index)
 //   out_src/out_dst [max_edges] local-id edges, dst-sorted; padding slots
 //                 get src=0, dst=max_nodes
 //   out_num_edges [1]          real edge count
+//
+// Per layer the expensive part — RNG draws + Floyd sampling over the whole
+// frontier — runs in parallel (per-node RNG streams keep it deterministic);
+// only the dedup/emit walk over the drawn edges is sequential (hash-map
+// inserts assign local ids in frontier order).
 long long sample_batch(
     const int64_t* row_ptr, const int32_t* col_idx, long long graph_nodes,
     const int32_t* seeds, long long num_seeds,
@@ -93,7 +132,8 @@ long long sample_batch(
     int32_t* out_nodes, int32_t* out_src, int32_t* out_dst,
     long long* out_num_edges) {
   if (num_seeds <= 0 || num_seeds > max_nodes || num_layers < 0) return -1;
-  SplitMix64 rng(rng_seed * 0x2545f4914f6cdd1dULL + 0x9e3779b97f4a7c15ULL);
+  const uint64_t seed_base =
+      rng_seed * 0x2545f4914f6cdd1dULL + 0x9e3779b97f4a7c15ULL;
 
   NodeMap map(static_cast<size_t>(max_nodes));
   std::vector<int32_t> nodes;
@@ -113,36 +153,57 @@ long long sample_batch(
 
   std::vector<int32_t> frontier(nodes);  // global ids
   std::vector<int32_t> next_frontier;
-  std::vector<int64_t> picked;  // neighbor indices within [0, deg)
 
   for (int l = 0; l < num_layers; ++l) {
     const int64_t fanout = fanouts[l];
-    next_frontier.clear();
-    for (int32_t v_glob : frontier) {
-      const int32_t v_loc = map.get_or_insert(v_glob, -1);
-      const int64_t lo = row_ptr[v_glob], hi = row_ptr[v_glob + 1];
-      const int64_t deg = hi - lo;
-      if (deg <= 0) continue;
-      picked.clear();
-      if (deg <= fanout) {
-        for (int64_t e = lo; e < hi; ++e) picked.push_back(e);
-      } else {
-        // Floyd's algorithm: fanout distinct draws from [0, deg)
-        NodeMap seen(static_cast<size_t>(fanout));
-        int32_t cnt = 0;
-        for (int64_t j = deg - fanout; j < deg; ++j) {
-          int64_t t = static_cast<int64_t>(rng.bounded(j + 1));
-          if (seen.get_or_insert(t, cnt) != cnt) {
-            seen.get_or_insert(j, cnt);  // t already taken -> take j
-            picked.push_back(lo + j);
-          } else {
-            picked.push_back(lo + t);
+    const size_t fsize = frontier.size();
+
+    // Phase A (parallel): draws land in ONE flat buffer at per-node
+    // offsets (each node draws exactly min(deg, fanout) — prefix-summed),
+    // and the cache-miss-heavy col_idx resolution happens here too; the
+    // sequential phase keeps only the dedup.
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw == 0) hw = 4;
+    unsigned nt = fsize >= 1024 ? hw : 1;
+    if (nt > fsize && fsize > 0) nt = static_cast<unsigned>(fsize);
+    if (nt == 0) nt = 1;
+    std::vector<size_t> off(fsize + 1, 0);
+    for (size_t f = 0; f < fsize; ++f) {
+      const int64_t deg =
+          row_ptr[frontier[f] + 1] - row_ptr[frontier[f]];
+      const int64_t take = deg < fanout ? (deg > 0 ? deg : 0) : fanout;
+      off[f + 1] = off[f] + static_cast<size_t>(take);
+    }
+    std::vector<int64_t> drawn(off[fsize]);
+    {
+      std::vector<std::thread> threads;
+      threads.reserve(nt);
+      for (unsigned t = 0; t < nt; ++t) {
+        const size_t lo_f = fsize * t / nt;
+        const size_t hi_f = fsize * (t + 1) / nt;
+        auto work = [&, lo_f, hi_f]() {
+          for (size_t f = lo_f; f < hi_f; ++f) {
+            int64_t* p = drawn.data() + off[f];
+            draw_neighbors(row_ptr, frontier[f], fanout, seed_base, l, p);
+            for (size_t k = off[f]; k < off[f + 1]; ++k)
+              drawn[k] = col_idx[drawn[k]];
           }
-          ++cnt;
+        };
+        if (nt == 1) {
+          work();
+        } else {
+          threads.emplace_back(work);
         }
       }
-      for (int64_t e : picked) {
-        const int64_t u_glob = col_idx[e];
+      for (auto& th : threads) th.join();
+    }
+
+    // Phase B (sequential): dedup + edge emission in frontier order.
+    next_frontier.clear();
+    for (size_t f = 0; f < fsize; ++f) {
+      const int32_t v_loc = map.get_or_insert(frontier[f], -1);
+      for (size_t k = off[f]; k < off[f + 1]; ++k) {
+        const int64_t u_glob = drawn[k];
         if (u_glob < 0 || u_glob >= graph_nodes) return -1;
         int32_t u_loc = map.get_or_insert(u_glob, -1);
         if (u_loc < 0) {
