@@ -165,3 +165,30 @@ def test_precision_modes_run(learnable_graph):
         assert np.isfinite(losses[prec])
     assert losses["high"] == pytest.approx(losses["highest"], rel=1e-3)
     assert losses["default"] == pytest.approx(losses["highest"], rel=5e-2)
+
+
+def test_training_with_isolated_nodes():
+    """Zero-in-degree nodes (empty softmax segments) train without NaNs on
+    both impls — the reference only guards this with its +1e-8 denominator
+    (SURVEY §5: zero-degree -> sum-exp 0)."""
+    from gatv2_tpu.data.graph import Graph
+
+    rng = np.random.default_rng(0)
+    n = 96
+    # nodes 64..95 receive NO edges; all edges target 0..63
+    dst = np.sort(rng.integers(0, 64, 400).astype(np.int64))
+    src = rng.integers(0, n, 400).astype(np.int64)
+    row_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(dst, minlength=n), out=row_ptr[1:])
+    g = Graph(
+        features=rng.standard_normal((n, 8)).astype(np.float32),
+        row_ptr=row_ptr, col_idx=src,
+        labels=rng.integers(0, 3, n).astype(np.int32),
+    )
+    for impl in ("xla", "pallas"):
+        mc = ModelConfig(num_layers=2, heads=(2, 1), out_dims=(8, 8),
+                         num_classes=3, in_dim=8)
+        tc = TrainConfig(optimizer="adam", lr=0.01, seed=0, impl=impl)
+        t = Trainer(g, mc, tc, log_fn=lambda s: None)
+        last = t.run(5)
+        assert np.isfinite(last["loss"]), impl
