@@ -39,7 +39,10 @@ from gatv2_tpu.data.graph import Graph
 
 @dataclasses.dataclass(frozen=True)
 class MiniBatch:
-    features: np.ndarray  # [max_nodes, F] (node dim tile-padded w/ tiles)
+    features: np.ndarray | None  # [max_nodes, F] host-gathered rows, or
+    #   None in device-gather mode (trainers index a device-resident
+    #   feature table with node_ids instead — ships ~2 MB of ids per batch
+    #   rather than ~200 MB of gathered rows at Products scale)
     src: np.ndarray  # [max_edges] local ids (pad: 0)
     dst: np.ndarray  # [max_edges] local ids sorted (pad: max_nodes)
     labels: np.ndarray  # [max_nodes] (-1 on non-seeds and padding)
@@ -47,6 +50,7 @@ class MiniBatch:
     num_nodes: int  # real nodes in this batch
     num_edges: int  # real edges in this batch
     tiles: object = None  # EdgeTiles (engine emit_tiles mode; fixed shapes)
+    node_ids: np.ndarray | None = None  # [max_nodes] global ids (pad: 0)
 
 
 class NeighborSampler:
@@ -65,6 +69,11 @@ class NeighborSampler:
         #   train split); default: every node once per epoch
         emit_tiles: bool = False,  # attach a fixed-shape Pallas EdgeTiles
         #   per batch (impl='pallas' minibatch training)
+        gather_features: bool = False,  # True: gather feature rows on HOST
+        #   into each batch (round-1 behavior). False (default): batches
+        #   carry node_ids only and the trainer gathers from a
+        #   device-resident feature table inside the jit step — no host
+        #   gather, and per-batch H2D drops from O(nodes x F) to O(nodes).
         budget: str = "auto",  # static-shape budget policy:
         #   'auto'  — analytic worst case capped at the graph size (a batch
         #             can never hold more than N unique nodes / E distinct
@@ -125,6 +134,7 @@ class NeighborSampler:
             max_nodes = min(max_nodes, graph.num_nodes)
             max_edges = min(max_edges, graph.num_edges)
         self.emit_tiles = emit_tiles
+        self.gather_features = gather_features
         self._set_budgets(max_nodes, max_edges, edge_multiple)
         if budget == "probe":
             self._probe_budgets(edge_multiple)
@@ -249,12 +259,16 @@ class NeighborSampler:
             self.max_edges,
             rng_seed=(self.seed << 20) + self._batch_counter,
         )
-        features = native_loader.gather_rows(
-            g.features, nodes[:num_nodes], self.max_nodes
-        )
-        if features is None:  # pragma: no cover — lib vanished mid-run
-            features = np.zeros((self.max_nodes, g.feature_dim), np.float32)
-            features[:num_nodes] = g.features[nodes[:num_nodes]]
+        features = None
+        if self.gather_features:
+            features = native_loader.gather_rows(
+                g.features, nodes[:num_nodes], self.max_nodes
+            )
+            if features is None:  # pragma: no cover — lib vanished mid-run
+                features = np.zeros((self.max_nodes, g.feature_dim), np.float32)
+                features[:num_nodes] = g.features[nodes[:num_nodes]]
+        node_ids = np.zeros(self.max_nodes, np.int32)
+        node_ids[:num_nodes] = nodes[:num_nodes]
         labels = np.full(self.max_nodes, -1, np.int32)
         labels[: len(seeds)] = g.labels[seeds]
         return MiniBatch(
@@ -265,6 +279,7 @@ class NeighborSampler:
             num_seeds=len(seeds),
             num_nodes=num_nodes,
             num_edges=num_edges,
+            node_ids=node_ids,
         )
 
     def _sample_python(self, seeds: np.ndarray) -> MiniBatch:
@@ -309,8 +324,12 @@ class NeighborSampler:
         num_nodes = len(nodes)
         num_edges = len(edges_src)
 
-        features = np.zeros((self.max_nodes, g.feature_dim), np.float32)
-        features[:num_nodes] = g.features[nodes_arr]
+        features = None
+        if self.gather_features:
+            features = np.zeros((self.max_nodes, g.feature_dim), np.float32)
+            features[:num_nodes] = g.features[nodes_arr]
+        node_ids = np.zeros(self.max_nodes, np.int32)
+        node_ids[:num_nodes] = nodes_arr
         labels = np.full(self.max_nodes, -1, np.int32)
         labels[: len(seeds)] = g.labels[seeds]
 
@@ -331,6 +350,7 @@ class NeighborSampler:
             num_seeds=len(seeds),
             num_nodes=num_nodes,
             num_edges=num_edges,
+            node_ids=node_ids,
         )
 
 

@@ -26,15 +26,25 @@ from gatv2_tpu.train import optim
 
 
 def make_minibatch_step(
-    model_config: ModelConfig, train_config: TrainConfig, *, donate: bool = True
+    model_config: ModelConfig, train_config: TrainConfig, *,
+    donate: bool = True, device_gather: bool = False,
 ) -> Callable:
     """jit(step)(params, opt_state, t, features, src, dst, labels, num_seeds
     [, edge_tiles]) -> (params, opt_state, loss, acc). With impl='pallas'
     the per-batch EdgeTiles ride as a jit argument — fixed shapes, so every
-    batch reuses one compiled step."""
+    batch reuses one compiled step.
+
+    device_gather=True: the `features` argument becomes (feat_table,
+    node_ids) — the FULL graph's features stay device-resident and the
+    batch's rows are gathered on device (jnp.take). Per-batch transfer
+    drops from O(max_nodes x F) floats to O(max_nodes) ids, and the host
+    feature gather disappears from the pipeline entirely."""
 
     def step(params, opt_state, t, features, src, dst, labels, num_seeds,
              edge_tiles=None):
+        if device_gather:
+            feat_table, node_ids = features
+            features = jnp.take(feat_table, node_ids, axis=0)
         grad_fn = jax.value_and_grad(gatv2.loss_fn, has_aux=True)
         (loss, acc), grads = grad_fn(
             params, features, src, dst, labels, model_config,
@@ -58,6 +68,9 @@ def make_dp_minibatch_step(
     donate: bool = True,
     tiles_template=None,  # one batch's EdgeTiles: enables the Pallas path
     #   (the step then takes stacked per-device tiles as its last argument)
+    device_gather: bool = False,  # features arg becomes (feat_table
+    #   [N, F] replicated, node_ids [ndev, max_nodes] sharded); rows are
+    #   gathered on device per shard
 ) -> Callable:
     """Data-parallel step: every array arg carries a leading per-device dim
     (stacked subgraphs), sharded over `axis_name`. The loss/accuracy are
@@ -71,8 +84,13 @@ def make_dp_minibatch_step(
             jax.tree.map(lambda x: x[0], et_sh) if et_sh is not None else None
         )
         n = num_seeds[0]
+        if device_gather:
+            feat_table, node_ids = features
+            feats = jnp.take(feat_table, node_ids[0], axis=0)
+        else:
+            feats = features[0]
         loss, acc = gatv2.loss_fn(
-            params, features[0], src[0], dst[0], labels[0], model_config,
+            params, feats, src[0], dst[0], labels[0], model_config,
             impl=train_config.impl, num_valid=jnp.maximum(n, 1),
             edge_tiles=et,
         )
@@ -90,18 +108,23 @@ def make_dp_minibatch_step(
         if tiles_template is not None
         else None
     )
+    feat_specs = (
+        (P(), P(axis_name, None))  # (replicated table, sharded node ids)
+        if device_gather
+        else P(axis_name, None, None)
+    )
     sharded_loss = jax.shard_map(
         sharded_loss_body,
         mesh=mesh,
         # pallas_call outputs carry no varying-mesh-axes metadata yet
         check_vma=False,
         in_specs=(
-            P(),
-            P(axis_name, None, None),
-            P(axis_name, None),
-            P(axis_name, None),
-            P(axis_name, None),
-            P(axis_name),
+            P(),  # params (replicated)
+            feat_specs,
+            P(axis_name, None),  # src
+            P(axis_name, None),  # dst
+            P(axis_name, None),  # labels
+            P(axis_name),  # num_seeds
             et_specs,
         ),
         out_specs=(P(), P()),
@@ -123,12 +146,16 @@ def make_dp_minibatch_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
-def stack_batches(batches: list[MiniBatch], mesh: Mesh, *, axis_name: str = "data"):
+def stack_batches(
+    batches: list[MiniBatch], mesh: Mesh, *, axis_name: str = "data",
+    feat_table=None,  # device-resident [N, F] table -> device-gather mode
+):
     """Stack per-device MiniBatches and place them sharded over the mesh.
+    With `feat_table` (device-gather mode) the first element is
+    (feat_table, stacked node_ids) — per-step transfer is ids, not rows.
     When the batches carry EdgeTiles (emit_tiles sampler mode — identical
     shapes across batches by construction), the stacked tiles pytree is
     returned as a sixth element."""
-    feats = np.stack([b.features for b in batches])
     src = np.stack([b.src for b in batches])
     dst = np.stack([b.dst for b in batches])
     labels = np.stack([b.labels for b in batches])
@@ -136,8 +163,13 @@ def stack_batches(batches: list[MiniBatch], mesh: Mesh, *, axis_name: str = "dat
     s3 = NamedSharding(mesh, P(axis_name, None, None))
     s2 = NamedSharding(mesh, P(axis_name, None))
     s1 = NamedSharding(mesh, P(axis_name))
+    if feat_table is not None:
+        ids = np.stack([b.node_ids for b in batches])
+        feats = (feat_table, jax.device_put(ids, s2))
+    else:
+        feats = jax.device_put(np.stack([b.features for b in batches]), s3)
     out = (
-        jax.device_put(feats, s3),
+        feats,
         jax.device_put(src, s2),
         jax.device_put(dst, s2),
         jax.device_put(labels, s2),
@@ -213,7 +245,11 @@ class MinibatchTrainer:
         self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
         self.epoch = 0
         self.step_count = 0
-        self._step = make_minibatch_step(model_config, train_config)
+        # the full feature matrix lives on device once; batches carry ids
+        self._feat_table = jnp.asarray(graph.features)
+        self._step = make_minibatch_step(
+            model_config, train_config, device_gather=True
+        )
         self._eval_step = None
 
     def sync_step_count(self) -> None:
@@ -250,7 +286,9 @@ class MinibatchTrainer:
         if self._eval_step is None:
             mc, tc = self.model_config, self.train_config
 
-            def ev(params, features, src, dst, labels, num_seeds, et=None):
+            def ev(params, feat_table, node_ids, src, dst, labels,
+                   num_seeds, et=None):
+                features = jnp.take(feat_table, node_ids, axis=0)
                 logits = _g.model_forward(
                     params, features, src, dst, mc, impl=tc.impl,
                     edge_tiles=et,
@@ -264,7 +302,8 @@ class MinibatchTrainer:
         for b in prefetch(sampler, depth=2):
             acc = self._eval_step(
                 self.params,
-                jnp.asarray(b.features), jnp.asarray(b.src),
+                self._feat_table, jnp.asarray(b.node_ids),
+                jnp.asarray(b.src),
                 jnp.asarray(b.dst), jnp.asarray(b.labels),
                 jnp.asarray(b.num_seeds, jnp.int32),
                 b.tiles,
@@ -290,7 +329,7 @@ class MinibatchTrainer:
                     self.params,
                     self.opt_state,
                     jnp.asarray(self.step_count, jnp.int32),
-                    jnp.asarray(b.features),
+                    (self._feat_table, jnp.asarray(b.node_ids)),
                     jnp.asarray(b.src),
                     jnp.asarray(b.dst),
                     jnp.asarray(b.labels),
@@ -385,10 +424,12 @@ class DataParallelMinibatchTrainer(MinibatchTrainer):
                 if self._dp_step is None:
                     self._dp_step = make_dp_minibatch_step(
                         self.model_config, self.train_config, self.mesh,
-                        tiles_template=group[0].tiles,
+                        tiles_template=group[0].tiles, device_gather=True,
                     )
                 self.step_count += 1
-                stacked = stack_batches(group, self.mesh)
+                stacked = stack_batches(
+                    group, self.mesh, feat_table=self._feat_table
+                )
                 self.params, self.opt_state, loss, acc = self._dp_step(
                     self.params, self.opt_state,
                     jnp.asarray(self.step_count, jnp.int32), *stacked,

@@ -67,12 +67,14 @@ def main(argv=None) -> int:
     )
     params = init_params(mc, jax.random.PRNGKey(0))
     opt_state = optim.init_opt_state(params, "adam")
-    step = make_minibatch_step(mc, tc, donate=False)
+    step = make_minibatch_step(mc, tc, donate=False, device_gather=True)
+    feat_table = jnp.asarray(g.features)  # resident: ids ship, not rows
 
     def run_step(b):
         return step(
             params, opt_state, jnp.asarray(1, jnp.int32),
-            jnp.asarray(b.features), jnp.asarray(b.src), jnp.asarray(b.dst),
+            (feat_table, jnp.asarray(b.node_ids)),
+            jnp.asarray(b.src), jnp.asarray(b.dst),
             jnp.asarray(b.labels), jnp.asarray(b.num_seeds, jnp.int32),
             b.tiles,
         )
