@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "mode (default: 10 per layer)")
     p.add_argument("--sampler-engine", choices=["auto", "native", "python"],
                    default="auto", help="neighbor-sampler implementation")
+    p.add_argument("--feature-residency", choices=["device", "host"],
+                   default="device",
+                   help="minibatch features: device-resident table with "
+                        "on-chip row gather (default), or per-batch host "
+                        "gather for feature matrices larger than HBM")
     p.add_argument("--sample-budget", choices=["auto", "worst", "probe"],
                    default="auto",
                    help="static-shape budget for sampled subgraphs: "
@@ -175,6 +180,7 @@ def _finish(args: argparse.Namespace) -> tuple[ModelConfig, TrainConfig, argpars
         else tuple([10] * args.num_layers if args.batch_size > 0 else []),
         sampler_engine=args.sampler_engine,
         sample_budget=args.sample_budget,
+        feature_residency=args.feature_residency,
         log_file=args.log_file,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,

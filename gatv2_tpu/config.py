@@ -109,6 +109,11 @@ class TrainConfig:
     # 'auto' (worst case capped at the graph size, exact), 'worst'
     # (uncapped), 'probe' (sized from probe batches, big padding cut).
     sample_budget: str = "auto"
+    # minibatch feature delivery: 'device' keeps the full feature matrix
+    # resident on device and gathers batch rows on-chip from node ids
+    # (~100x less per-batch transfer); 'host' gathers rows on host per
+    # batch — for graphs whose feature matrix exceeds device memory.
+    feature_residency: str = "device"
     log_file: str | None = None  # JSONL metrics sink
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # epochs; 0 = off
@@ -133,6 +138,11 @@ class TrainConfig:
                 warnings.append(
                     "Warning: beta parameters are ignored when using SGD optimizer."
                 )
+        if self.feature_residency not in ("device", "host"):
+            raise ValueError(
+                f"feature_residency must be 'device' or 'host', "
+                f"got {self.feature_residency!r}"
+            )
         if self.batch_size < 0:
             raise ValueError(f"--batch-size must be >= 0, got {self.batch_size}")
         if self.batch_size > 0 and any(f < 1 for f in self.fanouts):

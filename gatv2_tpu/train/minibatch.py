@@ -240,15 +240,20 @@ class MinibatchTrainer:
             seed_nodes=seed_nodes,
             emit_tiles=(train_config.impl == "pallas"),
             budget=train_config.sample_budget,
+            gather_features=(train_config.feature_residency == "host"),
         )
         self.params = _g.init_params_for_variant(model_config, jax.random.PRNGKey(seed))
         self.opt_state = optim.init_opt_state(self.params, train_config.optimizer)
         self.epoch = 0
         self.step_count = 0
-        # the full feature matrix lives on device once; batches carry ids
-        self._feat_table = jnp.asarray(graph.features)
+        # 'device' (default): the full feature matrix lives on device once
+        # and batches carry ids; 'host': per-batch host gather + row upload
+        # (for graphs whose feature matrix exceeds device memory)
+        self._device_gather = train_config.feature_residency == "device"
+        if self._device_gather:
+            self._feat_table = jnp.asarray(graph.features)
         self._step = make_minibatch_step(
-            model_config, train_config, device_gather=True
+            model_config, train_config, device_gather=self._device_gather
         )
         self._eval_step = None
 
@@ -281,14 +286,19 @@ class MinibatchTrainer:
                 seed_nodes=nodes,
                 emit_tiles=(self.train_config.impl == "pallas"),
                 budget=self.train_config.sample_budget,
+                gather_features=(
+                    self.train_config.feature_residency == "host"
+                ),
             )
             self._eval_samplers[which] = sampler
         if self._eval_step is None:
             mc, tc = self.model_config, self.train_config
+            dg = self._device_gather
 
-            def ev(params, feat_table, node_ids, src, dst, labels,
-                   num_seeds, et=None):
-                features = jnp.take(feat_table, node_ids, axis=0)
+            def ev(params, features, src, dst, labels, num_seeds, et=None):
+                if dg:
+                    feat_table, node_ids = features
+                    features = jnp.take(feat_table, node_ids, axis=0)
                 logits = _g.model_forward(
                     params, features, src, dst, mc, impl=tc.impl,
                     edge_tiles=et,
@@ -300,9 +310,14 @@ class MinibatchTrainer:
         correct = 0.0
         total = 0
         for b in prefetch(sampler, depth=2):
+            feats_arg = (
+                (self._feat_table, jnp.asarray(b.node_ids))
+                if self._device_gather
+                else jnp.asarray(b.features)
+            )
             acc = self._eval_step(
                 self.params,
-                self._feat_table, jnp.asarray(b.node_ids),
+                feats_arg,
                 jnp.asarray(b.src),
                 jnp.asarray(b.dst), jnp.asarray(b.labels),
                 jnp.asarray(b.num_seeds, jnp.int32),
@@ -325,11 +340,16 @@ class MinibatchTrainer:
             seeds_total = 0
             for b in prefetch(self.sampler, depth=2):
                 self.step_count += 1
+                feats_arg = (
+                    (self._feat_table, jnp.asarray(b.node_ids))
+                    if self._device_gather
+                    else jnp.asarray(b.features)
+                )
                 self.params, self.opt_state, loss, acc = self._step(
                     self.params,
                     self.opt_state,
                     jnp.asarray(self.step_count, jnp.int32),
-                    (self._feat_table, jnp.asarray(b.node_ids)),
+                    feats_arg,
                     jnp.asarray(b.src),
                     jnp.asarray(b.dst),
                     jnp.asarray(b.labels),
@@ -389,6 +409,14 @@ class DataParallelMinibatchTrainer(MinibatchTrainer):
 
         self.mesh = make_mesh(num_devices, axis_name="data")
         self.ndev = num_devices
+        if self._device_gather:
+            # commit the table REPLICATED over the data mesh once — an
+            # uncommitted single-device array would be re-broadcast to every
+            # device on every super-step (round-2 review finding)
+            self._feat_table = jax.device_put(
+                np.asarray(graph.features),
+                NamedSharding(self.mesh, P()),
+            )
         self._dp_step = None  # built lazily (pallas needs a tiles template)
 
     def _pad_group(self, group: list[MiniBatch]) -> list[MiniBatch]:
@@ -424,11 +452,15 @@ class DataParallelMinibatchTrainer(MinibatchTrainer):
                 if self._dp_step is None:
                     self._dp_step = make_dp_minibatch_step(
                         self.model_config, self.train_config, self.mesh,
-                        tiles_template=group[0].tiles, device_gather=True,
+                        tiles_template=group[0].tiles,
+                        device_gather=self._device_gather,
                     )
                 self.step_count += 1
                 stacked = stack_batches(
-                    group, self.mesh, feat_table=self._feat_table
+                    group, self.mesh,
+                    feat_table=(
+                        self._feat_table if self._device_gather else None
+                    ),
                 )
                 self.params, self.opt_state, loss, acc = self._dp_step(
                     self.params, self.opt_state,

@@ -19,6 +19,8 @@
 #include <cstring>
 #include <fcntl.h>
 #include <sched.h>
+
+#include "cpuinfo.h"
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <thread>
@@ -88,20 +90,8 @@ size_t count_chunk(const char* data, size_t begin, size_t end) {
   return count;
 }
 
-unsigned usable_cpus() {
-  // hardware_concurrency ignores cgroup/affinity limits; on a quota'd box
-  // it reports the host's cores and oversubscription thrashes one CPU
-  cpu_set_t set;
-  if (sched_getaffinity(0, sizeof(set), &set) == 0) {
-    int n = CPU_COUNT(&set);
-    if (n > 0) return static_cast<unsigned>(n);
-  }
-  unsigned hw = std::thread::hardware_concurrency();
-  return hw ? hw : 4;
-}
-
 unsigned num_threads(size_t size) {
-  unsigned hw = usable_cpus();
+  unsigned hw = gatv2_usable_cpus();
   // don't spawn threads for small files
   size_t per = 1 << 20;
   size_t want = size / per + 1;

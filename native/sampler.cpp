@@ -21,20 +21,12 @@
 #include <cstdint>
 #include <cstring>
 #include <sched.h>
+
+#include "cpuinfo.h"
 #include <thread>
 #include <vector>
 
 namespace {
-
-inline unsigned usable_cpus() {
-  cpu_set_t set;
-  if (sched_getaffinity(0, sizeof(set), &set) == 0) {
-    int n = CPU_COUNT(&set);
-    if (n > 0) return static_cast<unsigned>(n);
-  }
-  unsigned hw = std::thread::hardware_concurrency();
-  return hw ? hw : 4;
-}
 
 struct SplitMix64 {
   uint64_t state;
@@ -173,7 +165,7 @@ long long sample_batch(
     // offsets (each node draws exactly min(deg, fanout) — prefix-summed),
     // and the cache-miss-heavy col_idx resolution happens here too; the
     // sequential phase keeps only the dedup.
-    unsigned hw = usable_cpus();
+    unsigned hw = gatv2_usable_cpus();
     unsigned nt = fsize >= 1024 ? hw : 1;
     if (nt > fsize && fsize > 0) nt = static_cast<unsigned>(fsize);
     if (nt == 0) nt = 1;
@@ -380,7 +372,7 @@ void gather_rows_f32(
     float* out, long long out_rows, int num_threads) {
   if (num_threads < 1) num_threads = 1;
   // never oversubscribe a cgroup/affinity-limited box
-  unsigned cap = usable_cpus();
+  unsigned cap = gatv2_usable_cpus();
   if (static_cast<unsigned>(num_threads) > cap)
     num_threads = static_cast<int>(cap);
   const long long total = out_rows;

@@ -41,6 +41,8 @@ def run(argv):
         ["--mesh", "2", "--overlap"],
         ["--mesh", "2", "--impl", "pallas", "--overlap"],
         ["--batch-size", "8", "--fanouts", "4,4", "--sampler-engine", "python"],
+        ["--batch-size", "8", "--fanouts", "4,4", "--sampler-engine", "python",
+         "--feature-residency", "host"],
         ["--batch-size", "8", "--fanouts", "4,4", "--impl", "pallas",
          "--sampler-engine", "python"],
         ["--mesh", "2", "--batch-size", "8", "--fanouts", "4,4",
@@ -52,7 +54,8 @@ def run(argv):
         "xla", "pallas", "node-variant", "node-pallas", "precision-high",
         "clip", "mesh", "mesh-pallas",
         "mesh-overlap", "mesh-pallas-overlap",
-        "minibatch", "minibatch-pallas", "dp-minibatch", "dp-minibatch-pallas",
+        "minibatch", "minibatch-host-feats", "minibatch-pallas",
+        "dp-minibatch", "dp-minibatch-pallas",
     ],
 )
 def test_flag_matrix(extra, capsys):

@@ -163,7 +163,7 @@ def test_native_sampler_deterministic_and_bounded(learnable_graph):
     b1, b2 = next(iter(s1)), next(iter(s2))
     np.testing.assert_array_equal(b1.src, b2.src)
     np.testing.assert_array_equal(b1.dst, b2.dst)
-    np.testing.assert_array_equal(b1.features, b2.features)
+    np.testing.assert_array_equal(b1.node_ids, b2.node_ids)
     # fanout bound: every dst receives at most max(fanouts) sampled edges
     real = b1.dst < s1.max_nodes
     if real.any():
