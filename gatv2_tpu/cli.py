@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "worst-case capped at graph size (auto, exact), "
                         "uncapped worst case, or probe-batch sizing "
                         "(cuts padding compute on large graphs)")
+    p.add_argument("--eval-mode", choices=["exact", "sampled"],
+                   default="exact",
+                   help="minibatch-mode test evaluation: 'exact' = one "
+                        "full-graph forward (every node sees its full "
+                        "in-neighborhood; deterministic, the reference's "
+                        "all-nodes semantics), 'sampled' = fanout-sampled "
+                        "subgraph inference (fast, stochastic)")
     p.add_argument("--split-fractions", type=str, default=None,
                    metavar="TR,VA,TE",
                    help="random train/val/test split, e.g. 0.6,0.2,0.2 "

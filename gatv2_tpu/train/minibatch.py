@@ -256,6 +256,7 @@ class MinibatchTrainer:
             model_config, train_config, device_gather=self._device_gather
         )
         self._eval_step = None
+        self._exact_eval = None
 
     def sync_step_count(self) -> None:
         """After checkpoint resume (which restores `epoch`): rebuild the
@@ -326,6 +327,57 @@ class MinibatchTrainer:
             correct += float(acc) * b.num_seeds
             total += b.num_seeds
         return correct / max(total, 1)
+
+    def evaluate_exact(self) -> dict[str, float]:
+        """Split accuracies from ONE exact full-graph forward: every node
+        aggregates its FULL in-neighborhood, the reference's evaluation
+        semantics (all-N-nodes exact eval, GATv2_edge_based.cu:514-550).
+        Deterministic — independent of sampler fanouts, seeds, and RNG
+        stream consumption, unlike the sampled-subgraph `evaluate()` (kept
+        as the fast stochastic option). Memory: large graphs run through
+        the same chunked-kernel full-graph path the full-graph Trainer
+        uses (setup_full_graph auto-chunking)."""
+        from gatv2_tpu.train.loop import make_split_eval_step
+
+        if self.splits is None:
+            raise ValueError("MinibatchTrainer built without splits")
+        if self._exact_eval is None:
+            graph, mc, tc = self.graph, self.model_config, self.train_config
+            feats = graph.features
+            edge_tiles = None
+            if tc.impl == "pallas":
+                from gatv2_tpu.ops.pallas_attention import setup_full_graph
+
+                edge_tiles, feats, _, _ = setup_full_graph(
+                    graph, mc.heads, mc.out_dims
+                )
+            n_all = feats.shape[0]
+
+            def padmask(m):
+                out = np.zeros(n_all, bool)
+                out[: m.shape[0]] = m
+                return jnp.asarray(out)
+
+            full = np.full(n_all, -1, np.int32)
+            full[: graph.num_nodes] = graph.labels
+            if tc.impl == "pallas":
+                src = dst = jnp.zeros(1, jnp.int32)
+            else:
+                pe = graph.padded_edges(128)
+                src, dst = jnp.asarray(pe.src), jnp.asarray(pe.dst)
+            self._exact_eval = (
+                make_split_eval_step(mc, tc, edge_tiles=edge_tiles),
+                jnp.asarray(feats), src, dst, jnp.asarray(full),
+                tuple(
+                    padmask(m)
+                    for m in (
+                        self.splits.train, self.splits.val, self.splits.test
+                    )
+                ),
+            )
+        step, feats, src, dst, labels, masks = self._exact_eval
+        accs = step(self.params, feats, src, dst, labels, *masks)
+        return {k: float(v) for k, v in zip(("train", "val", "test"), accs)}
 
     def run(self, epochs: int | None = None) -> dict:
         import time
@@ -510,5 +562,15 @@ class DataParallelMinibatchTrainer(MinibatchTrainer):
         )
         try:
             return super().evaluate(which)
+        finally:
+            self.params = params_mesh
+
+    def evaluate_exact(self) -> dict[str, float]:
+        params_mesh = self.params
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x)), params_mesh
+        )
+        try:
+            return super().evaluate_exact()
         finally:
             self.params = params_mesh

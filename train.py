@@ -177,7 +177,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
     if splits is not None:
         if train_config.batch_size > 0:
-            print(f"Final Test Accuracy: {trainer.evaluate('test') * 100:.2f}%")
+            if args.eval_mode == "exact":
+                # one deterministic full-graph forward — the reference's
+                # all-nodes evaluation semantics (E:514-550); sampled eval
+                # stays available via --eval-mode sampled
+                acc = trainer.evaluate_exact()["test"]
+            else:
+                acc = trainer.evaluate("test")
+            print(f"Final Test Accuracy: {acc * 100:.2f}%")
         else:
             accs = trainer.evaluate()
             print(f"Final Test Accuracy: {accs['test'] * 100:.2f}%")
