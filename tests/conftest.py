@@ -53,3 +53,67 @@ def tiny_config(tiny_graph):
         num_classes=tiny_graph.num_classes,
         in_dim=tiny_graph.feature_dim,
     )
+
+
+# ---------------------------------------------------------------------------
+# fast tier: `pytest -m fast` — a <60s (1-CPU host) smoke gate covering every
+# subsystem: ops (segment + pallas interpret), model parity, training, CLI
+# validation, sharding/partition logic, sampling, IO, checkpointing. The
+# full suite (~12 min serial) stays the merge gate; this is the red/green
+# loop. Curated centrally here so test files stay unannotated (except
+# tests added with an explicit @pytest.mark.fast).
+# ---------------------------------------------------------------------------
+
+_FAST_TESTS = {
+    "test_segment_ops.py": None,  # whole file
+    "test_params_io.py": None,
+    "test_io.py": None,
+    "test_utils.py": None,
+    "test_cli.py": "ALL_BUT_PIPELINE",  # predict_pipeline trains twice (~17s)
+    "test_checkpoint.py": {
+        "test_latest_of_multiple",
+        "test_restore_with_empty_opt_template",
+    },
+    "test_pallas_attention.py": {
+        "test_prepare_edge_tiles_layout",
+        "test_src_sorted_tiling_layout",
+        "test_pallas_matches_xla[1-8]",
+        "test_pallas_grads_match_xla[pallas]",
+    },
+    "test_model_parity.py": {
+        # edge-variant oracle runs in the full suite only (~10s); the node
+        # variant exercises the same shared kernels + last-layer ordering
+        "test_logits_match_oracle[node]",
+        "test_zero_degree_nodes_get_zero_output",
+    },
+    "test_train.py": {
+        "test_sgd_training_decreases_loss",
+        "test_adam_epoch_indexed_bias_correction",
+        "test_clip_by_group_norm_scales_to_threshold",
+    },
+    "test_grad.py": {"test_softmax_jacobian_identity"},
+    "test_sharding.py": {
+        "test_partition_covers_all_edges[edges]",
+        "test_halo_plan_excludes_diagonal_on_community_graph",
+        "test_edge_balanced_partition_on_powerlaw",
+        "test_sharded_loss_matches_single_device[8]",
+    },
+    "test_sampling.py": {
+        "test_sampler_shapes_and_validity[python]",
+        "test_budget_modes",
+    },
+    "test_splits.py": {"test_trainer_split_evaluation"},
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.fspath.basename
+        sel = _FAST_TESTS.get(fname)
+        if sel is None and fname in _FAST_TESTS:
+            item.add_marker(pytest.mark.fast)
+        elif sel == "ALL_BUT_PIPELINE":
+            if "pipeline" not in item.name:
+                item.add_marker(pytest.mark.fast)
+        elif isinstance(sel, set) and item.name in sel:
+            item.add_marker(pytest.mark.fast)
