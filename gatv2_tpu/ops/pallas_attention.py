@@ -607,8 +607,8 @@ def _attention_kernel(
     tile_offsets_ref,  # [T+1] int32 (edge-tile units, chunk-relative)
     # inputs
     zs_hbm,  # [E_chunk, HD] ANY (gathered src projections)
+    zd_hbm,  # [E_chunk, HD] ANY (gathered dst projections; 0 on padding)
     dst_hbm,  # [1, E_chunk] int32 ANY
-    zd_ref,  # [TILE_N, HD] VMEM blocked — dst projections for this tile
     a_sel_ref,  # [HD, 128] VMEM  (a_sel[h*D+d, h] = a[h,d])
     r_ref,  # [128, HD] VMEM  (r[h, h*D+d] = 1)
     # outputs (grid-blocked)
@@ -617,12 +617,13 @@ def _attention_kernel(
     l_out_ref,  # [TILE_N, 128] VMEM — final per-(node, head) sum-exp
     # scratch
     zs_t,  # [2, tile_e, HD] double-buffered edge stream
+    zd_t,  # [2, tile_e, HD]
     dst_t,  # [2, 1, tile_e] int32
     m_scr,  # [TILE_N, 128]
     l_scr,  # [TILE_N, 128]
     acc_scr,  # [TILE_N, HD]
     tmax_scr,  # [TILE_N, 128]
-    sems,  # DMA semaphores (2, 2)
+    sems,  # DMA semaphores (2, 3)
     *,
     num_heads: int,
     negative_slope: float,
@@ -654,8 +655,11 @@ def _attention_kernel(
                 zs_hbm.at[pl.ds(off, tile_e), :], zs_t.at[slot], sems.at[slot, 0]
             ),
             pltpu.make_async_copy(
+                zd_hbm.at[pl.ds(off, tile_e), :], zd_t.at[slot], sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
                 dst_hbm.at[:, pl.ds(off, tile_e)], dst_t.at[slot],
-                sems.at[slot, 1],
+                sems.at[slot, 2],
             ),
         )
 
@@ -678,10 +682,10 @@ def _attention_kernel(
         dst_k = dst_t[slot]  # [1, tile_e]
         mask = dst_k == node_ids  # [TILE_N, tile_e]
         mask_f = mask.astype(jnp.float32)
-        # dst-side gather as a matmul: zd_e = M^T . zd_tile
-        zd_e = _kdot(mask_f, zd_ref[:], (((0,), (0,)), ((), ())), precision,
-                     exact_arg=0)  # [tile_e, HD]  (padding edges -> 0)
-        s = zs_t[slot] + zd_e
+        # zd arrives per-edge from the XLA row-gather (free DMA bandwidth;
+        # the in-kernel one-hot gather matmul this replaces was an MXU pass
+        # per tile at a 128x structural-FLOP factor)
+        s = zs_t[slot] + zd_t[slot]
         s = jnp.where(s > 0, s, negative_slope * s)
         # per-head attention dot, transposed: scT[h, e] = sum_f a_sel[f, h] s[e, f]
         sc_t = _kdot(a_sel_ref[:], s, (((0,), (1,)), ((), ())), precision,
@@ -723,7 +727,7 @@ def _attention_kernel(
 
 def _forward_chunk(
     zs_e: jax.Array,  # [E_chunk, HD] gathered src projections (lane-padded)
-    zd_chunk: jax.Array,  # [T_c*TILE_N, HD] this chunk's dst projections
+    zd_e: jax.Array,  # [E_chunk, HD] gathered dst projections (0 on padding)
     dst_flat: jax.Array,  # [1, E_chunk] int32
     rel_offsets: jax.Array,  # [T_c+1] int32
     a_sel: jax.Array,
@@ -736,7 +740,7 @@ def _forward_chunk(
     interpret: bool,
     normalize: bool = True,
 ):
-    t_c = zd_chunk.shape[0] // TILE_N
+    t_c = rel_offsets.shape[0] - 1
     hd = zs_e.shape[1]
     e_chunk = zs_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -744,8 +748,8 @@ def _forward_chunk(
         grid=(t_c,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zs_e
+            pl.BlockSpec(memory_space=pl.ANY),  # zd_e
             pl.BlockSpec(memory_space=pl.ANY),  # dst ids
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
         ],
@@ -756,12 +760,13 @@ def _forward_chunk(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, te, hd), jnp.float32),
             pltpu.VMEM((2, 1, te), jnp.int32),
             pltpu.VMEM((TILE_N, 128), jnp.float32),
             pltpu.VMEM((TILE_N, 128), jnp.float32),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
             pltpu.VMEM((TILE_N, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     kernel = functools.partial(
@@ -781,11 +786,11 @@ def _forward_chunk(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * e_chunk * (2 * hd + 3 * 128) * 2,
-            bytes_accessed=e_chunk * hd * 4 + t_c * TILE_N * hd * 8,
+            bytes_accessed=e_chunk * hd * 8 + t_c * TILE_N * hd * 4,
             transcendentals=e_chunk * 128,
         ),
         interpret=interpret,
-    )(rel_offsets, zs_e, dst_flat, zd_chunk, a_sel, r_mat)
+    )(rel_offsets, zs_e, zd_e, dst_flat, a_sel, r_mat)
 
 
 # ---------------------------------------------------------------------------
@@ -793,31 +798,70 @@ def _forward_chunk(
 # ---------------------------------------------------------------------------
 
 
-def _edge_recompute(
-    mask_f, zs_tile, zd_all, g_all, m_all, l_all, a_sel, r_mat,
-    precision, negative_slope,
+def _sigma_r_table(m16, l16, rsum16):
+    """Compact per-node backward softmax stats, [n, 128]:
+
+      lanes [0, STATS_L)          sigma = m + log(l + eps)
+      lanes [STATS_L, 2*STATS_L)  r     (softmax-Jacobian segment term
+                                         <g, out>, see bwd_pallas)
+      lanes beyond                0
+
+    sigma is the log-sum-exp offset: alpha_e = exp(sc_e - sigma[dst_e])
+    replaces exp(sc - m[dst]) / (l[dst] + eps) — the two forward stats
+    collapse into ONE per-edge streamed value and the division disappears.
+    Isolated nodes (m == -1e30, l == 0) give sigma ~ -1e30: finite, and no
+    edge references them. sc <= m <= sigma for any node WITH edges (its max
+    edge contributes exp(0) = 1 to l, so log(l + eps) >= 0), hence
+    clip(sc - sigma, -80, 0) never clips a real value at the top."""
+    sigma = m16 + jnp.log(l16 + SOFTMAX_EPS)
+    return jnp.pad(
+        jnp.concatenate([sigma, rsum16], axis=1),
+        ((0, 0), (0, 128 - 2 * STATS_L)),
+    )
+
+
+def _edge_backward_core(
+    zs_e, zd_e, g_e, sr, a_sel, r_mat, precision, negative_slope,
+    tile_e, want_c1,
 ):
-    """Per-edge backward recompute shared by every dst-tiled backward
-    kernel: gathers (zd, g, m, l) through the tile's one-hot mask and
-    rebuilds (alpha_e, dalpha_e, s_raw, s_act, g_e) edge-major. Keeping it
-    in ONE place guarantees the single-pass and merge-path backwards use
-    bit-identical math (precision tiers, sensitive flags, clamps)."""
-    zd_e = _kdot(mask_f, zd_all, (((0,), (0,)), ((), ())), precision,
-                 exact_arg=0)  # [tile_e, HD]
-    s_raw = zs_tile + zd_e
+    """Shared per-edge backward math for the dst-tiled (phase 1) and
+    src-tiled (phase 2b) kernels — all inputs are EDGE-MAJOR [tile_e, .]
+    (pre-gathered by the caller: XLA row-gathers for off-tile operands,
+    the in-tile one-hot matmul for the tile's own side). Keeping it in ONE
+    place guarantees both phases use bit-identical math.
+
+    sr is the compact [tile_e, 128] sigma_r stream (_sigma_r_table rows
+    gathered by dst): sigma in lanes [0, STATS_L), r in the next STATS_L
+    lanes — ONE lane-roll (VPU) stands in for the separate m/l/r gather
+    matmuls of the round-2 design. Lane hygiene: lanes >= num_heads of
+    alpha are finite garbage (exp of clipped junk, <= 1) and lanes
+    [112, 128) of r_g hold wrapped sigma values (|.| up to 1e30) — every
+    consumer multiplies by r_mat/a-selector rows that are exactly zero
+    there, so they never reach an output (0 * huge == 0; nothing is inf).
+
+    Returns (de_rep, alpha_rep_or_None, s_raw, s_act).
+    """
+    s_raw = zs_e + zd_e
     s_act = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
     sc_e = _kdot(s_act, a_sel, (((1,), (0,)), ((), ())), precision,
                  sensitive=True)  # [tile_e, 128]
-    m_g = _kdot(mask_f, m_all, (((0,), (0,)), ((), ())), precision,
-                exact_arg=0)
-    l_g = _kdot(mask_f, l_all, (((0,), (0,)), ((), ())), precision,
-                exact_arg=0)
-    p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
-    alpha_e = p_e / (l_g + SOFTMAX_EPS)
-    g_e = _kdot(mask_f, g_all, (((0,), (0,)), ((), ())), precision, exact_arg=0)
-    dalpha_e = _kdot(g_e * zs_tile, r_mat, (((1,), (1,)), ((), ())),
+    alpha_e = jnp.exp(jnp.clip(sc_e - sr, EXP_CLAMP, 0.0))
+    r_g = pltpu.roll(sr, shift=128 - STATS_L, axis=1)  # lane h <- h+STATS_L
+    dalpha_e = _kdot(g_e * zs_e, r_mat, (((1,), (1,)), ((), ())),
                      precision, exact_arg=1)  # [tile_e, 128]
-    return alpha_e, dalpha_e, s_raw, s_act, g_e
+    de_e = alpha_e * (dalpha_e - r_g)
+    if want_c1:
+        # one fused head->feature expansion for de AND alpha
+        both = jnp.concatenate([de_e, alpha_e], axis=0)  # [2*tile_e, 128]
+        both_rep = _kdot(both, r_mat, (((1,), (0,)), ((), ())), precision,
+                         exact_arg=1)  # [2*tile_e, HD]
+        de_rep = both_rep[:tile_e]
+        alpha_rep = both_rep[tile_e:]
+    else:
+        de_rep = _kdot(de_e, r_mat, (((1,), (0,)), ((), ())), precision,
+                       exact_arg=1)
+        alpha_rep = None
+    return de_rep, alpha_rep, s_raw, s_act
 
 
 def _bwd_dst_kernel(
@@ -825,14 +869,9 @@ def _bwd_dst_kernel(
     tile_offsets_ref,  # [T_c+1] int32 (chunk-relative edge-tile units)
     # inputs
     zs_hbm,  # [E_chunk, HD] ANY (gathered src projections, rematerialized)
-    dst_hbm,  # [1, E_chunk] int32 ANY
-    zd_ref,  # [TILE_N, HD] VMEM blocked — dst projections for this tile
-    g_ref,  # [TILE_N, HD] VMEM blocked — upstream grad dL/dh for this tile
-    m_ref,  # [TILE_N, 128] VMEM blocked — forward's per-(node, head) max
-    l_ref,  # [TILE_N, 128] VMEM blocked — forward's per-(node, head) sum-exp
-    rsum_ref,  # [TILE_N, 128] VMEM blocked — softmax-Jacobian segment term
-    #            r_j = sum_k alpha_k dalpha_k == <g_j, out_j> per head,
-    #            computed in NODE space by the caller (see bwd_pallas)
+    xg_hbm,  # [E_chunk, 2*HD+128] ANY — per-edge [zd | g | sigma_r], row-
+    #          gathered by dst in XLA (zero rows on padding edges)
+    dst_hbm,  # [1, E_chunk] int32 ANY (chunk-relative dst ids, pad == rows)
     a_sel_ref,  # [HD, 128] VMEM (a_sel[h*D+d, h] = a[h,d])
     r_ref,  # [128, HD] VMEM (r[h, h*D+d] = 1)
     a_rep_ref,  # [1, HD] VMEM (a_rep[0, h*D+d] = a[h,d])
@@ -841,40 +880,50 @@ def _bwd_dst_kernel(
     da_ref,  # [8, HD] VMEM blocked — this tile's dL/da contribution (row 0;
     #          8 sublanes only to satisfy the (8, 128) min tile)
     *rest,  # with emit_c1: c1_hbm output [E_chunk, HD] ANY, then scratch
-    #         (zs_t, dst_t, [c1_t], sems)
+    #         (zs_t, xg_t, dst_t, [c1_t], sems)
     num_heads: int,
     negative_slope: float,
     emit_c1: bool = False,
     precision=_HIGHEST,
     tile_e: int = TILE_E,
+    hd: int = 128,
 ):
-    """dst-tiled backward phase 1, ONE streaming pass over the tile's edges.
+    """dst-tiled backward phase 1, ONE streaming pass over the tile's edges
+    — 4 MXU products per edge tile (score SDDMM, dalpha, the fused
+    de/alpha head->feature expansion, and the dzd one-hot reduction).
 
-    The forward's per-(dst, head) softmax stats (m, l) arrive as residuals.
-    The softmax-Jacobian segment term r_j = sum_{k in N(j)} alpha_k dalpha_k
-    arrives as an INPUT: by the flash-attention identity it collapses to a
-    node-space dot, r_j = <g_j, sum_k alpha_k zs_k> = <g_j, out_j>, so no
-    edge pass is needed to build it (the reference loops the whole
-    neighborhood per edge instead — O(sum deg^2),
-    compute_grad_attn_score_kernel GATv2_edge_based.cu:654-696).
+    All dst-side operands arrive PRE-GATHERED per edge (the xg stream):
+    this kernel is MXU-bound while HBM streaming rides otherwise-idle DMA
+    bandwidth, so trading the round-2 one-hot gather matmuls (zd, g, m, l,
+    r — five MXU passes at a 128x structural-FLOP factor) for one wider
+    stream is the core round-3 speedup.
+
+    The forward softmax stats travel as sigma = m + log(l + eps): alpha_e
+    = exp(sc_e - sigma[dst_e]) in one exp, no division. The softmax-
+    Jacobian segment term r_j = sum_k alpha_k dalpha_k collapses to the
+    node-space dot <g_j, out_j> (flash-attention identity) and rides the
+    same stream (the reference loops the whole neighborhood per edge
+    instead — O(sum deg^2), compute_grad_attn_score_kernel
+    GATv2_edge_based.cu:654-696).
 
     Per edge: de_e = alpha_e (dalpha_e - r[dst_e]); ds_e = (de ⊗ a) *
     LReLU'(s); d_zd[j] += sum_e ds_e (one-hot matmul); d_a += sum_e de_e ⊗
     LReLU(s).
 
-    Padding edges (dst == num_nodes) contribute exact zeros: their mask
-    column is zero, so zd_e, g_e, m_g, l_g, r_g gather to 0, hence
-    dalpha = 0 and de = alpha * (0 - 0) = 0.
+    Padding edges gather the APPENDED ZERO ROW of the xg table (their
+    stream id equals the chunk's row count): g_e = 0 kills dalpha, sigma =
+    r = 0 make de = alpha * (0 - 0) = 0, so ds, c1 and the da contribution
+    are exact zeros; the dzd one-hot column is zero as before.
 
     With emit_c1 (the unchunked fast path) the pass additionally stages the
     per-edge packet c1 = alpha * g[dst] + ds and streams it to HBM for the
     permute+segment-sum phase 2 (_segsum_src_kernel) — one packet write
-    instead of phase 2's three dst-order gathers + recompute.
+    instead of phase 2's dst-order gathers + recompute.
     """
     if emit_c1:
-        c1_hbm, zs_t, dst_t, c1_t, sems = rest
+        c1_hbm, zs_t, xg_t, dst_t, c1_t, sems = rest
     else:
-        zs_t, dst_t, sems = rest
+        zs_t, xg_t, dst_t, sems = rest
         c1_hbm = c1_t = None
     i = pl.program_id(0)
     t0 = tile_offsets_ref[i]
@@ -894,15 +943,18 @@ def _bwd_dst_kernel(
                 zs_hbm.at[pl.ds(off, tile_e), :], zs_t.at[slot], sems.at[slot, 0]
             ),
             pltpu.make_async_copy(
+                xg_hbm.at[pl.ds(off, tile_e), :], xg_t.at[slot], sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
                 dst_hbm.at[:, pl.ds(off, tile_e)], dst_t.at[slot],
-                sems.at[slot, 1],
+                sems.at[slot, 2],
             ),
         )
 
     def c1_dma(slot, k):
         off = pl.multiple_of((t0 + k) * tile_e, tile_e)
         return pltpu.make_async_copy(
-            c1_t.at[slot], c1_hbm.at[pl.ds(off, tile_e), :], sems.at[slot, 2]
+            c1_t.at[slot], c1_hbm.at[pl.ds(off, tile_e), :], sems.at[slot, 3]
         )
 
     @pl.when(ntiles > 0)
@@ -926,23 +978,20 @@ def _bwd_dst_kernel(
             @pl.when(k >= 2)
             def _():
                 c1_dma(slot, k - 2).wait()
-        mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
-        alpha_e, dalpha_e, s_raw, s_act, g_e = _edge_recompute(
-            mask_f, zs_t[slot], zd_ref[:], g_ref[:], m_ref[:], l_ref[:],
-            a_sel_ref[:], r_ref[:], precision, negative_slope,
+        xg = xg_t[slot]  # [tile_e, 2*hd + 128]
+        zd_e = xg[:, :hd]
+        g_e = xg[:, hd : 2 * hd]
+        sr = xg[:, 2 * hd :]
+        de_rep, alpha_rep, s_raw, s_act = _edge_backward_core(
+            zs_t[slot], zd_e, g_e, sr, a_sel_ref[:], r_ref[:],
+            precision, negative_slope, tile_e, want_c1=emit_c1,
         )
-        r_g = _kdot(mask_f, rsum_ref[:], (((0,), (0,)), ((), ())), precision,
-                    exact_arg=0)  # [tile_e, 128]
-        de_e = alpha_e * (dalpha_e - r_g)  # [tile_e, 128]
-        de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision,
-                       exact_arg=1)  # [tile_e, HD]
         lrelu_grad = jnp.where(s_raw > 0, 1.0, negative_slope)
         ds = de_rep * a_rep_ref[:] * lrelu_grad  # [tile_e, HD]
         if emit_c1:
-            alpha_rep = _kdot(alpha_e, r_ref[:], (((1,), (0,)), ((), ())),
-                              precision, exact_arg=1)
             c1_t[slot] = alpha_rep * g_e + ds
             c1_dma(slot, k).start()
+        mask_f = (dst_t[slot] == node_ids).astype(jnp.float32)
         dzd_ref[:] = dzd_ref[:] + _kdot(
             mask_f, ds, (((1,), (0,)), ((), ())), precision, exact_arg=0
         )
@@ -965,11 +1014,10 @@ def _bwd_dst_kernel(
 
 
 def _bwd_dst_chunk(
-    zs_e, zd_chunk, g_chunk, m_chunk, l_chunk, rsum_chunk, dst_flat,
-    rel_offsets, a_sel, r_mat, a_rep,
+    zs_e, xg_e, dst_flat, rel_offsets, a_sel, r_mat, a_rep,
     *, num_heads, negative_slope, te, precision, interpret, emit_c1=False,
 ):
-    t_c = zd_chunk.shape[0] // TILE_N
+    t_c = rel_offsets.shape[0] - 1
     hd = zs_e.shape[1]
     e_chunk = zs_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -977,12 +1025,8 @@ def _bwd_dst_chunk(
         grid=(t_c,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zs_e
+            pl.BlockSpec(memory_space=pl.ANY),  # xg_e  [zd | g | sigma_r]
             pl.BlockSpec(memory_space=pl.ANY),  # dst ids
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
@@ -993,14 +1037,16 @@ def _bwd_dst_chunk(
         ] + ([pl.BlockSpec(memory_space=pl.ANY)] if emit_c1 else []),
         scratch_shapes=[
             pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, te, 2 * hd + 128), jnp.float32),
             pltpu.VMEM((2, 1, te), jnp.int32),
         ] + ([pltpu.VMEM((2, te, hd), jnp.float32)] if emit_c1 else []) + [
-            pltpu.SemaphoreType.DMA((2, 3 if emit_c1 else 2)),
+            pltpu.SemaphoreType.DMA((2, 4 if emit_c1 else 3)),
         ],
     )
     kernel = functools.partial(
         _bwd_dst_kernel, num_heads=num_heads, negative_slope=negative_slope,
         emit_c1=emit_c1, precision=_prec_for(precision, interpret), tile_e=te,
+        hd=hd,
     )
     return pl.pallas_call(
         kernel,
@@ -1013,13 +1059,12 @@ def _bwd_dst_chunk(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_chunk * (3 * hd + 6 * 128) * 2,
-            bytes_accessed=e_chunk * hd * 4 * 2 + t_c * TILE_N * hd * 8,
+            flops=2 * e_chunk * (3 * hd + 3 * 128) * 2,
+            bytes_accessed=e_chunk * (4 * hd + 128) * 4 + t_c * TILE_N * hd * 4,
             transcendentals=e_chunk * 128,
         ),
         interpret=interpret,
-    )(rel_offsets, zs_e, dst_flat, zd_chunk, g_chunk, m_chunk, l_chunk,
-      rsum_chunk, a_sel, r_mat, a_rep)
+    )(rel_offsets, zs_e, xg_e, dst_flat, a_sel, r_mat, a_rep)
 
 
 # ---------------------------------------------------------------------------
@@ -1137,21 +1182,18 @@ def _bwd_src_kernel(
     # inputs
     zd_e_hbm,  # [E_chunk, HD] ANY — zd[dst_e], gathered in src-sorted order
     g_e_hbm,  # [E_chunk, HD] ANY — g[dst_e]
-    mlr_hbm,  # [E_chunk, 128] ANY — compact [m|l|r][dst_e]: 16 lanes each
+    sr_hbm,  # [E_chunk, 128] ANY — sigma_r[dst_e] (_sigma_r_table rows)
     sid_hbm,  # [1, E_chunk] int32 ANY — src ids (num_nodes on padding)
     zs_ref,  # [TILE_N, HD] VMEM blocked — THIS src tile's projections
     a_sel_ref,  # [HD, 128] VMEM
     r_ref,  # [128, HD] VMEM
     a_rep_ref,  # [1, HD] VMEM
-    sel_m_ref,  # [128, 128] VMEM — lane selectors expanding the compact
-    sel_l_ref,  # [128, 128]   stats stream to head lanes (lanes >= H end up
-    sel_r_ref,  # [128, 128]   0; downstream math annihilates them)
     # outputs
     dzs_ref,  # [TILE_N, HD] VMEM blocked
     # scratch
     zd_t,  # [2, tile_e, HD]
     g_t,  # [2, tile_e, HD]
-    mlr_t,  # [2, tile_e, 128]
+    sr_t,  # [2, tile_e, 128]
     sid_t,  # [2, 1, tile_e] int32
     sems,  # DMA semaphores (2, 4)
     *,
@@ -1162,9 +1204,12 @@ def _bwd_src_kernel(
 ):
     """src-tiled backward phase 2: recomputes each edge's packet
         c1_e = alpha_e * g[dst_e] + ds_e
-    from node arrays (zs via the in-tile one-hot matmul; zd/g/m/l/r arrive
-    pre-gathered by dst in src-sorted order) and one-hot-matmuls it into
-        d_zs[i] = sum_{e: src_e == i} c1_e.
+    from node arrays (zs via the in-tile one-hot matmul; zd/g/sigma_r
+    arrive pre-gathered by dst in src-sorted order) and one-hot-matmuls it
+    into
+        d_zs[i] = sum_{e: src_e == i} c1_e
+    — 5 MXU products per edge tile (zs gather, score SDDMM, dalpha, fused
+    de/alpha expansion, dzs reduction).
 
     The deterministic TPU replacement for the reference's atomicAdd scatter
     in compute_features_input_gradients (GATv2_edge_based.cu:801-874) —
@@ -1190,7 +1235,7 @@ def _bwd_src_kernel(
                 g_e_hbm.at[pl.ds(off, tile_e), :], g_t.at[slot], sems.at[slot, 1]
             ),
             pltpu.make_async_copy(
-                mlr_hbm.at[pl.ds(off, tile_e), :], mlr_t.at[slot], sems.at[slot, 2]
+                sr_hbm.at[pl.ds(off, tile_e), :], sr_t.at[slot], sems.at[slot, 2]
             ),
             pltpu.make_async_copy(
                 sid_hbm.at[:, pl.ds(off, tile_e)], sid_t.at[slot],
@@ -1217,32 +1262,11 @@ def _bwd_src_kernel(
         # src-side gather as a matmul: zs_e = M^T . zs_tile (0 off-tile)
         zs_e = _kdot(mask_f, zs_ref[:], (((0,), (0,)), ((), ())), precision,
                      exact_arg=0)  # [tile_e, HD]
-        s_raw = zs_e + zd_t[slot]
-        s = jnp.where(s_raw > 0, s_raw, negative_slope * s_raw)
-        sc_e = _kdot(s, a_sel_ref[:], (((1,), (0,)), ((), ())), precision,
-                     sensitive=True)  # [tile_e, 128]
-        # expand the compact stats to head lanes (MXU selector matmuls);
-        # lanes >= num_heads become 0: p stays finite (clip <= 0), alpha is
-        # bounded by 1/SOFTMAX_EPS, and the R/Mask matmuls annihilate them
-        def sel(sel_ref):
-            return _kdot(
-                mlr_t[slot], sel_ref[:], (((1,), (0,)), ((), ())), precision,
-                exact_arg=1,
-            )
-
-        m_g = sel(sel_m_ref)
-        l_g = sel(sel_l_ref)
-        r_g = sel(sel_r_ref)
-        p_e = jnp.exp(jnp.clip(sc_e - m_g, EXP_CLAMP, 0.0))
-        alpha_e = p_e / (l_g + SOFTMAX_EPS)
-        dalpha_e = _kdot(g_t[slot] * zs_e, r_ref[:], (((1,), (1,)), ((), ())),
-                         precision, exact_arg=1)  # [tile_e, 128]
-        de_e = alpha_e * (dalpha_e - r_g)
-        de_rep = _kdot(de_e, r_ref[:], (((1,), (0,)), ((), ())), precision,
-                       exact_arg=1)
+        de_rep, alpha_rep, s_raw, _ = _edge_backward_core(
+            zs_e, zd_t[slot], g_t[slot], sr_t[slot], a_sel_ref[:], r_ref[:],
+            precision, negative_slope, tile_e, want_c1=True,
+        )
         ds = de_rep * a_rep_ref[:] * jnp.where(s_raw > 0, 1.0, negative_slope)
-        alpha_rep = _kdot(alpha_e, r_ref[:], (((1,), (0,)), ((), ())),
-                          precision, exact_arg=1)
         c1 = alpha_rep * g_t[slot] + ds
         dzs_ref[:] = dzs_ref[:] + _kdot(
             mask_f, c1, (((1,), (0,)), ((), ())), precision, exact_arg=0
@@ -1252,39 +1276,25 @@ def _bwd_src_kernel(
     jax.lax.fori_loop(0, ntiles, body, 0)
 
 
-def _stat_selectors():
-    """sel_m/sel_l/sel_r [128, 128]: lane h of the expanded output takes the
-    compact stream's lane (slot*STATS_L + h) for h < STATS_L, else 0."""
-    eye = np.zeros((3, 128, 128), np.float32)
-    for slot in range(3):
-        for h in range(STATS_L):
-            eye[slot, slot * STATS_L + h, h] = 1.0
-    return jnp.asarray(eye[0]), jnp.asarray(eye[1]), jnp.asarray(eye[2])
-
-
 def _bwd_src_chunk(
-    zd_e, g_e, mlr_e, sid_flat, zs_chunk, rel_offsets, a_sel, r_mat, a_rep,
+    zd_e, g_e, sr_e, sid_flat, zs_chunk, rel_offsets, a_sel, r_mat, a_rep,
     *, num_heads, negative_slope, te, precision, interpret,
 ):
     t_c = zs_chunk.shape[0] // TILE_N
     hd = zd_e.shape[1]
     e_chunk = zd_e.shape[0]
-    sel_m, sel_l, sel_r = _stat_selectors()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_c,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zd_e
             pl.BlockSpec(memory_space=pl.ANY),  # g_e
-            pl.BlockSpec(memory_space=pl.ANY),  # mlr
+            pl.BlockSpec(memory_space=pl.ANY),  # sigma_r
             pl.BlockSpec(memory_space=pl.ANY),  # sid
             pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel_m
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel_l
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel_r
         ],
         out_specs=pl.BlockSpec(
             (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -1309,13 +1319,12 @@ def _bwd_src_chunk(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_chunk * (3 * hd + 7 * 128) * 2,
+            flops=2 * e_chunk * (4 * hd + 3 * 128) * 2,
             bytes_accessed=e_chunk * (2 * hd + 128) * 4 + t_c * TILE_N * hd * 8,
             transcendentals=e_chunk * 128,
         ),
         interpret=interpret,
-    )(rel_offsets, zd_e, g_e, mlr_e, sid_flat, zs_chunk, a_sel, r_mat, a_rep,
-      sel_m, sel_l, sel_r)
+    )(rel_offsets, zd_e, g_e, sr_e, sid_flat, zs_chunk, a_sel, r_mat, a_rep)
 
 
 # ---------------------------------------------------------------------------
@@ -1463,9 +1472,20 @@ def edge_attention_pallas(
 
         def one(g, ids_g, other_g, rel_g):
             zs_e = jnp.take(zs_flat, other_g, axis=0)  # [Ec, hd]
+            # dst projections pre-gathered per edge (ids are chunk-relative;
+            # padding slots index the appended zero row, so padding edges
+            # see zd == 0 exactly as the old in-kernel one-hot gather did)
+            zd_z = jnp.concatenate(
+                [
+                    jax.lax.dynamic_slice_in_dim(zd_flat, g * rows_c, rows_c),
+                    jnp.zeros((1, hd), jnp.float32),
+                ],
+                axis=0,
+            )
+            zd_e = jnp.take(zd_z, jnp.minimum(ids_g, rows_c), axis=0)
             return _forward_chunk(
                 zs_e,
-                jax.lax.dynamic_slice_in_dim(zd_flat, g * rows_c, rows_c),
+                zd_e,
                 ids_g[None, :],
                 rel_g,
                 a_sel,
@@ -1575,23 +1595,34 @@ def edge_attention_pallas(
         rsum16 = jnp.pad(
             prod.sum(-1), ((0, 0), (0, STATS_L - num_heads))
         )  # [n_pad, 16]
-        rsum128 = jnp.pad(rsum16, ((0, 0), (0, 128 - STATS_L)))
+        # compact per-node stats [n_pad, 128]: sigma = m + log(l+eps) in the
+        # first STATS_L lanes, r in the next (see _sigma_r_table)
+        sig_r = _sigma_r_table(m16, l16, rsum16)
+        xg_width = 2 * hd + 128
         # phase 1: dst-tiled -> d_zd, d_a; unchunked additionally emits the
         # per-edge packets c1
         emit_c1 = g_chunks == 1
 
-        def lane128(x16):
-            return jnp.pad(x16, ((0, 0), (0, 128 - STATS_L)))
-
         def phase1(g, ids_g, other_g, rel_g):
             zs_e = jnp.take(zs_flat, other_g, axis=0)
+            # per-edge [zd | g | sigma_r] stream, row-gathered in XLA: ids
+            # are chunk-relative and padding slots carry rows_c — exactly
+            # the appended zero row, so padding edges stream zeros
+            table = jnp.concatenate(
+                [
+                    jax.lax.dynamic_slice_in_dim(zd_flat, g * rows_c, rows_c),
+                    jax.lax.dynamic_slice_in_dim(g_flat, g * rows_c, rows_c),
+                    jax.lax.dynamic_slice_in_dim(sig_r, g * rows_c, rows_c),
+                ],
+                axis=1,
+            )
+            table = jnp.concatenate(
+                [table, jnp.zeros((1, xg_width), jnp.float32)], axis=0
+            )
+            xg_e = jnp.take(table, jnp.minimum(ids_g, rows_c), axis=0)
             return _bwd_dst_chunk(
                 zs_e,
-                jax.lax.dynamic_slice_in_dim(zd_flat, g * rows_c, rows_c),
-                jax.lax.dynamic_slice_in_dim(g_flat, g * rows_c, rows_c),
-                lane128(jax.lax.dynamic_slice_in_dim(m16, g * rows_c, rows_c)),
-                lane128(jax.lax.dynamic_slice_in_dim(l16, g * rows_c, rows_c)),
-                jax.lax.dynamic_slice_in_dim(rsum128, g * rows_c, rows_c),
+                xg_e,
                 ids_g[None, :],
                 rel_g,
                 a_sel, r_mat, a_rep,
@@ -1627,19 +1658,17 @@ def edge_attention_pallas(
             da = jnp.sum(da_s, axis=0)
 
             # phase 2b (chunked): per-edge recompute, O(E/G) temporaries;
-            # stats travel compact: [m16 | l16 | r16 | pad] in 128 lanes
-            mlr16 = jnp.concatenate([m16, l16, rsum16], axis=1)  # [n_pad, 48]
+            # stats travel as the compact sigma_r stream (dids on padding
+            # edges clamp to the last real row — finite garbage the src-id
+            # mask annihilates, as with the zd/g gathers below)
 
             def body2(_, x):
                 g, sids_g, dids_g, rel_g = x
                 zd_e = jnp.take(zd_flat, dids_g, axis=0)
                 g_e = jnp.take(g_flat, dids_g, axis=0)
-                mlr_e = jnp.pad(
-                    jnp.take(mlr16, dids_g, axis=0),
-                    ((0, 0), (0, 128 - 3 * STATS_L)),
-                )
+                sr_e = jnp.take(sig_r, dids_g, axis=0)
                 dzs_c = _bwd_src_chunk(
-                    zd_e, g_e, mlr_e,
+                    zd_e, g_e, sr_e,
                     sids_g[None, :],
                     jax.lax.dynamic_slice_in_dim(
                         zs_flat, g * rows_c_src, rows_c_src
@@ -1741,14 +1770,21 @@ def edge_attention_pallas_merge(
 
     def forward_parts(zs_t, zd_, a_, ets_):
         zd_flat, hd = prep(zd_, n_pad)
+        # appended zero row: padding edges carry dst id == n_pad and stream
+        # zeros, exactly like the single-pass path (see edge_attention_pallas)
+        zd_z = jnp.concatenate(
+            [zd_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+        )
         a_sel, r_mat, _ = _head_matrices(a_, hd)
         outs = []
         for zs_k, et in zip(zs_t, ets_):
             zs_flat, _ = prep(zs_k, et.padded_src_nodes)
+            ids = et.dst_side.ids_grp[0]
             zs_e = jnp.take(zs_flat, et.dst_side.other_grp[0], axis=0)
+            zd_e = jnp.take(zd_z, jnp.minimum(ids, n_pad), axis=0)
             outs.append(
                 _forward_chunk(
-                    zs_e, zd_flat, et.dst_side.ids_grp[0][None, :],
+                    zs_e, zd_e, ids[None, :],
                     et.dst_side.rel_offsets[0], a_sel, r_mat,
                     num_heads=num_heads, negative_slope=negative_slope,
                     te=et.tile_e, precision=precision, interpret=interpret,
@@ -1797,14 +1833,24 @@ def edge_attention_pallas_merge(
         g_flat, _ = prep(gout, n_pad)
         h_flat, _ = prep(h_r, n_pad)
         a_sel, r_mat, a_rep = _head_matrices(a_, hd)
-        m128 = jnp.pad(m16, ((0, 0), (0, 128 - STATS_L)))
-        l128 = jnp.pad(l16, ((0, 0), (0, 128 - STATS_L)))
         # merged softmax-Jacobian segment term, node space (see bwd_pallas):
         # r_j = <g_j, h_j> with the MERGED output h — spans all passes
         prodm = (g_flat * h_flat)[:, :hd_real].reshape(
             -1, num_heads, head_dim
         )
-        rsum = jnp.pad(prodm.sum(-1), ((0, 0), (0, 128 - num_heads)))
+        rsum16 = jnp.pad(
+            prodm.sum(-1), ((0, 0), (0, STATS_L - num_heads))
+        )
+        # per-edge [zd | g | sigma_r] stream with the MERGED stats; the
+        # appended zero row serves padding edges (ids == n_pad), and
+        # padding NODE rows (m == -1e30 -> sigma ~ -1e30, g == 0) already
+        # produce exact-zero contributions (see _bwd_dst_kernel docstring)
+        sig_r = _sigma_r_table(m16, l16, rsum16)
+        xg_width = 2 * hd + 128
+        table = jnp.concatenate([zd_flat, g_flat, sig_r], axis=1)
+        table = jnp.concatenate(
+            [table, jnp.zeros((1, xg_width), jnp.float32)], axis=0
+        )
         zs_es = []
         for zs_k, et in zip(zs_t, ets_):
             zs_flat, _ = prep(zs_k, et.padded_src_nodes)
@@ -1815,9 +1861,11 @@ def edge_attention_pallas_merge(
         da_acc = jnp.zeros((hd,), jnp.float32)
         dzs_out = []
         for zs_k, zs_e, et in zip(zs_t, zs_es, ets_):
+            ids = et.dst_side.ids_grp[0]
+            xg_e = jnp.take(table, jnp.minimum(ids, n_pad), axis=0)
             dzd_k, da_k, c1_k = _bwd_dst_chunk(
-                zs_e, zd_flat, g_flat, m128, l128, rsum,
-                et.dst_side.ids_grp[0][None, :], et.dst_side.rel_offsets[0],
+                zs_e, xg_e,
+                ids[None, :], et.dst_side.rel_offsets[0],
                 a_sel, r_mat, a_rep,
                 num_heads=num_heads, negative_slope=negative_slope,
                 te=et.tile_e, precision=precision, interpret=interpret,
