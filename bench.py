@@ -213,6 +213,155 @@ def bench_config(
     }
 
 
+def comm_volume_table(pg, plan, heads, outdims) -> list[dict]:
+    """Analytic per-layer ICI communication volume of the sharded forward
+    (the backward moves the same rows in transpose — grad-of-all_gather is
+    a reduce_scatter — so a train step is ~2x these bytes).
+
+    all_gather: each chip receives every OTHER shard's padded node block.
+    halo (boundary-only all_to_all): each chip receives (S-1) * M rows,
+    M = the padded per-pair cross-shard cut (HaloPlan.m_per_pair); the
+    diagonal block of the S*M-row table never crosses ICI.
+    """
+    s = pg.num_shards
+    rows_ag = pg.padded_num_nodes - pg.nodes_per_shard
+    rows_halo = (s - 1) * plan.m_per_pair if plan is not None else None
+    out = []
+    for l, (h, d) in enumerate(zip(heads, outdims)):
+        hd = h * d
+        row = {
+            "layer": l,
+            "hd": hd,
+            "all_gather_mb_per_chip": round(rows_ag * hd * 4 / 1e6, 3),
+        }
+        if rows_halo is not None:
+            row["halo_mb_per_chip"] = round(rows_halo * hd * 4 / 1e6, 3)
+            row["halo_vs_ag"] = round(rows_halo / max(rows_ag, 1), 4)
+        out.append(row)
+    return out
+
+
+def bench_mesh_config(
+    name, n_devices, *, halo=True, overlap=False, k1=None, k2=None,
+    reps=None, impl="pallas", seed=0, precision="highest",
+):
+    """Sharded (edge-partitioned) scaling bench: the full multi-chip train
+    step — halo exchange / all_gather collectives included — timed with the
+    same differenced two-program scheme as bench_config, on an n_devices
+    'graph' mesh. On the single real TPU chip, --mesh 1 measures the
+    sharding machinery's overhead vs the unsharded path; on a virtual CPU
+    mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N --platform
+    cpu) it validates the harness and the comm-volume model for real
+    multi-chip runs (SCALING.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gatv2_tpu.config import ModelConfig, TrainConfig
+    from gatv2_tpu.data.synthetic import random_graph
+    from gatv2_tpu.models.gatv2 import init_params_for_variant
+    from gatv2_tpu.parallel.mesh import make_mesh
+    from gatv2_tpu.parallel.partition import (
+        halo_exchange_plan,
+        overlap_split_plan,
+        partition_graph,
+        prepare_overlap_tiles,
+        prepare_partitioned_tiles,
+    )
+    from gatv2_tpu.parallel.sharded import (
+        device_put_params,
+        device_put_partitioned,
+        make_sharded_multi_epoch_runner,
+    )
+    from gatv2_tpu.train import optim
+
+    n, e, f, c, layers, heads, outdims = CONFIGS[name]
+    if k1 is None:
+        if e >= 30_000_000:
+            k1, k2, reps = 1, 2, 3
+        elif e >= 4_000_000:
+            k1, k2, reps = 1, 3, 5
+        elif e >= 500_000:
+            k1, k2, reps = 8, 40, 5
+        else:
+            k1, k2, reps = 10, 90, 5
+    g = random_graph(n, e, f, c, seed=seed)
+    config = ModelConfig(
+        num_layers=layers, heads=heads, out_dims=outdims,
+        num_classes=c, in_dim=f, matmul_precision=precision,
+        remat=(e >= 30_000_000 // n_devices),
+    )
+    tc = TrainConfig(optimizer="adam", lr=0.01, seed=seed, impl=impl)
+    mesh = make_mesh(n_devices)
+    pg = partition_graph(g, n_devices)
+    plan = halo_exchange_plan(pg) if (halo and n_devices > 1) else None
+    if plan is not None and plan.halo_size >= pg.padded_num_nodes:
+        plan = None  # no locality; dense all_gather moves less
+    tiles = ov = ov_tiles = None
+    if overlap and plan is not None:
+        split = overlap_split_plan(pg, plan)
+        if impl == "pallas":
+            ov_tiles = prepare_overlap_tiles(pg, plan, split)
+        else:
+            ov = split
+    elif impl == "pallas":
+        tiles = prepare_partitioned_tiles(pg, halo_plan=plan)
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+
+    runners = {
+        k: make_sharded_multi_epoch_runner(
+            config, tc, mesh, pg.num_real_nodes, k,
+            edge_tiles=tiles, halo_plan=plan, overlap_split=ov,
+            overlap_tiles=ov_tiles,
+            interpret=jax.default_backend() == "cpu",
+        )
+        for k in (k1, k2)
+    }
+
+    def run_once(k):
+        params = device_put_params(
+            init_params_for_variant(config, jax.random.PRNGKey(seed)),
+            config, mesh,
+        )
+        opt_state = optim.init_opt_state(params, "adam")
+        t0 = time.perf_counter()
+        params, opt_state, losses, accs = runners[k](
+            params, opt_state, jnp.asarray(0, jnp.int32),
+            feats, src, dst_l, labels,
+        )
+        final_loss = float(losses[-1])
+        return time.perf_counter() - t0, final_loss
+
+    run_once(k1)
+    run_once(k2)
+    diffs = []
+    final_loss = None
+    for _ in range(reps):
+        t_small, _ = run_once(k1)
+        t_large, final_loss = run_once(k2)
+        diffs.append((t_large - t_small) / (k2 - k1) * 1e3)
+    epoch_ms = float(np.median(diffs))
+    edges_per_s = e * layers / (epoch_ms / 1e3)
+    variance_pct = (
+        (max(diffs) - min(diffs)) / epoch_ms * 100.0 if len(diffs) > 1 else 0.0
+    )
+    return {
+        "config": name,
+        "mesh": n_devices,
+        "halo": "boundary" if plan is not None else "all_gather",
+        "overlap": bool(overlap and plan is not None),
+        "epoch_ms": epoch_ms,
+        "epoch_ms_min": float(min(diffs)),
+        "epoch_ms_all": [round(d, 4) for d in diffs],
+        "variance_pct": round(variance_pct, 1),
+        "edges_per_s": edges_per_s,
+        "edges_per_s_per_chip": edges_per_s / n_devices,
+        "halo_rows_per_chip": plan.halo_size if plan is not None else None,
+        "comm_volume": comm_volume_table(pg, plan, heads, outdims),
+        "final_loss": final_loss,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="citeseer3", choices=list(CONFIGS))
@@ -222,7 +371,43 @@ def main():
     ap.add_argument("--all", action="store_true", help="bench every config (stderr)")
     ap.add_argument("--tile-e", type=int, default=None,
                     help="override the Pallas edge-tile size (default: auto)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="N>0: bench the sharded (edge-partitioned) step on "
+                         "an N-device mesh (see bench_mesh_config)")
+    ap.add_argument("--no-halo", action="store_true",
+                    help="--mesh: force the dense all_gather exchange")
+    ap.add_argument("--overlap", action="store_true",
+                    help="--mesh: two-pass halo/compute-overlap layers")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu for virtual meshes "
+                         "with XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.mesh > 0:
+        r = bench_mesh_config(
+            args.config, args.mesh, halo=not args.no_halo,
+            overlap=args.overlap, impl=args.impl, precision=args.precision,
+        )
+        nodes, edges = CONFIGS[args.config][0], CONFIGS[args.config][1]
+        result = {
+            "metric": f"sharded_epoch_time_{args.config}_mesh{args.mesh}",
+            "value": round(r["epoch_ms"], 3),
+            "unit": "ms",
+            "vs_baseline": None,
+            **{k: r[k] for k in (
+                "mesh", "halo", "overlap", "edges_per_s",
+                "edges_per_s_per_chip", "variance_pct", "device",
+            )},
+            "comm_volume": r["comm_volume"],
+            "impl": args.impl,
+        }
+        print(json.dumps(result))
+        return
 
     r = None
     if args.all:

@@ -479,6 +479,58 @@ def make_sharded_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def make_sharded_multi_epoch_runner(
+    model_config: ModelConfig,
+    train_config: TrainConfig,
+    mesh: Mesh,
+    num_real_nodes: int,
+    num_epochs: int,
+    *,
+    axis_name: str = "graph",
+    head_axis: str | None = "head",
+    edge_tiles=None,
+    interpret: bool = False,
+    halo_plan=None,
+    overlap_split=None,
+    overlap_tiles=None,
+) -> Callable:
+    """K sharded epochs as ONE device program via lax.scan — the sharded
+    analog of train.loop.make_multi_epoch_runner, for the scaling bench
+    (bench.py --mesh N): no host round-trip per epoch, so the differenced
+    two-program timing isolates per-epoch device time including the halo
+    collectives.
+
+    Returns jit(run)(params, opt_state, t0, features, src, dst_l, labels)
+    -> (params, opt_state, losses[K], accs[K]).
+    """
+    loss_fn = make_sharded_loss_fn(
+        model_config, mesh, num_real_nodes, axis_name=axis_name,
+        head_axis=head_axis, impl=train_config.impl, edge_tiles=edge_tiles,
+        interpret=interpret, halo_plan=halo_plan, overlap_split=overlap_split,
+        overlap_tiles=overlap_tiles,
+    )
+
+    def runner(params, opt_state, t0, features, src, dst_l, labels):
+        def body(carry, t):
+            params, opt_state = carry
+            (loss, acc), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, features, src, dst_l, labels),
+                has_aux=True,
+            )(params)
+            params, opt_state = optim.apply_updates(
+                params, grads, opt_state, t, train_config
+            )
+            return (params, opt_state), (loss, acc)
+
+        ts = t0 + 1 + jnp.arange(num_epochs, dtype=jnp.int32)
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state), ts
+        )
+        return params, opt_state, losses, accs
+
+    return jax.jit(runner, donate_argnums=(0, 1))
+
+
 def make_sharded_eval_step(
     model_config: ModelConfig,
     mesh: Mesh,
