@@ -173,6 +173,45 @@ def test_sharded_training_learns(learnable_graph):
     assert float(acc) > 0.5
 
 
+def test_sharded_multi_epoch_runner_matches_stepwise(learnable_graph):
+    """The scaling bench's lax.scan runner (bench.py --mesh) reproduces K
+    sequential sharded steps exactly — same params stream, same losses."""
+    from gatv2_tpu.parallel.sharded import make_sharded_multi_epoch_runner
+
+    g = learnable_graph
+    config = _cfg(g)
+    tc = TrainConfig(optimizer="adam", lr=0.01, seed=0)
+    mesh = make_mesh(4)
+    pg = partition_graph(g, 4)
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+
+    step = make_sharded_train_step(
+        config, tc, mesh, pg.num_real_nodes, donate=False
+    )
+    params = init_params(config, jax.random.PRNGKey(0))
+    opt_state = optim.init_opt_state(params, "adam")
+    losses_seq = []
+    for epoch in range(1, 4):
+        params, opt_state, loss, _ = step(
+            params, opt_state, jnp.asarray(epoch, jnp.int32),
+            feats, src, dst_l, labels,
+        )
+        losses_seq.append(float(loss))
+
+    runner = make_sharded_multi_epoch_runner(
+        config, tc, mesh, pg.num_real_nodes, 3
+    )
+    params2 = init_params(config, jax.random.PRNGKey(0))
+    opt2 = optim.init_opt_state(params2, "adam")
+    params2, opt2, losses, accs = runner(
+        params2, opt2, jnp.asarray(0, jnp.int32), feats, src, dst_l, labels
+    )
+    np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
 @pytest.mark.parametrize("graph_shards,head_shards", [(4, 2), (2, 4), (1, 8)])
 def test_head_tp_matches_single_device(learnable_graph, graph_shards, head_shards):
     """2-D ('graph', 'head') mesh: head tensor parallelism reproduces the
