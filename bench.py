@@ -57,12 +57,16 @@ def flops_per_epoch(name: str, impl: str) -> dict:
       (zs/zd per layer + classifier) and per-edge work (score dot, softmax,
       aggregation ~ 6D+10 FLOPs per edge-head). Backward of a matmul costs
       2x its forward (dW and dx), so the epoch total is ~3x forward.
-    - structural_gflop: EXTRA FLOPs the one-hot MXU segment-reduction
-      formulation burns (each 128-edge tile multiplies against a 128-wide
-      one-hot matrix -> TILE_N x the algorithmic aggregation cost; ~4 such
-      passes per layer across fwd + the three backward phases). These are
-      real device FLOPs but do no algorithmic work — edges/s is the honest
-      throughput metric; MFU is reported against the algorithmic count.
+    - structural_gflop: EXTRA FLOPs the fused-kernel formulation burns on
+      MXU products whose width is the 128-lane register, not the head
+      count. Per edge (round-3 streamed-operand kernels): forward runs 3
+      lane-expanded passes of width hd (score SDDMM, p expansion, one-hot
+      aggregation) + 2 of width 128 (max gather, l reduction); backward
+      phase 1 runs 5 hd-wide (SDDMM, dalpha, fused de/alpha expansion x2,
+      dzd one-hot) and phase 2a one more (packet segment sum) — i.e.
+      ~2*128*(9*hd + 2*128) FLOPs/edge. These are real device FLOPs but do
+      no algorithmic work — edges/s is the honest throughput metric; MFU
+      is reported against the algorithmic count.
     """
     n, e, f, c, layers, heads, outdims = CONFIGS[name]
     in_dims = [f] + [heads[l] * outdims[l] for l in range(layers - 1)]
@@ -70,21 +74,22 @@ def flops_per_epoch(name: str, impl: str) -> dict:
     edge_alg = 0.0
     structural = 0.0
     tile = 128
-    e_tiles = -(-e // tile)
     for l in range(layers):
         h, d = heads[l], outdims[l]
         dense += 2 * 2.0 * n * in_dims[l] * h * d  # zs and zd projections
         edge_alg += e * h * (6.0 * d + 10.0)
         if impl == "pallas":
-            # one-hot segment matmuls: fwd seg-sum + ~3 backward phases
-            structural += 4 * 2.0 * e_tiles * tile * tile * h * d
+            hd = -(-h * d // 128) * 128  # lane-padded feature width
+            structural += 2.0 * e * tile * (9.0 * hd + 2.0 * tile)
     dense += 2.0 * n * outdims[-1] * c  # classifier
     fwd_bwd = 3.0  # fwd + ~2x fwd for backward
     return {
         "model_gflop": fwd_bwd * (dense + edge_alg) / 1e9,
         "dense_gflop": fwd_bwd * dense / 1e9,
         "edge_gflop": fwd_bwd * edge_alg / 1e9,
-        "structural_gflop": fwd_bwd * structural / 1e9,
+        # the structural per-edge count already spans fwd + both backward
+        # phases (9 hd-wide + 2 128-wide MXU passes total) — no 3x here
+        "structural_gflop": structural / 1e9,
     }
 
 
@@ -217,7 +222,19 @@ def bench_config(
         ),
         "final_loss": final_loss,
         "device": device,
+        "host_cpus": _host_cpus(),
     }
+
+
+def _host_cpus() -> int:
+    """CPUs actually available to this process (affinity quota, not the
+    machine's core count) — contention context for the timing numbers."""
+    import os
+
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        return os.cpu_count() or 1
 
 
 def comm_volume_table(pg, plan, heads, outdims) -> list[dict]:
@@ -366,6 +383,7 @@ def bench_mesh_config(
         "comm_volume": comm_volume_table(pg, plan, heads, outdims),
         "final_loss": final_loss,
         "device": str(jax.devices()[0]),
+        "host_cpus": _host_cpus(),
     }
 
 
