@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Round-3 benchmark sweep driver: runs every bench leg on the real chip
+and collects one JSONL file + a BENCH_SWEEP-ready markdown table.
+
+Legs (all on the single real TPU via bench.py's differenced two-program
+timing; each under its own timeout so one hang cannot kill the sweep):
+
+  1. full-graph sweep: every CONFIGS row, impl=pallas, exact f32
+  2. precision=high points: arxiv, products-full (the bf16x3 tier)
+  3. mesh=1 overhead rows: citeseer3 + products-sub via --mesh 1
+     (sharding machinery cost with no real communication -> SCALING.md §3)
+  4. optional --tile-e study on arxiv (128/256/512)
+
+Usage:  python tools/run_sweep.py [--out SWEEP_R3.jsonl] [--tile-study]
+Rerun-safe: legs already present in --out (same tag) are skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+LEGS: list[tuple[str, list[str], int]] = [
+    # (tag, bench.py args, timeout seconds)
+    ("citeseer3", ["--config", "citeseer3"], 900),
+    ("cora", ["--config", "cora"], 900),
+    ("pubmed", ["--config", "pubmed"], 900),
+    ("arxiv", ["--config", "arxiv"], 1800),
+    ("products-sub", ["--config", "products-sub"], 3600),
+    ("products-full", ["--config", "products-full"], 5400),
+    ("arxiv-high", ["--config", "arxiv", "--precision", "high"], 1800),
+    ("products-full-high",
+     ["--config", "products-full", "--precision", "high"], 5400),
+    ("citeseer3-mesh1", ["--config", "citeseer3", "--mesh", "1"], 1800),
+    ("products-sub-mesh1", ["--config", "products-sub", "--mesh", "1"], 3600),
+]
+
+TILE_LEGS = [
+    (f"arxiv-te{te}", ["--config", "arxiv", "--tile-e", str(te)], 1800)
+    for te in (128, 256, 512)
+]
+
+
+def run_leg(tag: str, args: list[str], timeout_s: int) -> dict:
+    cmd = [sys.executable, str(REPO / "bench.py"), *args]
+    print(f"[sweep] {tag}: {' '.join(args)}", file=sys.stderr, flush=True)
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return {"tag": tag, "error": f"timeout after {timeout_s}s"}
+    if out.returncode != 0:
+        return {"tag": tag, "error": out.stderr.strip()[-2000:]}
+    line = out.stdout.strip().splitlines()[-1]
+    try:
+        rec = json.loads(line)
+    except json.JSONDecodeError:
+        return {"tag": tag, "error": f"unparseable output: {line[:500]}"}
+    rec["tag"] = tag
+    return rec
+
+
+def markdown_table(records: list[dict]) -> str:
+    cols = [
+        ("tag", "config"), ("value", "epoch ms"), ("edges_per_s", "edges/s"),
+        ("achieved_model_tflops", "model TFLOP/s"),
+        ("achieved_device_tflops", "device TFLOP/s"), ("mfu", "MFU %"),
+        ("variance_pct", "variance %"),
+    ]
+    lines = [
+        "| " + " | ".join(h for _, h in cols) + " |",
+        "|" + "---|" * len(cols),
+    ]
+    for r in records:
+        if "error" in r:
+            lines.append(f"| {r['tag']} | ERROR: {r['error'][:80]} |")
+            continue
+        cells = []
+        for k, _ in cols:
+            v = r.get(k)
+            if isinstance(v, float):
+                v = f"{v:,.2f}" if v < 1e4 else f"{v:,.0f}"
+            cells.append(str(v))
+        lines.append("| " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(REPO / "SWEEP_R3.jsonl"))
+    ap.add_argument("--tile-study", action="store_true")
+    args = ap.parse_args()
+
+    out_path = pathlib.Path(args.out)
+    done = set()
+    records = []
+    if out_path.exists():
+        for line in out_path.read_text().splitlines():
+            rec = json.loads(line)
+            if "error" not in rec:
+                done.add(rec["tag"])
+                records.append(rec)
+
+    legs = LEGS + (TILE_LEGS if args.tile_study else [])
+    with out_path.open("a") as f:
+        for tag, leg_args, timeout_s in legs:
+            if tag in done:
+                print(f"[sweep] {tag}: already done, skipping",
+                      file=sys.stderr)
+                continue
+            rec = run_leg(tag, leg_args, timeout_s)
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            if "error" not in rec:
+                records.append(rec)
+            print(f"[sweep] {tag}: {json.dumps(rec)[:200]}",
+                  file=sys.stderr, flush=True)
+
+    print(markdown_table(records))
+
+
+if __name__ == "__main__":
+    main()
