@@ -192,6 +192,41 @@ def test_pallas_grads_match_xla(tiny_graph, bwd_impl):
         )
 
 
+def test_pallas_grads_16_heads_stats_boundary(tiny_graph):
+    """num_heads == STATS_L (16): the sigma_r stream is completely full
+    (sigma lanes [0,16), r lanes [16,32)), so the backward's lane-roll
+    wraps real sigma values (|sigma| can be ~1e30 on padding rows) into
+    lanes [112,128) of the r term — the worst case for the kernel's lane
+    hygiene (annihilated only because r_mat rows >= num_heads are zero)."""
+    g = tiny_graph
+    h, d = 16, 8
+    zs, zd, a = _random_inputs(g, h, d, seed=5)
+    et = prepare_edge_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    pe = g.padded_edges(128)
+
+    def loss_xla(zs, zd, a):
+        out = _edge_attention_xla(
+            zs, zd, a, jnp.asarray(pe.src), jnp.asarray(pe.dst), g.num_nodes,
+            negative_slope=0.01,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_pl(zs, zd, a):
+        out = edge_attention_pallas(
+            zs, zd, a, None, None, g.num_nodes,
+            negative_slope=0.01, edge_tiles=et, interpret=True,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(zs, zd, a)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(zs, zd, a)
+    for a_, b_ in zip(g_xla, g_pl):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=2e-5, atol=2e-6
+        )
+        assert np.isfinite(np.asarray(b_)).all()
+
+
 def test_pallas_bwd_multi_tile_hub():
     """Pallas backward on a graph with >128 nodes, a degree-200 dst hub
     (multi-edge-tile online stats in the bwd recompute) and a src hub
