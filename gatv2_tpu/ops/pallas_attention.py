@@ -1180,42 +1180,40 @@ def _bwd_src_kernel(
     # scalar prefetch
     tile_offsets_ref,  # [T_c+1] int32 (chunk-relative edge-tile units)
     # inputs
-    zd_e_hbm,  # [E_chunk, HD] ANY — zd[dst_e], gathered in src-sorted order
-    g_e_hbm,  # [E_chunk, HD] ANY — g[dst_e]
-    sr_hbm,  # [E_chunk, 128] ANY — sigma_r[dst_e] (_sigma_r_table rows)
-    sid_hbm,  # [1, E_chunk] int32 ANY — src ids (num_nodes on padding)
-    zs_ref,  # [TILE_N, HD] VMEM blocked — THIS src tile's projections
+    zs_e_hbm,  # [E_chunk, HD] ANY — zs[src_e] (0 on padding edges)
+    xg_hbm,  # [E_chunk, 2*HD+128] ANY — per-edge [zd | g | sigma_r] by dst
+    sid_hbm,  # [1, E_chunk] int32 ANY — chunk-relative src ids (pad == rows)
     a_sel_ref,  # [HD, 128] VMEM
     r_ref,  # [128, HD] VMEM
     a_rep_ref,  # [1, HD] VMEM
     # outputs
     dzs_ref,  # [TILE_N, HD] VMEM blocked
     # scratch
-    zd_t,  # [2, tile_e, HD]
-    g_t,  # [2, tile_e, HD]
-    sr_t,  # [2, tile_e, 128]
+    zs_t,  # [2, tile_e, HD]
+    xg_t,  # [2, tile_e, 2*HD+128]
     sid_t,  # [2, 1, tile_e] int32
-    sems,  # DMA semaphores (2, 4)
+    sems,  # DMA semaphores (2, 3)
     *,
     num_heads: int,
     negative_slope: float,
     precision=_HIGHEST,
     tile_e: int = TILE_E,
+    hd: int = 128,
 ):
     """src-tiled backward phase 2: recomputes each edge's packet
         c1_e = alpha_e * g[dst_e] + ds_e
-    from node arrays (zs via the in-tile one-hot matmul; zd/g/sigma_r
-    arrive pre-gathered by dst in src-sorted order) and one-hot-matmuls it
-    into
+    from fully pre-gathered per-edge streams (zs by src, [zd | g | sigma_r]
+    by dst, both in src-sorted order) and one-hot-matmuls it into
         d_zs[i] = sum_{e: src_e == i} c1_e
-    — 5 MXU products per edge tile (zs gather, score SDDMM, dalpha, fused
-    de/alpha expansion, dzs reduction).
+    — 4 MXU products per edge tile (score SDDMM, dalpha, fused de/alpha
+    expansion, dzs reduction), mirroring phase 1's stream design.
 
     The deterministic TPU replacement for the reference's atomicAdd scatter
     in compute_features_input_gradients (GATv2_edge_based.cu:801-874) —
     with NO per-edge packet buffer in HBM (it is consumed as produced).
-    Padding slots (sid == num_nodes) have zero mask columns; their (finite)
-    garbage packets are annihilated by the matmul.
+    Padding slots stream exact zeros (both tables append a zero row) and
+    their sid equals the chunk's row count, so the reduction mask column
+    is zero too.
     """
     i = pl.program_id(0)
     t0 = tile_offsets_ref[i]
@@ -1229,17 +1227,14 @@ def _bwd_src_kernel(
         off = pl.multiple_of((t0 + k) * tile_e, tile_e)
         return (
             pltpu.make_async_copy(
-                zd_e_hbm.at[pl.ds(off, tile_e), :], zd_t.at[slot], sems.at[slot, 0]
+                zs_e_hbm.at[pl.ds(off, tile_e), :], zs_t.at[slot], sems.at[slot, 0]
             ),
             pltpu.make_async_copy(
-                g_e_hbm.at[pl.ds(off, tile_e), :], g_t.at[slot], sems.at[slot, 1]
-            ),
-            pltpu.make_async_copy(
-                sr_hbm.at[pl.ds(off, tile_e), :], sr_t.at[slot], sems.at[slot, 2]
+                xg_hbm.at[pl.ds(off, tile_e), :], xg_t.at[slot], sems.at[slot, 1]
             ),
             pltpu.make_async_copy(
                 sid_hbm.at[:, pl.ds(off, tile_e)], sid_t.at[slot],
-                sems.at[slot, 3],
+                sems.at[slot, 2],
             ),
         )
 
@@ -1258,16 +1253,15 @@ def _bwd_src_kernel(
 
         for cp in dmas(slot, k):
             cp.wait()
-        mask_f = (sid_t[slot] == node_ids).astype(jnp.float32)
-        # src-side gather as a matmul: zs_e = M^T . zs_tile (0 off-tile)
-        zs_e = _kdot(mask_f, zs_ref[:], (((0,), (0,)), ((), ())), precision,
-                     exact_arg=0)  # [tile_e, HD]
+        xg = xg_t[slot]
         de_rep, alpha_rep, s_raw, _ = _edge_backward_core(
-            zs_e, zd_t[slot], g_t[slot], sr_t[slot], a_sel_ref[:], r_ref[:],
+            zs_t[slot], xg[:, :hd], xg[:, hd : 2 * hd], xg[:, 2 * hd :],
+            a_sel_ref[:], r_ref[:],
             precision, negative_slope, tile_e, want_c1=True,
         )
         ds = de_rep * a_rep_ref[:] * jnp.where(s_raw > 0, 1.0, negative_slope)
-        c1 = alpha_rep * g_t[slot] + ds
+        c1 = alpha_rep * xg[:, hd : 2 * hd] + ds
+        mask_f = (sid_t[slot] == node_ids).astype(jnp.float32)
         dzs_ref[:] = dzs_ref[:] + _kdot(
             mask_f, c1, (((1,), (0,)), ((), ())), precision, exact_arg=0
         )
@@ -1277,21 +1271,18 @@ def _bwd_src_kernel(
 
 
 def _bwd_src_chunk(
-    zd_e, g_e, sr_e, sid_flat, zs_chunk, rel_offsets, a_sel, r_mat, a_rep,
+    zs_e, xg_e, sid_flat, rel_offsets, a_sel, r_mat, a_rep, t_c,
     *, num_heads, negative_slope, te, precision, interpret,
 ):
-    t_c = zs_chunk.shape[0] // TILE_N
-    hd = zd_e.shape[1]
-    e_chunk = zd_e.shape[0]
+    hd = zs_e.shape[1]
+    e_chunk = zs_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_c,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # zd_e
-            pl.BlockSpec(memory_space=pl.ANY),  # g_e
-            pl.BlockSpec(memory_space=pl.ANY),  # sigma_r
+            pl.BlockSpec(memory_space=pl.ANY),  # zs_e
+            pl.BlockSpec(memory_space=pl.ANY),  # xg_e  [zd | g | sigma_r]
             pl.BlockSpec(memory_space=pl.ANY),  # sid
-            pl.BlockSpec((TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
@@ -1301,15 +1292,14 @@ def _bwd_src_chunk(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, te, hd), jnp.float32),
-            pltpu.VMEM((2, te, hd), jnp.float32),
-            pltpu.VMEM((2, te, 128), jnp.float32),
+            pltpu.VMEM((2, te, 2 * hd + 128), jnp.float32),
             pltpu.VMEM((2, 1, te), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     kernel = functools.partial(
         _bwd_src_kernel, num_heads=num_heads, negative_slope=negative_slope,
-        precision=_prec_for(precision, interpret), tile_e=te,
+        precision=_prec_for(precision, interpret), tile_e=te, hd=hd,
     )
     return pl.pallas_call(
         kernel,
@@ -1320,11 +1310,11 @@ def _bwd_src_chunk(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * e_chunk * (4 * hd + 3 * 128) * 2,
-            bytes_accessed=e_chunk * (2 * hd + 128) * 4 + t_c * TILE_N * hd * 8,
+            bytes_accessed=e_chunk * (3 * hd + 128) * 4 + t_c * TILE_N * hd * 4,
             transcendentals=e_chunk * 128,
         ),
         interpret=interpret,
-    )(rel_offsets, zd_e, g_e, sr_e, sid_flat, zs_chunk, a_sel, r_mat, a_rep)
+    )(rel_offsets, zs_e, xg_e, sid_flat, a_sel, r_mat, a_rep)
 
 
 # ---------------------------------------------------------------------------
@@ -1657,24 +1647,33 @@ def edge_attention_pallas(
             dzd_pad = dzd_s.reshape(-1, hd)
             da = jnp.sum(da_s, axis=0)
 
-            # phase 2b (chunked): per-edge recompute, O(E/G) temporaries;
-            # stats travel as the compact sigma_r stream (dids on padding
-            # edges clamp to the last real row — finite garbage the src-id
-            # mask annihilates, as with the zd/g gathers below)
+            # phase 2b (chunked): per-edge recompute, O(E/G) temporaries.
+            # All operands stream pre-gathered: the dst-side [zd|g|sigma_r]
+            # table spans the full padded dst space (src-sorted dids always
+            # index real rows; padding edges carry dst 0 — finite garbage
+            # the src-id reduction mask annihilates), while zs gathers
+            # chunk-locally with an appended zero row (padding sids ==
+            # rows_c_src exactly).
+            xg_full = jnp.concatenate([zd_flat, g_flat, sig_r], axis=1)
 
             def body2(_, x):
                 g, sids_g, dids_g, rel_g = x
-                zd_e = jnp.take(zd_flat, dids_g, axis=0)
-                g_e = jnp.take(g_flat, dids_g, axis=0)
-                sr_e = jnp.take(sig_r, dids_g, axis=0)
+                xg_e = jnp.take(xg_full, dids_g, axis=0)
+                zs_z = jnp.concatenate(
+                    [
+                        jax.lax.dynamic_slice_in_dim(
+                            zs_flat, g * rows_c_src, rows_c_src
+                        ),
+                        jnp.zeros((1, hd), jnp.float32),
+                    ],
+                    axis=0,
+                )
+                zs_e = jnp.take(
+                    zs_z, jnp.minimum(sids_g, rows_c_src), axis=0
+                )
                 dzs_c = _bwd_src_chunk(
-                    zd_e, g_e, sr_e,
-                    sids_g[None, :],
-                    jax.lax.dynamic_slice_in_dim(
-                        zs_flat, g * rows_c_src, rows_c_src
-                    ),
-                    rel_g,
-                    a_sel, r_mat, a_rep,
+                    zs_e, xg_e, sids_g[None, :], rel_g,
+                    a_sel, r_mat, a_rep, t_c_src,
                     **kw,
                 )
                 return 0, dzs_c
