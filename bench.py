@@ -61,26 +61,35 @@ def flops_per_epoch(name: str, impl: str) -> dict:
       MXU products whose width is the 128-lane register, not the head
       count. Per edge (round-3 streamed-operand kernels): forward runs 3
       lane-expanded passes of width hd (score SDDMM, p expansion, one-hot
-      aggregation) + 2 of width 128 (max gather, l reduction); backward
-      phase 1 runs 5 hd-wide (SDDMM, dalpha, fused de/alpha expansion x2,
-      dzd one-hot) and phase 2a one more (packet segment sum) — i.e.
-      ~2*128*(9*hd + 2*128) FLOPs/edge. These are real device FLOPs but do
-      no algorithmic work — edges/s is the honest throughput metric; MFU
-      is reported against the algorithmic count.
+      aggregation) + 2 of width 128 (max gather, l reduction). The
+      UNCHUNKED backward adds 5 hd-wide (phase 1 with c1: SDDMM, dalpha,
+      fused de/alpha expansion x2, dzd one-hot) + 1 (packet segment sum)
+      = 9 hd-wide total; the CHUNKED backward (auto-selected at
+      products-sub+ scale, see suggest_num_chunks) runs phase 1 without
+      c1 (4) plus the phase-2b recompute (5) = 12 hd-wide total. These
+      are real device FLOPs but do no algorithmic work — edges/s is the
+      honest throughput metric; MFU is reported against the algorithmic
+      count.
     """
+    from gatv2_tpu.ops.pallas_attention import suggest_num_chunks
+
     n, e, f, c, layers, heads, outdims = CONFIGS[name]
     in_dims = [f] + [heads[l] * outdims[l] for l in range(layers - 1)]
     dense = 0.0
     edge_alg = 0.0
     structural = 0.0
     tile = 128
+    max_hd = max(-(-h * d // 128) * 128 for h, d in zip(heads, outdims))
+    budget = (2 << 30) if e >= 30_000_000 else (4 << 30)
+    chunked = suggest_num_chunks(e, max_hd, budget_bytes=budget) > 1
+    hd_passes = 12.0 if chunked else 9.0
     for l in range(layers):
         h, d = heads[l], outdims[l]
         dense += 2 * 2.0 * n * in_dims[l] * h * d  # zs and zd projections
         edge_alg += e * h * (6.0 * d + 10.0)
         if impl == "pallas":
             hd = -(-h * d // 128) * 128  # lane-padded feature width
-            structural += 2.0 * e * tile * (9.0 * hd + 2.0 * tile)
+            structural += 2.0 * e * tile * (hd_passes * hd + 2.0 * tile)
     dense += 2.0 * n * outdims[-1] * c  # classifier
     fwd_bwd = 3.0  # fwd + ~2x fwd for backward
     return {
@@ -88,7 +97,7 @@ def flops_per_epoch(name: str, impl: str) -> dict:
         "dense_gflop": fwd_bwd * dense / 1e9,
         "edge_gflop": fwd_bwd * edge_alg / 1e9,
         # the structural per-edge count already spans fwd + both backward
-        # phases (9 hd-wide + 2 128-wide MXU passes total) — no 3x here
+        # phases — no 3x here
         "structural_gflop": structural / 1e9,
     }
 
@@ -125,21 +134,7 @@ def bench_config(
     from gatv2_tpu.train.loop import make_multi_epoch_runner
 
     n, e, f, c, layers, heads, outdims = CONFIGS[name]
-    # big graphs: fewer epochs per program (compile time + HBM headroom)
-    if k1 is None:
-        # every tier gets >= 3 reps so no sweep row is a single sample;
-        # median + min are both reported (min is the contention-free floor
-        # on the tunneled chip, median the honest expectation)
-        if e >= 30_000_000:
-            k1, k2, reps = 1, 2, 3
-        elif e >= 4_000_000:
-            k1, k2, reps = 1, 3, 5
-        elif e >= 500_000:
-            k1, k2, reps = 8, 40, 5
-        else:
-            # tiny graphs: dispatch noise dominates; longer programs + more
-            # repeats for a stable median
-            k1, k2, reps = 10, 90, 5
+    k1, k2, reps = _rep_plan(e, k1, k2, reps)
     g = random_graph(n, e, f, c, seed=seed)
     config = ModelConfig(
         num_layers=layers, heads=heads, out_dims=outdims,
@@ -186,32 +181,17 @@ def bench_config(
         final_loss = float(losses[-1])  # forces real device completion
         return time.perf_counter() - t0, final_loss
 
-    run_once(k1)  # compile
-    run_once(k2)  # compile
-
-    diffs = []
-    final_loss = None
-    for _ in range(reps):
-        t_small, _ = run_once(k1)
-        t_large, final_loss = run_once(k2)
-        diffs.append((t_large - t_small) / (k2 - k1) * 1e3)
-
-    epoch_ms = float(np.median(diffs))
+    diffs, final_loss = _differenced_timing(run_once, k1, k2, reps)
+    epoch_ms, timing = _timing_fields(diffs)
     edges_per_s = e * layers / (epoch_ms / 1e3)
     fl = flops_per_epoch(name, impl)
     device = str(jax.devices()[0])
     achieved = fl["model_gflop"] / epoch_ms  # GFLOP / ms == TFLOP/s
     achieved_total = (fl["model_gflop"] + fl["structural_gflop"]) / epoch_ms
     peak = _peak_tflops(device)
-    variance_pct = (
-        (max(diffs) - min(diffs)) / epoch_ms * 100.0 if len(diffs) > 1 else 0.0
-    )
     return {
         "config": name,
-        "epoch_ms": epoch_ms,
-        "epoch_ms_min": float(min(diffs)),
-        "epoch_ms_all": [round(d, 4) for d in diffs],
-        "variance_pct": round(variance_pct, 1),
+        **timing,
         "edges_per_s": edges_per_s,
         "model_gflop_per_epoch": round(fl["model_gflop"], 2),
         "structural_gflop_per_epoch": round(fl["structural_gflop"], 2),
@@ -223,6 +203,53 @@ def bench_config(
         "final_loss": final_loss,
         "device": device,
         "host_cpus": _host_cpus(),
+    }
+
+
+def _rep_plan(e: int, k1, k2, reps):
+    """Default (k1, k2, reps) program-size tier by edge count — ONE table
+    shared by the sharded and unsharded benches so their rows always use
+    identical methodology. Every tier gets >= 3 reps (no single-sample
+    rows); median + min are both reported (min is the contention-free
+    floor on the tunneled chip, median the honest expectation). Big
+    graphs: fewer epochs per program (compile time + HBM headroom); tiny
+    graphs: dispatch noise dominates, so longer programs + more repeats."""
+    if k1 is not None:
+        return k1, k2, reps
+    if e >= 30_000_000:
+        return 1, 2, 3
+    if e >= 4_000_000:
+        return 1, 3, 5
+    if e >= 500_000:
+        return 8, 40, 5
+    return 10, 90, 5
+
+
+def _differenced_timing(run_once, k1, k2, reps):
+    """Compile both program sizes, then collect reps differenced timings
+    ((k2-epoch time - k1-epoch time) / (k2 - k1), ms) — cancels fixed
+    dispatch/transfer overhead exactly. Returns (diffs, final_loss)."""
+    run_once(k1)  # compile
+    run_once(k2)  # compile
+    diffs = []
+    final_loss = None
+    for _ in range(reps):
+        t_small, _ = run_once(k1)
+        t_large, final_loss = run_once(k2)
+        diffs.append((t_large - t_small) / (k2 - k1) * 1e3)
+    return diffs, final_loss
+
+
+def _timing_fields(diffs):
+    epoch_ms = float(np.median(diffs))
+    variance_pct = (
+        (max(diffs) - min(diffs)) / epoch_ms * 100.0 if len(diffs) > 1 else 0.0
+    )
+    return epoch_ms, {
+        "epoch_ms": epoch_ms,
+        "epoch_ms_min": float(min(diffs)),
+        "epoch_ms_all": [round(d, 4) for d in diffs],
+        "variance_pct": round(variance_pct, 1),
     }
 
 
@@ -299,20 +326,14 @@ def bench_mesh_config(
     from gatv2_tpu.train import optim
 
     n, e, f, c, layers, heads, outdims = CONFIGS[name]
-    if k1 is None:
-        if e >= 30_000_000:
-            k1, k2, reps = 1, 2, 3
-        elif e >= 4_000_000:
-            k1, k2, reps = 1, 3, 5
-        elif e >= 500_000:
-            k1, k2, reps = 8, 40, 5
-        else:
-            k1, k2, reps = 10, 90, 5
+    k1, k2, reps = _rep_plan(e, k1, k2, reps)
     g = random_graph(n, e, f, c, seed=seed)
     config = ModelConfig(
         num_layers=layers, heads=heads, out_dims=outdims,
         num_classes=c, in_dim=f, matmul_precision=precision,
-        remat=(e >= 30_000_000 // n_devices),
+        # same policy as the unsharded bench, evaluated on PER-SHARD edges,
+        # so remat never differs between the rows a scaling table compares
+        remat=(e // n_devices >= 30_000_000),
     )
     tc = TrainConfig(optimizer="adam", lr=0.01, seed=seed, impl=impl)
     mesh = make_mesh(n_devices)
@@ -355,28 +376,15 @@ def bench_mesh_config(
         final_loss = float(losses[-1])
         return time.perf_counter() - t0, final_loss
 
-    run_once(k1)
-    run_once(k2)
-    diffs = []
-    final_loss = None
-    for _ in range(reps):
-        t_small, _ = run_once(k1)
-        t_large, final_loss = run_once(k2)
-        diffs.append((t_large - t_small) / (k2 - k1) * 1e3)
-    epoch_ms = float(np.median(diffs))
+    diffs, final_loss = _differenced_timing(run_once, k1, k2, reps)
+    epoch_ms, timing = _timing_fields(diffs)
     edges_per_s = e * layers / (epoch_ms / 1e3)
-    variance_pct = (
-        (max(diffs) - min(diffs)) / epoch_ms * 100.0 if len(diffs) > 1 else 0.0
-    )
     return {
         "config": name,
         "mesh": n_devices,
         "halo": "boundary" if plan is not None else "all_gather",
         "overlap": bool(overlap and plan is not None),
-        "epoch_ms": epoch_ms,
-        "epoch_ms_min": float(min(diffs)),
-        "epoch_ms_all": [round(d, 4) for d in diffs],
-        "variance_pct": round(variance_pct, 1),
+        **timing,
         "edges_per_s": edges_per_s,
         "edges_per_s_per_chip": edges_per_s / n_devices,
         "halo_rows_per_chip": plan.halo_size if plan is not None else None,
@@ -418,7 +426,6 @@ def main():
             args.config, args.mesh, halo=not args.no_halo,
             overlap=args.overlap, impl=args.impl, precision=args.precision,
         )
-        nodes, edges = CONFIGS[args.config][0], CONFIGS[args.config][1]
         result = {
             "metric": f"sharded_epoch_time_{args.config}_mesh{args.mesh}",
             "value": round(r["epoch_ms"], 3),

@@ -591,9 +591,13 @@ def setup_full_graph(
 def suggest_num_chunks(
     num_edges: int, max_hd: int, *, budget_bytes: int = 4 << 30
 ) -> int:
-    """Chunk count so edge-space temporaries (~3 streams of [E/G, hd] f32)
-    stay under budget_bytes."""
-    need = 3 * num_edges * max_hd * 4
+    """Chunk count so edge-space temporaries stay under budget_bytes.
+
+    The widest live set is backward phase 2b: the zs stream [E/G, hd] plus
+    the [zd | g | sigma_r] stream [E/G, 2*hd + 128], i.e. (3*hd + 128)
+    f32 lanes per edge (phase 1 is the same width; the forward is
+    narrower)."""
+    need = num_edges * (3 * max_hd + 128) * 4
     return max(1, -(-need // budget_bytes))
 
 
@@ -1211,9 +1215,12 @@ def _bwd_src_kernel(
     The deterministic TPU replacement for the reference's atomicAdd scatter
     in compute_features_input_gradients (GATv2_edge_based.cu:801-874) —
     with NO per-edge packet buffer in HBM (it is consumed as produced).
-    Padding slots stream exact zeros (both tables append a zero row) and
-    their sid equals the chunk's row count, so the reduction mask column
-    is zero too.
+    Padding slots: zs streams exact zeros (the caller's table appends a
+    zero row), but the xg stream carries node 0's REAL [zd | g | sigma_r]
+    (dst ids are zero-filled on padding) — the resulting finite-garbage
+    packets are annihilated ONLY by the reduction mask (padding sid ==
+    chunk row count, outside every tile), so nothing may consume c1
+    before that mask.
     """
     i = pl.program_id(0)
     t0 = tile_offsets_ref[i]

@@ -79,12 +79,18 @@ def markdown_table(records: list[dict]) -> str:
     ]
     for r in records:
         if "error" in r:
-            lines.append(f"| {r['tag']} | ERROR: {r['error'][:80]} |")
+            # keep the column grid intact: error text in column 2, the
+            # rest dashed
+            cells = [r["tag"], f"ERROR: {r['error'][:60]}"]
+            cells += ["—"] * (len(cols) - 2)
+            lines.append("| " + " | ".join(cells) + " |")
             continue
         cells = []
         for k, _ in cols:
             v = r.get(k)
-            if isinstance(v, float):
+            if v is None:
+                v = "—"  # mesh legs don't report tflops/MFU
+            elif isinstance(v, float):
                 v = f"{v:,.2f}" if v < 1e4 else f"{v:,.0f}"
             cells.append(str(v))
         lines.append("| " + " | ".join(cells) + " |")
