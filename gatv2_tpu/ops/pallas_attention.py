@@ -289,11 +289,27 @@ def _prec_for(precision_name: str, interpret: bool):
     return _PRECISIONS[precision_name]
 
 
-def _auto_tile_e(counts_d: np.ndarray, counts_s: np.ndarray) -> int:
+def _vmem_cap_tile_e(max_hd: int) -> int:
+    """Largest te whose double-buffered backward scratch fits VMEM.
+
+    The widest kernel (_bwd_dst_chunk, emit_c1) stages zs [2,te,hd],
+    xg [2,te,2hd+128] and c1 [2,te,hd] — 8*te*(4*hd + 128) bytes of f32
+    scratch — plus ~1.5 MB of blocked inputs/outputs. Budget 12 MB of the
+    ~16 MB/core so the compiler keeps working room."""
+    budget = 12 << 20
+    cap = budget // (8 * (4 * max_hd + 128))
+    return max(TILE_E, (cap // TILE_E) * TILE_E)
+
+
+def _auto_tile_e(
+    counts_d: np.ndarray, counts_s: np.ndarray, max_hd: int | None = None
+) -> int:
     """Pick edges-per-inner-step. Measured on v5e: the backward kernels are
     MXU-bound, so padded edges cost linearly, while only the forward gains
     from fewer (per-tile fixed overhead) iterations — so take the largest
-    tile whose padding overhead stays under ~4%."""
+    tile whose padding overhead stays under ~4% (and whose scratch fits
+    VMEM when the caller knows the widest layer's lane count)."""
+    cap = _vmem_cap_tile_e(max_hd) if max_hd else 512
     base = None
     best = TILE_E
     for te in (128, 256, 512):
@@ -302,7 +318,7 @@ def _auto_tile_e(counts_d: np.ndarray, counts_s: np.ndarray) -> int:
             padded += int(np.sum(-(-counts // te))) * te
         if te == 128:
             base = max(padded, 1)
-        elif padded <= 1.04 * base:
+        elif te <= cap and padded <= 1.04 * base:
             best = te
     return best
 
@@ -358,6 +374,7 @@ def prepare_edge_tiles(
     num_chunks: int = 1,
     num_src_nodes: int | None = None,
     fixed_edge_tiles: int | None = None,
+    max_hd: int | None = None,  # widest layer's lane count (VMEM-caps te)
 ) -> EdgeTiles:
     """Build the tile-aligned edge layouts from CSR (host-side, once per
     graph).
@@ -391,7 +408,7 @@ def prepare_edge_tiles(
         np.minimum(col_idx, ns - 1) // TILE_N, minlength=num_src_tiles
     )
     if tile_e is None:
-        tile_e = _auto_tile_e(counts, src_counts)
+        tile_e = _auto_tile_e(counts, src_counts, max_hd)
     te = tile_e
 
     padded = -(-counts // te) * te
@@ -571,9 +588,14 @@ def setup_full_graph(
     if budget_bytes is None:
         budget_bytes = (2 << 30) if e >= 30_000_000 else (4 << 30)
     max_hd = max(-(-h * d // 128) * 128 for h, d in zip(heads, out_dims))
+    # per-KERNEL lane width: >STATS_L-head layers run as <=16-head groups
+    kernel_hd = max(
+        -(-min(h, STATS_L) * d // 128) * 128 for h, d in zip(heads, out_dims)
+    )
     et = prepare_edge_tiles(
         graph.row_ptr, graph.col_idx, graph.num_nodes, tile_e=tile_e,
         num_chunks=suggest_num_chunks(e, max_hd, budget_bytes=budget_bytes),
+        max_hd=kernel_hd,
     )
     feats = graph.features
     labels = graph.labels if labels is None else labels
