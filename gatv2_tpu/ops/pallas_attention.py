@@ -7,11 +7,16 @@ and feature-grad atomic scatters (GATv2_edge_based.cu:612-874) — with
 row-blocked kernels that process 128 destination nodes at a time and stream
 their (dst-sorted) edges through VMEM in double-buffered edge tiles.
 
+Dataflow (round 3, "streamed operands"): per-edge operands arrive
+PRE-GATHERED by XLA row-gathers — HBM->VMEM DMA bandwidth the MXU-bound
+kernels were not using — and one-hot MXU matmuls remain only where they do
+real algorithmic work: the per-destination segment REDUCTIONS.
+
 Forward (flash-attention-style ONLINE softmax per edge tile):
     M      = (dst_e == node_ids)                    # [TN, TE] one-hot
                                                     # selection "matrix"
-    zd_e   = M^T . zd_tile                          # dst gather = MXU matmul
     s      = LeakyReLU(zs_e + zd_e)                 # [TE, HD]  VPU
+                                                    # (both streams per-edge)
     scT    = a_sel^T . s^T                          # [128, TE] MXU per-head dot
     new_m  = max(m, rowwise masked max of scT)      # running per-(node,head) max
     p      = exp(clip(sc - M^T.new_m, -80, 0))      # [TE, 128]
@@ -26,11 +31,15 @@ Backward (custom_vjp, two selectable implementations):
             r_j = sum_{k in N(j)} alpha_k dalpha_k = <g_j, out_j>
         to a per-head dot of the upstream grad with the forward output
         (SURVEY.md §3.5.3 — the reference loops the whole neighborhood per
-        edge, O(sum deg^2), compute_grad_attn_score_kernel E:654-696;
-        round 2 of this file burned a full edge-space kernel pass on it).
-      phase 1 (dst-tiled, consumes the (m, l, out) residuals): one edge
-        pass computing per-edge dalpha = <g[dst], zs[src]>, then
-        de = alpha (dalpha - r[dst]) -> d_zd and d_a.
+        edge, O(sum deg^2), compute_grad_attn_score_kernel E:654-696), and
+        the forward stats collapse to ONE log-sum-exp offset
+            sigma = m + log(l + eps),  alpha_e = exp(sc_e - sigma[dst_e])
+        packed with r in a compact per-node table (_sigma_r_table) that
+        streams per edge.
+      phase 1 (dst-tiled): one edge pass over the [zs | zd | g | sigma_r]
+        streams computing dalpha = <g[dst], zs[src]>, then
+        de = alpha (dalpha - r[dst]) -> d_zd and d_a — 4 MXU products per
+        edge tile.
       phase 2 (src-tiled over the transpose-graph / CSC-view tiling)
         one-hot-matmuls the per-edge packet  c1 = alpha * g[dst] + ds
         into d_zs, via one of two strategies:
@@ -38,10 +47,10 @@ Backward (custom_vjp, two selectable implementations):
             an XLA permute re-orders it src-sorted and _segsum_src_kernel
             reduces it — fewer passes, O(E) packet buffer;
           * streaming recompute (chunked): _bwd_src_kernel REBUILDS each
-            packet from node arrays (zs via the in-tile one-hot, zd/g and
-            compact (m|l|r) stats via XLA row gathers in dst order) — no
-            [E, HD] buffer or edge permutation ever materializes, so
-            edge-space temporaries stay O(E/G).
+            packet from per-edge streams gathered in src-sorted order (zs
+            by src, [zd | g | sigma_r] by dst) — no [E, HD] buffer or edge
+            permutation ever materializes, so edge-space temporaries stay
+            O(E/G).
   - 'xla': rematerializes the XLA formulation and uses its autodiff
     transpose (scatter-based; the correctness oracle).
 
@@ -51,10 +60,11 @@ group at a time, capping peak HBM at O(E/G) edge-space temporaries — this is
 what lets OGBN-Products-scale graphs train full-graph on one chip.
 
 Key TPU-native ideas:
-  - per-destination segment reductions AND the dst-side gathers (zd, g) are
-    MXU matmuls against the on-the-fly one-hot matrix M — deterministic, no
-    atomics (the CUDA reference's atomicAdd scatter is the #2 hotspot,
-    SURVEY.md §3.5);
+  - per-destination segment reductions are MXU matmuls against the
+    on-the-fly one-hot matrix M — deterministic, no atomics (the CUDA
+    reference's atomicAdd scatter is the #2 hotspot, SURVEY.md §3.5);
+    dst-side OPERANDS (zd, g, sigma_r) stream per edge instead, riding
+    DMA bandwidth rather than MXU passes;
   - edges are padded PER NODE TILE to tile_e boundaries
     (prepare_edge_tiles) so every DMA is tile-aligned; padding edges carry
     dst=num_nodes and are annihilated by M;
