@@ -8,6 +8,7 @@ from gatv2_tpu.parallel.sharded import (
     ShardedTrainer,
     make_sharded_train_step,
     make_sharded_eval_step,
+    make_sharded_multi_epoch_runner,
 )
 from gatv2_tpu.parallel import multihost
 
@@ -19,5 +20,6 @@ __all__ = [
     "ShardedTrainer",
     "make_sharded_train_step",
     "make_sharded_eval_step",
+    "make_sharded_multi_epoch_runner",
     "multihost",
 ]
