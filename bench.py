@@ -48,7 +48,7 @@ CONFIGS = {
 }
 
 
-def flops_per_epoch(name: str, impl: str) -> dict:
+def flops_per_epoch(name: str, impl: str, num_chunks: int = 1) -> dict:
     """Model-FLOPs accounting for one training epoch (fwd+bwd+update).
 
     Two categories, reported separately (VERDICT round-1 item 5):
@@ -64,25 +64,20 @@ def flops_per_epoch(name: str, impl: str) -> dict:
       aggregation) + 2 of width 128 (max gather, l reduction). The
       UNCHUNKED backward adds 5 hd-wide (phase 1 with c1: SDDMM, dalpha,
       fused de/alpha expansion x2, dzd one-hot) + 1 (packet segment sum)
-      = 9 hd-wide total; the CHUNKED backward (auto-selected at
-      products-sub+ scale, see suggest_num_chunks) runs phase 1 without
-      c1 (4) plus the phase-2b recompute (5) = 12 hd-wide total. These
-      are real device FLOPs but do no algorithmic work — edges/s is the
-      honest throughput metric; MFU is reported against the algorithmic
-      count.
+      = 9 hd-wide total; the CHUNKED backward (num_chunks > 1, read off
+      the ACTUAL EdgeTiles the bench built — not re-derived) runs phase 1
+      without c1 (4) plus the phase-2b recompute (5) = 12 hd-wide total.
+      These are real device FLOPs but do no algorithmic work — edges/s is
+      the honest throughput metric; MFU is reported against the
+      algorithmic count.
     """
-    from gatv2_tpu.ops.pallas_attention import suggest_num_chunks
-
     n, e, f, c, layers, heads, outdims = CONFIGS[name]
     in_dims = [f] + [heads[l] * outdims[l] for l in range(layers - 1)]
     dense = 0.0
     edge_alg = 0.0
     structural = 0.0
     tile = 128
-    max_hd = max(-(-h * d // 128) * 128 for h, d in zip(heads, outdims))
-    budget = (2 << 30) if e >= 30_000_000 else (4 << 30)
-    chunked = suggest_num_chunks(e, max_hd, budget_bytes=budget) > 1
-    hd_passes = 12.0 if chunked else 9.0
+    hd_passes = 12.0 if num_chunks > 1 else 9.0
     for l in range(layers):
         h, d = heads[l], outdims[l]
         dense += 2 * 2.0 * n * in_dims[l] * h * d  # zs and zd projections
@@ -184,7 +179,9 @@ def bench_config(
     diffs, final_loss = _differenced_timing(run_once, k1, k2, reps)
     epoch_ms, timing = _timing_fields(diffs)
     edges_per_s = e * layers / (epoch_ms / 1e3)
-    fl = flops_per_epoch(name, impl)
+    fl = flops_per_epoch(
+        name, impl, edge_tiles.num_chunks if edge_tiles is not None else 1
+    )
     device = str(jax.devices()[0])
     achieved = fl["model_gflop"] / epoch_ms  # GFLOP / ms == TFLOP/s
     achieved_total = (fl["model_gflop"] + fl["structural_gflop"]) / epoch_ms
@@ -294,7 +291,7 @@ def comm_volume_table(pg, plan, heads, outdims) -> list[dict]:
 
 def bench_mesh_config(
     name, n_devices, *, halo=True, overlap=False, k1=None, k2=None,
-    reps=None, impl="pallas", seed=0, precision="highest",
+    reps=None, impl="pallas", seed=0, precision="highest", tile_e=None,
 ):
     """Sharded (edge-partitioned) scaling bench: the full multi-chip train
     step — halo exchange / all_gather collectives included — timed with the
@@ -345,11 +342,15 @@ def bench_mesh_config(
     if overlap and plan is not None:
         split = overlap_split_plan(pg, plan)
         if impl == "pallas":
-            ov_tiles = prepare_overlap_tiles(pg, plan, split)
+            ov_tiles = prepare_overlap_tiles(
+                pg, plan, split, tile_e=tile_e or 128
+            )
         else:
             ov = split
     elif impl == "pallas":
-        tiles = prepare_partitioned_tiles(pg, halo_plan=plan)
+        tiles = prepare_partitioned_tiles(
+            pg, tile_e=tile_e or 128, halo_plan=plan
+        )
     feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
 
     runners = {
@@ -422,9 +423,12 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     if args.mesh > 0:
+        if args.all:
+            ap.error("--all cannot be combined with --mesh")
         r = bench_mesh_config(
             args.config, args.mesh, halo=not args.no_halo,
             overlap=args.overlap, impl=args.impl, precision=args.precision,
+            tile_e=args.tile_e,
         )
         result = {
             "metric": f"sharded_epoch_time_{args.config}_mesh{args.mesh}",

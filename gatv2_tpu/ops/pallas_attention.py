@@ -625,12 +625,19 @@ def suggest_num_chunks(
 ) -> int:
     """Chunk count so edge-space temporaries stay under budget_bytes.
 
-    The widest live set is backward phase 2b: the zs stream [E/G, hd] plus
-    the [zd | g | sigma_r] stream [E/G, 2*hd + 128], i.e. (3*hd + 128)
-    f32 lanes per edge (phase 1 is the same width; the forward is
-    narrower)."""
+    Two regimes with different live sets:
+    - UNCHUNKED (G=1): backward phase 1 runs emit_c1, whose simultaneous
+      live set is zs [E, hd] + [zd | g | sigma_r] [E, 2*hd + 128] + the c1
+      packet output [E, hd] = (4*hd + 128) f32 lanes per edge — G=1 is only
+      chosen if THAT fits the budget.
+    - CHUNKED (G>1): the widest live set is phase 2b (no c1 buffer): zs
+      [E/G, hd] + the stream [E/G, 2*hd + 128], i.e. (3*hd + 128) lanes
+      (phase 1 without emit_c1 is the same width; the forward is
+      narrower)."""
+    if num_edges * (4 * max_hd + 128) * 4 <= budget_bytes:
+        return 1
     need = num_edges * (3 * max_hd + 128) * 4
-    return max(1, -(-need // budget_bytes))
+    return max(2, -(-need // budget_bytes))
 
 
 # ---------------------------------------------------------------------------
@@ -1688,16 +1695,24 @@ def edge_attention_pallas(
 
             # phase 2b (chunked): per-edge recompute, O(E/G) temporaries.
             # All operands stream pre-gathered: the dst-side [zd|g|sigma_r]
-            # table spans the full padded dst space (src-sorted dids always
-            # index real rows; padding edges carry dst 0 — finite garbage
-            # the src-id reduction mask annihilates), while zs gathers
-            # chunk-locally with an appended zero row (padding sids ==
-            # rows_c_src exactly).
-            xg_full = jnp.concatenate([zd_flat, g_flat, sig_r], axis=1)
-
+            # operands gather PER CHUNK from their separate node-space
+            # tables and concatenate in edge space — never materializing
+            # the [n_pad, 2hd+128] node-space concat, which at Products
+            # scale would hold ~4 GB across the whole phase-2b scan
+            # (src-sorted dids always index real rows; padding edges carry
+            # dst 0 — finite garbage the src-id reduction mask
+            # annihilates). zs gathers chunk-locally with an appended zero
+            # row (padding sids == rows_c_src exactly).
             def body2(_, x):
                 g, sids_g, dids_g, rel_g = x
-                xg_e = jnp.take(xg_full, dids_g, axis=0)
+                xg_e = jnp.concatenate(
+                    [
+                        jnp.take(zd_flat, dids_g, axis=0),
+                        jnp.take(g_flat, dids_g, axis=0),
+                        jnp.take(sig_r, dids_g, axis=0),
+                    ],
+                    axis=1,
+                )
                 zs_z = jnp.concatenate(
                     [
                         jax.lax.dynamic_slice_in_dim(

@@ -201,7 +201,7 @@ def partition_graph(
 
 def prepare_partitioned_tiles(
     pg: PartitionedGraph, tile_e: int | None = 128, num_chunks: int = 1,
-    halo_plan: "HaloPlan | None" = None,
+    halo_plan: "HaloPlan | None" = None, max_hd: int | None = None,
 ):
     """Per-shard Pallas edge tilings, stacked on a leading shard axis.
 
@@ -237,9 +237,12 @@ def prepare_partitioned_tiles(
         np.cumsum(counts, out=row_ptr[1:])
         # partition slices keep dst sorted, so col_idx aligns with row_ptr
         per_shard.append(
+            # max_hd (the widest layer's lane count) VMEM-caps the
+            # auto-selected tile size exactly like setup_full_graph does
+            # on the unsharded path; moot at the default tile_e=128
             prepare_edge_tiles(
                 row_ptr, src_s, nps, tile_e=tile_e, num_chunks=num_chunks,
-                num_src_nodes=n_glob,
+                num_src_nodes=n_glob, max_hd=max_hd,
             )
         )
         if tile_e is None:

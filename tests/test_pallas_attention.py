@@ -671,3 +671,73 @@ def test_padded_node_space_grads(bwd_impl):
         np.testing.assert_array_equal(got[150:], 0.0)  # padding rows
     np.testing.assert_allclose(np.asarray(g_pl[2]), np.asarray(g_ref[2]),
                                rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.fast
+def test_kdot_exact_arg_triple_split_matches_f32():
+    """The exact_arg bf16-triple-split (_kdot) — the path every mask/
+    selector matmul takes ON THE REAL TPU under the default 'highest'
+    precision — stays in the f32-accumulation precision class against a
+    0/1 mask operand.
+
+    Interpret-mode kernel tests never execute this branch (_prec_for maps
+    interpret+'highest' to plain f32 dots), so this unit test pins the
+    split math itself. The three bf16 terms capture all 24 significand
+    bits per element (each product is exact in f32), so the only error
+    source left is f32 accumulation ordering — asserted against a float64
+    reference, normalized by the absolute-value accumulation |mask|@|x|
+    (the correct scale under cancellation), with the same bound the plain
+    f32 matmul satisfies."""
+    from gatv2_tpu.ops.pallas_attention import _HIGHEST, _kdot
+
+    rng = np.random.default_rng(7)
+    # x spans several binades to stress the residual splits
+    x_np = (
+        rng.standard_normal((96, 256)) * np.exp(rng.uniform(-8, 8, (96, 256)))
+    ).astype(np.float32)
+    mask_np = (rng.random((128, 96)) < 0.06).astype(np.float32)
+    x, mask = jnp.asarray(x_np), jnp.asarray(mask_np)
+    dn = (((1,), (0,)), ((), ()))
+
+    want64 = mask_np.astype(np.float64) @ x_np.astype(np.float64)
+    scale = mask_np.astype(np.float64) @ np.abs(x_np, dtype=np.float64)
+    # f32 accumulation class: a few ulps of the absolute-value sum
+    bound = 8 * 2.0**-24 * scale + 1e-30
+    for prec in (_HIGHEST, "bf16x3"):
+        got = np.asarray(_kdot(mask, x, dn, prec, exact_arg=0), np.float64)
+        assert (np.abs(got - want64) <= bound).all(), prec
+    # exact_arg=1 mirror (operand order swapped)
+    got = np.asarray(
+        _kdot(x.T, mask.T, (((1,), (0,)), ((), ())), _HIGHEST, exact_arg=1),
+        np.float64,
+    )
+    assert (np.abs(got - want64.T) <= bound.T).all()
+
+
+@pytest.mark.fast
+def test_kdot_bf16x3_and_sensitive_tiers():
+    """'bf16x3' (hi/lo split, al.bl term dropped) keeps ~2^-16 relative
+    error of the absolute-value accumulation — far tighter than bf16's
+    2^-8 and the class the 'high' tier's measured ~5e-6 grad error relies
+    on; sensitive=True under 'bf16x3' falls back to the exact f32
+    product."""
+    from gatv2_tpu.ops.pallas_attention import _HIGHEST, _kdot
+
+    rng = np.random.default_rng(11)
+    a_np = rng.standard_normal((64, 128)).astype(np.float32)
+    b_np = rng.standard_normal((128, 64)).astype(np.float32)
+    a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+    dn = (((1,), (0,)), ((), ()))
+    want64 = a_np.astype(np.float64) @ b_np.astype(np.float64)
+    scale = np.abs(a_np, dtype=np.float64) @ np.abs(b_np, dtype=np.float64)
+
+    got = np.asarray(_kdot(a, b, dn, "bf16x3"), np.float64)
+    err = np.abs(got - want64) / scale
+    assert err.max() < 2.0**-14  # dropped al.bl term: ~2^-16 per product
+
+    want32 = jax.lax.dot_general(
+        a, b, dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=_HIGHEST,
+    )
+    got_sens = _kdot(a, b, dn, "bf16x3", sensitive=True)
+    np.testing.assert_array_equal(np.asarray(got_sens), np.asarray(want32))

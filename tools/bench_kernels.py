@@ -54,14 +54,21 @@ def main():
     from gatv2_tpu.ops.pallas_attention import (
         edge_attention_pallas,
         prepare_edge_tiles,
+        suggest_num_chunks,
     )
 
     n, e, f, c, _, _, _ = CONFIGS[args.config]
     h, d = args.heads, args.dim
     hd = -(-h * d // 128) * 128
     g = random_graph(n, e, f, c, seed=0)
+    # same chunking policy as setup_full_graph: without it, products-scale
+    # configs would take the unchunked emit_c1 path and OOM on O(E)-wide
+    # edge streams (and the structural-FLOP model below would mislabel the
+    # backward pass count)
+    budget = (2 << 30) if e >= 30_000_000 else (4 << 30)
     et = prepare_edge_tiles(
-        g.row_ptr, g.col_idx, g.num_nodes, tile_e=args.tile_e, max_hd=hd
+        g.row_ptr, g.col_idx, g.num_nodes, tile_e=args.tile_e, max_hd=hd,
+        num_chunks=suggest_num_chunks(e, hd, budget_bytes=budget),
     )
     n_pad = et.padded_num_nodes
     key = jax.random.PRNGKey(0)

@@ -57,7 +57,13 @@ def run_leg(tag: str, args: list[str], timeout_s: int) -> dict:
         return {"tag": tag, "error": f"timeout after {timeout_s}s"}
     if out.returncode != 0:
         return {"tag": tag, "error": out.stderr.strip()[-2000:]}
-    line = out.stdout.strip().splitlines()[-1]
+    lines = out.stdout.strip().splitlines()
+    if not lines:
+        return {
+            "tag": tag,
+            "error": f"no stdout (stderr tail: {out.stderr.strip()[-500:]})",
+        }
+    line = lines[-1]
     try:
         rec = json.loads(line)
     except json.JSONDecodeError:

@@ -177,7 +177,20 @@ def main(argv: list[str] | None = None) -> int:
                 )
     if splits is not None:
         if train_config.batch_size > 0:
-            if args.eval_mode == "exact":
+            if (
+                args.eval_mode == "exact"
+                and train_config.feature_residency == "host"
+            ):
+                # --feature-residency host exists precisely because the
+                # full feature table exceeds device memory; exact eval
+                # would upload all of it for one full-graph forward
+                print(
+                    "Note: --eval-mode exact needs the full feature table "
+                    "on device; with --feature-residency host falling back "
+                    "to sampled evaluation"
+                )
+                acc = trainer.evaluate("test")
+            elif args.eval_mode == "exact":
                 # one deterministic full-graph forward — the reference's
                 # all-nodes evaluation semantics (E:514-550); sampled eval
                 # stays available via --eval-mode sampled
