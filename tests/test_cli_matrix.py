@@ -147,3 +147,17 @@ def test_predict_rejects_mismatched_variant(tmp_path, capsys):
              "--variant", "node", "--checkpoint-dir", ck,
              "--out", str(tmp_path / "p")]
         )
+
+
+@pytest.mark.fast
+def test_exact_eval_host_residency_falls_back(capsys):
+    """--eval-mode exact + --feature-residency host: exact eval would
+    upload the full feature table (host residency exists because it does
+    not fit); train.py must fall back to sampled eval with a note."""
+    run(BASE + [
+        "--batch-size", "8", "--fanouts", "4,4", "--sampler-engine",
+        "python", "--feature-residency", "host", "--eval-mode", "exact",
+    ])
+    out = capsys.readouterr().out
+    assert "falling back" in out
+    assert "Final Test Accuracy" in out

@@ -741,3 +741,17 @@ def test_kdot_bf16x3_and_sensitive_tiers():
     )
     got_sens = _kdot(a, b, dn, "bf16x3", sensitive=True)
     np.testing.assert_array_equal(np.asarray(got_sens), np.asarray(want32))
+
+
+@pytest.mark.fast
+def test_suggest_num_chunks_budgets_unchunked_packet_buffer():
+    """G=1 is only chosen when the emit_c1 live set (4*hd+128 lanes: zs +
+    [zd|g|sigma_r] + the c1 packet buffer) fits the budget; edge counts
+    that fit only the chunked width (3*hd+128) must chunk."""
+    from gatv2_tpu.ops.pallas_attention import suggest_num_chunks
+
+    hd, budget = 128, 1 << 20
+    e_chunk_only = budget // ((3 * hd + 128) * 4)
+    assert suggest_num_chunks(e_chunk_only, hd, budget_bytes=budget) >= 2
+    e_unchunked = budget // ((4 * hd + 128) * 4)
+    assert suggest_num_chunks(e_unchunked, hd, budget_bytes=budget) == 1
