@@ -407,13 +407,20 @@ def prepare_edge_tiles(
     num_src_tiles = max(1, -(-ns // TILE_N))
     degrees = np.diff(row_ptr)
     dst_all = np.repeat(np.arange(num_nodes, dtype=np.int32), degrees)
+    num_edges = dst_all.shape[0]
 
-    counts = []
-    for i in range(num_node_tiles):
-        lo = row_ptr[i * TILE_N]
-        hi = row_ptr[min((i + 1) * TILE_N, num_nodes)]
-        counts.append(int(hi - lo))
-    counts = np.asarray(counts, np.int64)
+    # per-dst-tile edge counts: CSR rows are contiguous, so a tile's count
+    # is one row_ptr difference (vectorized). The FILL loops below stay
+    # Python loops deliberately: each iteration is one contiguous slice
+    # copy (CSR order), which measures ~5x faster at Products scale than
+    # a vectorized fancy-index scatter and its 8M-element temporaries.
+    tile_row_lo = row_ptr[
+        np.minimum(np.arange(num_node_tiles) * TILE_N, num_nodes)
+    ]
+    tile_row_hi = row_ptr[
+        np.minimum((np.arange(num_node_tiles) + 1) * TILE_N, num_nodes)
+    ]
+    counts = (tile_row_hi - tile_row_lo).astype(np.int64)
     src_counts = np.bincount(
         np.minimum(col_idx, ns - 1) // TILE_N, minlength=num_src_tiles
     )
@@ -430,7 +437,7 @@ def prepare_edge_tiles(
     src = np.zeros(e_pad, np.int32)
     dst = np.full(e_pad, num_nodes, np.int32)
     for i in range(num_node_tiles):
-        lo = int(row_ptr[i * TILE_N])
+        lo = int(tile_row_lo[i])
         c = int(counts[i])
         o = int(tile_offsets[i]) * te
         src[o : o + c] = col_idx[lo : lo + c]
