@@ -48,7 +48,9 @@ CONFIGS = {
 }
 
 
-def flops_per_epoch(name: str, impl: str, num_chunks: int = 1) -> dict:
+def flops_per_epoch(
+    name: str, impl: str, num_chunks: int = 1, sell_overhead: float = 1.0
+) -> dict:
     """Model-FLOPs accounting for one training epoch (fwd+bwd+update).
 
     Two categories, reported separately (VERDICT round-1 item 5):
@@ -85,6 +87,13 @@ def flops_per_epoch(name: str, impl: str, num_chunks: int = 1) -> dict:
         if impl == "pallas":
             hd = -(-h * d // 128) * 128  # lane-padded feature width
             structural += 2.0 * e * tile * (hd_passes * hd + 2.0 * tile)
+        elif impl == "sell":
+            # SELL kernels: 3 [128, hd] x [hd, hd] products per 128-edge
+            # column across fwd (score) + bwd phase 1 (score, dalpha);
+            # phase 2 has none. Padded columns (sell_overhead) burn the
+            # same products on padding slots.
+            hd = -(-h * d // 128) * 128
+            structural += sell_overhead * e * 3 * 2.0 * hd * hd
     dense += 2.0 * n * outdims[-1] * c  # classifier
     fwd_bwd = 3.0  # fwd + ~2x fwd for backward
     return {
@@ -140,16 +149,24 @@ def bench_config(
     edge_tiles = None
     num_valid = None
     feats_np, labels_np = g.features, g.labels
+    sell_overhead = None
     if impl == "pallas":
         from gatv2_tpu.ops.pallas_attention import setup_full_graph
 
         edge_tiles, feats_np, labels_np, num_valid = setup_full_graph(
             g, heads, outdims, tile_e=tile_e
         )
+    elif impl == "sell":
+        from gatv2_tpu.ops.sell_attention import setup_full_graph_sell
+
+        edge_tiles, feats_np, labels_np, num_valid = setup_full_graph_sell(
+            g, heads, outdims
+        )
+        sell_overhead = edge_tiles.pad_overhead
     feats = jnp.asarray(feats_np)
     labels = jnp.asarray(labels_np)
-    if impl == "pallas":
-        # the pallas path reads edges from edge_tiles; don't ship the COO
+    if impl in ("pallas", "sell"):
+        # these paths read edges from edge_tiles; don't ship the COO
         # arrays (0.5GB each at Products scale)
         src = dst = jnp.zeros(1, jnp.int32)
     else:
@@ -180,7 +197,10 @@ def bench_config(
     epoch_ms, timing = _timing_fields(diffs)
     edges_per_s = e * layers / (epoch_ms / 1e3)
     fl = flops_per_epoch(
-        name, impl, edge_tiles.num_chunks if edge_tiles is not None else 1
+        name,
+        impl,
+        getattr(edge_tiles, "num_chunks", 1) if edge_tiles is not None else 1,
+        sell_overhead=sell_overhead or 1.0,
     )
     device = str(jax.devices()[0])
     achieved = fl["model_gflop"] / epoch_ms  # GFLOP / ms == TFLOP/s
@@ -399,7 +419,9 @@ def bench_mesh_config(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="citeseer3", choices=list(CONFIGS))
-    ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument(
+        "--impl", default="pallas", choices=["xla", "pallas", "sell"]
+    )
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
     ap.add_argument("--all", action="store_true", help="bench every config (stderr)")
@@ -425,6 +447,8 @@ def main():
     if args.mesh > 0:
         if args.all:
             ap.error("--all cannot be combined with --mesh")
+        if args.impl == "sell":
+            ap.error("--impl sell is single-device full-graph only")
         r = bench_mesh_config(
             args.config, args.mesh, halo=not args.no_halo,
             overlap=args.overlap, impl=args.impl, precision=args.precision,

@@ -53,8 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, default="pubmed")
     p.add_argument("--data-root", type=str, default=None)
     # framework extensions
-    p.add_argument("--impl", choices=["xla", "pallas"], default="xla",
-                   help="attention/aggregation implementation")
+    p.add_argument("--impl", choices=["xla", "pallas", "sell"], default="xla",
+                   help="attention/aggregation implementation (sell = the "
+                        "degree-sorted sliced-ELLPACK kernels, full-graph "
+                        "training only)")
     p.add_argument("--variant", choices=["edge", "node"], default="edge",
                    help="reference variant semantics (last-layer activation order)")
     p.add_argument("--precision", choices=["highest", "high", "default"], default="highest",

@@ -113,8 +113,8 @@ def layer_forward(
     """One GATv2 layer. Returns [N, H*D] (hidden) or [N, D] (last layer)."""
     w_src, w_dst, a = layer_params["w_src"], layer_params["w_dst"], layer_params["a"]
     nh, hd_dim = a.shape
-    if impl == "pallas":
-        # flat [N, H*D] projections: the Pallas path consumes/produces the
+    if impl in ("pallas", "sell"):
+        # flat [N, H*D] projections: the Pallas paths consume/produce the
         # flat layout directly, avoiding [N, H, D] <-> [N, HD] layout copies
         # (2.3GB each at OGBN-Products scale)
         zs = jnp.matmul(

@@ -105,7 +105,24 @@ def edge_attention(
             precision=prec_name,
             interpret=interpret,
         )
-    raise ValueError(f"unknown impl {impl!r}; expected 'xla' or 'pallas'")
+    if impl == "sell":
+        from gatv2_tpu.ops.sell_attention import sell_attention
+
+        return sell_attention(
+            zs,
+            zd,
+            a,
+            src,
+            dst,
+            num_nodes,
+            negative_slope=negative_slope,
+            sell_tiles=edge_tiles,
+            precision=precision_name(precision),
+            interpret=interpret,
+        )
+    raise ValueError(
+        f"unknown impl {impl!r}; expected 'xla', 'pallas' or 'sell'"
+    )
 
 
 def _edge_attention_xla(

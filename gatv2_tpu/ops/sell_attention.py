@@ -1,0 +1,1303 @@
+"""SELL-layout GATv2 attention Pallas kernels (TPU): one edge per dst row.
+
+A second fused-kernel strategy attacking the structural-FLOP bound of
+ops/pallas_attention.py (round-2 VERDICT: its one-hot segment matmuls burn
+10-45x the algorithmic FLOPs and large graphs sustain ~0.2% of peak model
+FLOPs). Instead of shrinking the one-hot products, this module changes the
+EDGE LAYOUT so the segment reductions disappear:
+
+  SELL-128 (sliced ELLPACK, cf. SELL-C-sigma sparse formats): destination
+  nodes are sorted by in-degree and grouped into slices of 128 rows; each
+  slice's edges are stored COLUMN-MAJOR, padded to the slice's max degree.
+  A 128-edge column then holds AT MOST ONE edge per destination row, so:
+
+    - the softmax max / sum-exp and the aggregation accumulate PER ROW —
+      plain VPU elementwise ops on [128, hd] registers, no one-hot matmuls
+      (and trivially deterministic, unlike the reference's atomicAdd
+      scatter, GATv2_edge_based.cu:386-424);
+    - dst-side operands (zd, g, sigma, r) are RESIDENT per slice — one
+      [128, hd] block each, loaded once and reused across every column —
+      instead of streaming per edge, halving the HBM edge traffic;
+    - the backward's d_zd segment reduction is a per-row accumulation too,
+      and d_zs (phase 2) is a pure per-row sum of permuted packets with
+      ZERO matmuls.
+
+  The only MXU products left per 128-edge column are the ALGORITHMIC ones:
+  the attention-score SDDMM (1 in the forward: s_act @ A2 with A2 the
+  block-diagonal head-replicated attention matrix) and score + dalpha
+  (2 in the backward). The price is the ELL padding — degree-sorted slices
+  keep it small (reported as SellTiles.pad_overhead) — and a head-
+  REPLICATED lane representation: per-(row, head) quantities (scores,
+  softmax stats) live broadcast across each head's D feature lanes, which
+  costs VPU width but removes every head<->feature lane-shuffle matmul.
+
+Score/softmax math, epsilons (-80 exp clamp, +1e-8 denominator) and the
+sigma = m + log(l + eps) stat collapse are identical to
+ops/pallas_attention.py; parity is tested against the same XLA oracle
+(ops/attention._edge_attention_xla). Reference kernels replaced: score
+SDDMM GATv2_edge_based.cu:279-324, softmax 326-384, aggregate 386-424,
+and the backward pipeline 612-874.
+
+Padding semantics (no explicit masking branches):
+  - padding SLOTS carry gather id == the opposite side's padded row count,
+    indexing an appended all-zero row: their zs stream is exactly 0;
+  - a per-slot additive mask (0 real / -1e30 pad) rides a tiny [e_ell, 1]
+    stream; sc_pad = -1e30 makes exp(clip(sc - m, -80, 0)) <= e^-80 ~ 2e-35,
+    which is below the f32 ulp of any real softmax denominator (l >= 1 for
+    any row with a real edge), so real rows are bit-clean;
+  - EMPTY rows (degree 0, incl. padding rows): m = l's junk stays confined
+    to the row; the aggregation numerator is exactly 0 (pad zs == 0), so
+    the output row is 0, matching the oracle. In the backward, empty rows
+    give alpha = exp(0) = 1 on pad slots but dalpha = 0 (zs == 0) and
+    r = <g, out> = 0 (out == 0), so de = 0 and every real gradient
+    contribution is exactly 0; their garbage c1 packets are never read
+    (the phase-2 permute maps only REAL edges).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gatv2_tpu.ops.pallas_attention import (
+    EXP_CLAMP,
+    NEG_INF,
+    SOFTMAX_EPS,
+    STATS_L,
+    TILE_N,
+    _kdot,
+    _prec_for,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class _SellSide:
+    """One SELL tiling direction (dst-sorted for the forward/phase-1, or
+    src-sorted for phase 2), optionally grouped into chunks.
+
+    perm        [rows_pad] int32 — kernel row j holds node perm[j]
+                (degree-descending within each chunk; padding rows mixed
+                in with real degree-0 nodes at the tail). With chunking,
+                slices are dealt greedily into chunks so per-chunk column
+                totals balance, then renumbered chunk-contiguously.
+    inv         [rows_pad] int32 — node n lives at kernel row inv[n].
+    gather_ids  [e_ell] int32 — the streamed OPPOSITE endpoint's global
+                node id per ELL slot; padding slots carry the opposite
+                side's padded row count (gathers an appended zero row).
+                Dummy [1] when num_chunks > 1 (grouped arrays replace it).
+    msk         [e_ell, 1] f32 — additive score mask: 0 real, -1e30 pad.
+                Dummy when num_chunks > 1.
+    col_off     [T+1] int32 — cumulative 128-edge column counts per slice
+                (scalar-prefetched by the kernels). Dummy when chunked.
+    ids_grp     [G, Ec] int32 — per-chunk gather ids (Ec = the widest
+                chunk's column count * TILE_N; excess slots are padding).
+    msk_grp     [G, Ec, 1] f32 — per-chunk masks.
+    rel_off     [G, spc+1] int32 — per-chunk chunk-relative column offsets.
+    """
+
+    perm: jax.Array
+    inv: jax.Array
+    gather_ids: jax.Array
+    msk: jax.Array
+    col_off: jax.Array
+    ids_grp: jax.Array
+    msk_grp: jax.Array
+    rel_off: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SellTiles:
+    """Host-precomputed SELL-128 layout (static per graph).
+
+    dst        — in-degree-sorted slices over destination nodes (streams
+                 src ids): forward + backward phase 1.
+    srcs       — out-degree-sorted slices over source nodes (streams dst
+                 ids): backward phase 2 (d_zs).
+    ell_perm   [e2_ell] int32 — src-ELL slot -> dst-ELL slot of the same
+                 edge; padding -> e_ell (an appended zero packet row).
+                 Backs the unchunked packet path only (dummy when
+                 num_chunks > 1: the chunked backward recomputes packets
+                 in phase 2b instead of materializing [E, hd] buffers).
+
+    num_chunks=G groups each side's slices into G balanced groups; every
+    kernel (and its XLA-side gathers) runs one group at a time under a
+    lax.scan, capping edge-space HBM temporaries at O(E/G) — the SELL
+    counterpart of pallas_attention's chunking.
+    """
+
+    dst: _SellSide
+    srcs: _SellSide
+    ell_perm: jax.Array
+    num_nodes: int  # real dst-node count
+    num_src_nodes: int  # real src-node count (== num_nodes if monopartite)
+    num_dst_tiles: int  # TOTAL dst slices (num_chunks * spc_dst)
+    num_src_tiles: int
+    e_ell: int
+    e2_ell: int
+    num_edges: int
+    pad_overhead: float  # e_ell / max(num_edges, 1) — layout diagnostic
+    num_chunks: int = 1
+    spc_dst: int = 0  # slices per chunk, dst side
+    spc_src: int = 0
+
+    @property
+    def padded_num_nodes(self) -> int:
+        return self.num_dst_tiles * TILE_N
+
+    @property
+    def padded_src_nodes(self) -> int:
+        return self.num_src_tiles * TILE_N
+
+
+jax.tree_util.register_pytree_node(
+    _SellSide,
+    lambda s: (
+        (s.perm, s.inv, s.gather_ids, s.msk, s.col_off, s.ids_grp,
+         s.msk_grp, s.rel_off),
+        None,
+    ),
+    lambda _, ch: _SellSide(*ch),
+)
+jax.tree_util.register_pytree_node(
+    SellTiles,
+    lambda t: (
+        (t.dst, t.srcs, t.ell_perm),
+        (
+            t.num_nodes,
+            t.num_src_nodes,
+            t.num_dst_tiles,
+            t.num_src_tiles,
+            t.e_ell,
+            t.e2_ell,
+            t.num_edges,
+            t.pad_overhead,
+            t.num_chunks,
+            t.spc_dst,
+            t.spc_src,
+        ),
+    ),
+    lambda aux, ch: SellTiles(*ch, *aux),
+)
+
+
+def _side_geometry(deg: np.ndarray, num_rows: int, num_chunks: int):
+    """(t2 total slices, spc slices/chunk, e_ell, g) for one side — exact,
+    without building the arrays (used to pick num_chunks up front; the
+    balancing reorder below never changes slice widths, only their order).
+    Both sides always use the SAME chunk count g == num_chunks (tiny sides
+    pad with empty slices) so the wrapper's per-chunk scans stay uniform."""
+    t_real = max(1, -(-num_rows // TILE_N))
+    g = max(1, num_chunks)
+    spc = -(-t_real // g)
+    t2 = g * spc
+    deg_pad = np.zeros(t2 * TILE_N, np.int64)
+    deg_pad[: len(deg)] = deg
+    widths = np.sort(deg_pad)[::-1].reshape(t2, TILE_N).max(axis=1)
+    return t2, spc, max(int(widths.sum()) * TILE_N, TILE_N), g
+
+
+def _build_sell_side(ptr, opp_ids, num_rows, opp_pad_rows, num_chunks):
+    """One side's SELL layout from its CSR view.
+
+    ptr [num_rows+1], opp_ids [E]: the opposite endpoint of each edge in
+    this side's sorted order. Returns (_SellSide, slot[E] int64 — each
+    edge's ELL slot, in this side's edge order, for cross-side permutes —
+    and spc, the slices per chunk).
+    """
+    ptr = np.asarray(ptr, np.int64)
+    deg = np.diff(ptr)
+    t2, spc, _, g = _side_geometry(deg, num_rows, num_chunks)
+    rows_pad = t2 * TILE_N
+    deg_pad = np.zeros(rows_pad, np.int64)
+    deg_pad[:num_rows] = deg
+    order0 = np.argsort(-deg_pad, kind="stable")
+    widths0 = deg_pad[order0].reshape(t2, TILE_N).max(axis=1)
+    if g > 1:
+        # deal slices (already width-descending) greedily into g chunks of
+        # exactly spc slices each, lightest-loaded first: per-chunk column
+        # totals balance, so the grouped [G, Ec] arrays stay tight
+        loads = np.zeros(g, np.int64)
+        fill = np.zeros(g, np.int64)
+        assign = np.empty(t2, np.int64)
+        for s in range(t2):
+            cands = np.nonzero(fill < spc)[0]
+            b = cands[np.argmin(loads[cands])]
+            assign[s] = b
+            loads[b] += widths0[s]
+            fill[b] += 1
+        slice_order = np.argsort(assign, kind="stable")
+    else:
+        slice_order = np.arange(t2)
+    perm = (
+        order0.reshape(t2, TILE_N)[slice_order].reshape(-1).astype(np.int32)
+    )
+    widths = widths0[slice_order]
+    inv = np.empty(rows_pad, np.int32)
+    inv[perm] = np.arange(rows_pad, dtype=np.int32)
+    col_off = np.zeros(t2 + 1, np.int64)
+    np.cumsum(widths, out=col_off[1:])
+    e_ell = max(int(col_off[-1]) * TILE_N, TILE_N)
+
+    gather = np.full(e_ell, opp_pad_rows, np.int32)
+    msk = np.full((e_ell, 1), NEG_INF, np.float32)
+    num_edges = int(ptr[-1])
+    if num_edges:
+        own = np.repeat(np.arange(num_rows, dtype=np.int64), deg)
+        rank = np.arange(num_edges, dtype=np.int64) - np.repeat(ptr[:-1], deg)
+        pos = inv[own].astype(np.int64)
+        slot = (col_off[pos // TILE_N] + rank) * TILE_N + pos % TILE_N
+        gather[slot] = opp_ids
+        msk[slot, 0] = 0.0
+    else:
+        slot = np.zeros(0, np.int64)
+
+    if g > 1:
+        bounds = col_off[::spc]  # [g+1] chunk column boundaries
+        ec = max(int(np.diff(bounds).max()), 1) * TILE_N
+        ids_grp = np.full((g, ec), opp_pad_rows, np.int32)
+        msk_grp = np.full((g, ec, 1), NEG_INF, np.float32)
+        rel = np.zeros((g, spc + 1), np.int32)
+        for k in range(g):
+            lo, hi = int(bounds[k]) * TILE_N, int(bounds[k + 1]) * TILE_N
+            ids_grp[k, : hi - lo] = gather[lo:hi]
+            msk_grp[k, : hi - lo] = msk[lo:hi]
+            rel[k] = (
+                col_off[k * spc : (k + 1) * spc + 1] - col_off[k * spc]
+            ).astype(np.int32)
+        # drop flat edge arrays (only the grouped layout is consumed)
+        gather = np.zeros(1, np.int32)
+        msk = np.zeros((1, 1), np.float32)
+        col_flat = np.zeros(1, np.int32)
+    else:
+        ids_grp = gather[None]
+        msk_grp = msk[None]
+        rel = col_off[None].astype(np.int32)
+        col_flat = col_off.astype(np.int32)
+    side = _SellSide(
+        perm=jnp.asarray(perm),
+        inv=jnp.asarray(inv),
+        gather_ids=jnp.asarray(gather),
+        msk=jnp.asarray(msk),
+        col_off=jnp.asarray(col_flat),
+        ids_grp=jnp.asarray(ids_grp),
+        msk_grp=jnp.asarray(msk_grp),
+        rel_off=jnp.asarray(rel),
+    )
+    return side, slot, e_ell, t2, spc
+
+
+def suggest_num_chunks_sell(
+    e_ell: int, e2_ell: int, max_hd: int, *, budget_bytes: int = 4 << 30
+) -> int:
+    """Chunk count so SELL edge-space temporaries stay under budget_bytes.
+
+    Unchunked live set: phase 1 holds zs [E, hd] + the c1 packets [E, hd],
+    and phase 2a holds the permuted packets [E2, hd]. Chunked: the widest
+    per-chunk set is phase 2b's [zd | g] stream [E2/G, 2hd] + sr [E2/G,
+    128] (forward/phase 1 hold [E/G, hd])."""
+    if (2 * e_ell + e2_ell) * max_hd * 4 <= budget_bytes:
+        return 1
+    need = max(e_ell * max_hd, e2_ell * (2 * max_hd + 128)) * 4
+    return max(2, -(-need // budget_bytes))
+
+
+def prepare_sell_tiles(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    num_nodes: int,
+    num_src_nodes: int | None = None,
+    num_chunks: int = 1,
+) -> SellTiles:
+    """Build the two-sided SELL-128 layout from CSR (host-side, once per
+    graph). num_src_nodes: bipartite edge sets (col_idx holds global source
+    ids while row_ptr covers local destinations); default monopartite.
+    num_chunks=G bounds edge-space HBM temporaries at O(E/G)."""
+    row_ptr = np.asarray(row_ptr, np.int64)
+    col_idx = np.asarray(col_idx, np.int32)
+    ns = num_nodes if num_src_nodes is None else num_src_nodes
+    num_edges = int(row_ptr[-1])
+    deg_s = np.bincount(col_idx, minlength=ns) if num_edges else np.zeros(
+        ns, np.int64
+    )
+
+    # both sides' padded row counts depend only on (row count, G): compute
+    # them up front so each side's padding slots can point at the OTHER
+    # side's appended zero row
+    t2_d, spc_d, _, g = _side_geometry(
+        np.diff(row_ptr), num_nodes, num_chunks
+    )
+    t2_s, spc_s, _, _ = _side_geometry(deg_s, ns, num_chunks)
+
+    dst_side, slot_d, e_ell, t2_d, spc_d = _build_sell_side(
+        row_ptr, col_idx, num_nodes, t2_s * TILE_N, num_chunks
+    )
+
+    # CSC view: edges stably re-sorted by src
+    order = np.argsort(col_idx, kind="stable")
+    sptr = np.zeros(ns + 1, np.int64)
+    np.cumsum(deg_s, out=sptr[1:])
+    dst_all = np.repeat(
+        np.arange(num_nodes, dtype=np.int32), np.diff(row_ptr)
+    )
+    src_side, slot_s, e2_ell, t2_s, spc_s = _build_sell_side(
+        sptr, dst_all[order], ns, t2_d * TILE_N, num_chunks
+    )
+    if g > 1:
+        ell_perm = np.zeros(1, np.int32)  # packet path unused when chunked
+    else:
+        ell_perm = np.full(e2_ell, e_ell, np.int32)
+        if num_edges:
+            ell_perm[slot_s] = slot_d[order]
+
+    return SellTiles(
+        dst=dst_side,
+        srcs=src_side,
+        ell_perm=jnp.asarray(ell_perm),
+        num_nodes=num_nodes,
+        num_src_nodes=ns,
+        num_dst_tiles=t2_d,
+        num_src_tiles=t2_s,
+        e_ell=e_ell,
+        e2_ell=e2_ell,
+        num_edges=num_edges,
+        pad_overhead=e_ell / max(num_edges, 1),
+        num_chunks=g,
+        spc_dst=spc_d,
+        spc_src=spc_s,
+    )
+
+
+def setup_full_graph_sell(
+    graph, heads=None, out_dims=None, *, labels=None, budget_bytes=None
+):
+    """One-stop full-graph SELL setup (the impl='sell' counterpart of
+    pallas_attention.setup_full_graph): builds the two-sided layout —
+    auto-chunked so edge-space temporaries fit budget_bytes — and pads
+    features/labels to the padded node grid once.
+
+    Returns (sell_tiles, features, labels, num_valid); num_valid is None
+    when no padding row was added. Padding labels are -1 (loss-ignored)."""
+    num_chunks = 1
+    if heads is not None:
+        e = graph.num_edges
+        if budget_bytes is None:
+            budget_bytes = (2 << 30) if e >= 30_000_000 else (4 << 30)
+        max_hd = max(
+            -(-min(h, STATS_L) * d // 128) * 128
+            for h, d in zip(heads, out_dims)
+        )
+        deg_d = np.diff(np.asarray(graph.row_ptr, np.int64))
+        deg_s = np.bincount(
+            np.asarray(graph.col_idx, np.int64), minlength=graph.num_nodes
+        )
+        _, _, e_ell_est, _ = _side_geometry(deg_d, graph.num_nodes, 1)
+        _, _, e2_ell_est, _ = _side_geometry(deg_s, graph.num_nodes, 1)
+        num_chunks = suggest_num_chunks_sell(
+            e_ell_est, e2_ell_est, max_hd, budget_bytes=budget_bytes
+        )
+    st = prepare_sell_tiles(
+        graph.row_ptr, graph.col_idx, graph.num_nodes, num_chunks=num_chunks
+    )
+    feats = graph.features
+    labels = graph.labels if labels is None else labels
+    num_valid = None
+    n, n_pad = graph.num_nodes, st.padded_num_nodes
+    if n_pad != n:
+        f_pad = np.zeros((n_pad, graph.feature_dim), np.float32)
+        f_pad[:n] = graph.features
+        l_pad = np.full(n_pad, -1, np.int32)
+        l_pad[:n] = labels
+        feats, labels, num_valid = f_pad, l_pad, n
+    return st, feats, labels, num_valid
+
+
+# ---------------------------------------------------------------------------
+# lane-layout matrices (head-replicated representation)
+# ---------------------------------------------------------------------------
+
+
+def _sell_matrices(a: jax.Array, hd: int):
+    """Layout matrices for the head-replicated lane representation.
+
+    a2    [hd, hd]  — A2[f, l] = a[head(l), d(f)] if head(f) == head(l):
+                      s_act @ A2 yields the per-head attention score
+                      REPLICATED across that head's feature lanes.
+    bdiag [hd, hd]  — block-diagonal ones: (g*zs) @ bdiag = per-head
+                      <g, zs> dot, replicated (the dalpha SDDMM).
+    rsig  [128, hd] — expands compact stat lane h -> head-h feature lanes.
+    rr    [128, hd] — same for lanes [STATS_L, 2*STATS_L) (the r term).
+    s_sel [hd, 128] — compacts a replicated stat to lane h (= lane h*D).
+    a_rep [1, hd]   — a values laid out per feature lane.
+
+    All built with scatter-sets (no matmuls) so 'a' values stay exact f32.
+    """
+    num_heads, d = a.shape
+    hd_real = num_heads * d
+    lane_head = jnp.arange(hd_real) // d
+    a_flat = a.reshape(hd_real).astype(jnp.float32)
+    blk = (lane_head[:, None] == lane_head[None, :]).astype(jnp.float32)
+    a2 = (
+        jnp.zeros((hd, hd), jnp.float32)
+        .at[:hd_real, :hd_real]
+        .set(a_flat[:, None] * blk)
+    )
+    bdiag = jnp.zeros((hd, hd), jnp.float32).at[:hd_real, :hd_real].set(blk)
+    ar = jnp.arange(hd_real)
+    rsig = jnp.zeros((128, hd), jnp.float32).at[lane_head, ar].set(1.0)
+    rr = (
+        jnp.zeros((128, hd), jnp.float32)
+        .at[STATS_L + lane_head, ar]
+        .set(1.0)
+    )
+    s_sel = (
+        jnp.zeros((hd, 128), jnp.float32)
+        .at[jnp.arange(num_heads) * d, jnp.arange(num_heads)]
+        .set(1.0)
+    )
+    a_rep = jnp.zeros((1, hd), jnp.float32).at[0, :hd_real].set(a_flat)
+    return a2, bdiag, rsig, rr, s_sel, a_rep
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _sell_fwd_kernel(
+    # scalar prefetch
+    col_off_ref,  # [T+1] int32, 128-edge-column units
+    # inputs
+    zs_e_hbm,  # [e_ell, hd] ANY — src projections gathered into ELL order
+    msk_hbm,  # [e_ell, 1] f32 ANY — additive mask (0 real / -1e30 pad)
+    zd_ref,  # [TILE_N, hd] VMEM blocked — dst projections, permuted rows
+    a2_ref,  # [hd, hd] VMEM
+    s_sel_ref,  # [hd, 128] VMEM
+    # outputs
+    out_ref,  # [TILE_N, hd] VMEM blocked
+    sig_ref,  # [TILE_N, 128] VMEM blocked — compact sigma = m + log(l+eps)
+    # scratch
+    zs_t,  # [2, TILE_N, hd]
+    msk_t,  # [2, TILE_N, 1]
+    m_scr,  # [TILE_N, hd]  (head-replicated running max)
+    l_scr,  # [TILE_N, hd]  (head-replicated running sum-exp)
+    acc_scr,  # [TILE_N, hd]
+    sems,  # DMA semaphores (2, 2)
+    *,
+    negative_slope: float,
+    precision,
+):
+    """Online-softmax forward over one slice: each 128-edge column holds one
+    edge per dst row, so every softmax/aggregation update is a per-row VPU
+    op. ONE MXU product per column: the score SDDMM s_act @ A2."""
+    i = pl.program_id(0)
+    c0 = col_off_ref[i]
+    ncols = col_off_ref[i + 1] - c0
+
+    m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
+    l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def dmas(slot, k):
+        off = pl.multiple_of((c0 + k) * TILE_N, TILE_N)
+        return (
+            pltpu.make_async_copy(
+                zs_e_hbm.at[pl.ds(off, TILE_N), :], zs_t.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                msk_hbm.at[pl.ds(off, TILE_N), :], msk_t.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    @pl.when(ncols > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < ncols)
+        def _():
+            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
+                cp.start()
+
+        for cp in dmas(slot, k):
+            cp.wait()
+
+        zs_c = zs_t[slot]
+        s = zs_c + zd_ref[:]
+        s_act = jnp.where(s > 0, s, negative_slope * s)
+        # head-replicated score + additive pad mask ([TILE_N, 1] broadcast)
+        sc = (
+            _kdot(s_act, a2_ref[:], (((1,), (0,)), ((), ())), precision,
+                  sensitive=True)
+            + msk_t[slot]
+        )
+        new_m = jnp.maximum(m_scr[:], sc)
+        c = jnp.exp(m_scr[:] - new_m)
+        p = jnp.exp(jnp.clip(sc - new_m, EXP_CLAMP, 0.0))
+        l_scr[:] = c * l_scr[:] + p
+        acc_scr[:] = c * acc_scr[:] + p * zs_c
+        m_scr[:] = new_m
+        return 0
+
+    jax.lax.fori_loop(0, ncols, body, 0)
+
+    out_ref[:] = acc_scr[:] / (l_scr[:] + SOFTMAX_EPS)
+    sig_rep = m_scr[:] + jnp.log(l_scr[:] + SOFTMAX_EPS)
+    sig_ref[:] = _kdot(
+        sig_rep, s_sel_ref[:], (((1,), (0,)), ((), ())), precision,
+        exact_arg=1,
+    )
+
+
+def _sell_forward(
+    zs_e, msk, zd_p, a2, s_sel, col_off, t, *, negative_slope, hd,
+    precision, interpret,
+):
+    e_ell = zs_e.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # zs_e
+            pl.BlockSpec(memory_space=pl.ANY),  # msk
+            pl.BlockSpec(
+                (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),  # zd_p
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # s_sel
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_N, hd), jnp.float32),
+            pltpu.VMEM((2, TILE_N, 1), jnp.float32),
+            pltpu.VMEM((TILE_N, hd), jnp.float32),
+            pltpu.VMEM((TILE_N, hd), jnp.float32),
+            pltpu.VMEM((TILE_N, hd), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _sell_fwd_kernel,
+        negative_slope=negative_slope,
+        precision=_prec_for(precision, interpret),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((t * TILE_N, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_ell * hd * hd,
+            bytes_accessed=e_ell * (hd + 1) * 4 + 3 * t * TILE_N * hd * 4,
+            transcendentals=2 * e_ell * hd,
+        ),
+        interpret=interpret,
+    )(col_off, zs_e, msk, zd_p, a2, s_sel)
+
+
+# ---------------------------------------------------------------------------
+# backward phase 1 (dst slices): d_zd, d_a, c1 packets
+# ---------------------------------------------------------------------------
+
+
+def _sell_bwd_dst_kernel(
+    # scalar prefetch
+    col_off_ref,
+    # inputs
+    zs_e_hbm,  # [e_ell, hd] ANY
+    msk_hbm,  # [e_ell, 1] ANY
+    zd_ref,  # [TILE_N, hd] VMEM blocked
+    g_ref,  # [TILE_N, hd] VMEM blocked — upstream grad, permuted rows
+    sr_ref,  # [TILE_N, 128] VMEM blocked — packed [sigma | r] compact
+    a2_ref,  # [hd, hd]
+    b_ref,  # [hd, hd] block-diag ones
+    rsig_ref,  # [128, hd]
+    rr_ref,  # [128, hd]
+    a_rep_ref,  # [1, hd]
+    # outputs
+    dzd_ref,  # [TILE_N, hd] VMEM blocked
+    da_ref,  # [8, hd] VMEM blocked (row 0)
+    *rest,  # with emit_c1: c1_hbm [e_ell, hd] ANY output; then scratch
+    #         (zs_t, msk_t, [c1_t], sig_scr, r_scr, da_scr, sems)
+    negative_slope: float,
+    precision,
+    emit_c1: bool = True,
+):
+    """Backward phase 1 over one dst slice. Per 128-edge column: TWO MXU
+    products (score SDDMM + dalpha SDDMM); d_zd and d_a accumulate per row
+    (VPU). With emit_c1 (the unchunked fast path) it also stages the
+    per-edge packet c1 = alpha * g[dst] + ds to HBM for phase 2's permute
+    + per-row segment sum; the chunked path skips the packet buffer and
+    recomputes it in phase 2b (_sell_bwd_src_kernel).
+
+    The resident per-slice stats expand once per slice from the compact
+    [sigma | r] block (two structural matmuls, amortized over the slice's
+    columns)."""
+    if emit_c1:
+        c1_hbm, zs_t, msk_t, c1_t, sig_scr, r_scr, da_scr, sems = rest
+    else:
+        zs_t, msk_t, sig_scr, r_scr, da_scr, sems = rest
+        c1_hbm = c1_t = None
+    i = pl.program_id(0)
+    c0 = col_off_ref[i]
+    ncols = col_off_ref[i + 1] - c0
+
+    dzd_ref[:] = jnp.zeros(dzd_ref.shape, jnp.float32)
+    da_ref[:] = jnp.zeros(da_ref.shape, jnp.float32)
+    da_scr[:] = jnp.zeros(da_scr.shape, jnp.float32)
+    sr = sr_ref[:]
+    sig_scr[:] = _kdot(
+        sr, rsig_ref[:], (((1,), (0,)), ((), ())), precision, exact_arg=1
+    )
+    r_scr[:] = _kdot(
+        sr, rr_ref[:], (((1,), (0,)), ((), ())), precision, exact_arg=1
+    )
+
+    def dmas(slot, k):
+        off = pl.multiple_of((c0 + k) * TILE_N, TILE_N)
+        return (
+            pltpu.make_async_copy(
+                zs_e_hbm.at[pl.ds(off, TILE_N), :], zs_t.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                msk_hbm.at[pl.ds(off, TILE_N), :], msk_t.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    def c1_dma(slot, k):
+        off = pl.multiple_of((c0 + k) * TILE_N, TILE_N)
+        return pltpu.make_async_copy(
+            c1_t.at[slot], c1_hbm.at[pl.ds(off, TILE_N), :], sems.at[slot, 2]
+        )
+
+    @pl.when(ncols > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < ncols)
+        def _():
+            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
+                cp.start()
+
+        for cp in dmas(slot, k):
+            cp.wait()
+
+        if emit_c1:
+            # the c1 store from iteration k-2 must drain before slot reuse
+            @pl.when(k >= 2)
+            def _():
+                c1_dma(slot, k - 2).wait()
+
+        zs_c = zs_t[slot]
+        g = g_ref[:]
+        s = zs_c + zd_ref[:]
+        s_act = jnp.where(s > 0, s, negative_slope * s)
+        sc = (
+            _kdot(s_act, a2_ref[:], (((1,), (0,)), ((), ())), precision,
+                  sensitive=True)
+            + msk_t[slot]
+        )
+        alpha = jnp.exp(jnp.clip(sc - sig_scr[:], EXP_CLAMP, 0.0))
+        dalpha = _kdot(
+            g * zs_c, b_ref[:], (((1,), (0,)), ((), ())), precision,
+            exact_arg=1,
+        )
+        de = alpha * (dalpha - r_scr[:])
+        ds = de * a_rep_ref[:] * jnp.where(s > 0, 1.0, negative_slope)
+        dzd_ref[:] = dzd_ref[:] + ds
+        da_scr[:] = da_scr[:] + de * s_act
+        if emit_c1:
+            c1_t[slot] = alpha * g + ds
+            c1_dma(slot, k).start()
+        return 0
+
+    jax.lax.fori_loop(0, ncols, body, 0)
+
+    if emit_c1:
+        # drain the last two c1 stores
+        def drain(k, _):
+            c1_dma(jax.lax.rem(k, 2), k).wait()
+            return 0
+
+        jax.lax.fori_loop(jnp.maximum(ncols - 2, 0), ncols, drain, 0)
+
+    da_tile = jnp.sum(da_scr[:], axis=0, keepdims=True)  # [1, hd]
+    row0 = jax.lax.broadcasted_iota(jnp.int32, da_ref.shape, 0) == 0
+    da_ref[:] = jnp.where(
+        row0, jnp.broadcast_to(da_tile, da_ref.shape), 0.0
+    )
+
+
+def _sell_bwd_dst(
+    zs_e, msk, zd_p, g_p, sr_p, a2, bdiag, rsig, rr, a_rep, col_off, t,
+    *, negative_slope, hd, precision, interpret, emit_c1=True,
+):
+    e_ell = zs_e.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # zs_e
+            pl.BlockSpec(memory_space=pl.ANY),  # msk
+            pl.BlockSpec(
+                (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),  # zd_p
+            pl.BlockSpec(
+                (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),  # g_p
+            pl.BlockSpec(
+                (TILE_N, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),  # sr_p
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bdiag
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rsig
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rr
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (8, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if emit_c1 else []),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_N, hd), jnp.float32),
+            pltpu.VMEM((2, TILE_N, 1), jnp.float32),
+        ] + ([pltpu.VMEM((2, TILE_N, hd), jnp.float32)] if emit_c1 else [])
+        + [
+            pltpu.VMEM((TILE_N, hd), jnp.float32),
+            pltpu.VMEM((TILE_N, hd), jnp.float32),
+            pltpu.VMEM((TILE_N, hd), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3 if emit_c1 else 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _sell_bwd_dst_kernel,
+        negative_slope=negative_slope,
+        precision=_prec_for(precision, interpret),
+        emit_c1=emit_c1,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((t * 8, hd), jnp.float32),
+        ] + (
+            [jax.ShapeDtypeStruct((e_ell, hd), jnp.float32)]
+            if emit_c1 else []
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_ell * hd * hd * 2,
+            bytes_accessed=e_ell * (2 * hd + 1) * 4
+            + 5 * t * TILE_N * hd * 4,
+            transcendentals=e_ell * hd,
+        ),
+        interpret=interpret,
+    )(col_off, zs_e, msk, zd_p, g_p, sr_p, a2, bdiag, rsig, rr, a_rep)
+
+
+# ---------------------------------------------------------------------------
+# backward phase 2b (chunked path): d_zs by per-edge recompute
+# ---------------------------------------------------------------------------
+
+
+def _sell_bwd_src_kernel(
+    # scalar prefetch
+    col_off_ref,
+    # inputs
+    xg_hbm,  # [e2c, 2*hd] ANY — per-edge [zd | g], gathered by dst
+    sr_hbm,  # [e2c, 128] ANY — per-edge packed [sigma | r], by dst
+    zs_ref,  # [TILE_N, hd] VMEM blocked — RESIDENT src rows (permuted)
+    a2_ref,  # [hd, hd]
+    b_ref,  # [hd, hd]
+    ex_ref,  # [128, 2*hd] fused [rsig | rr] expansion
+    a_rep_ref,  # [1, hd]
+    # outputs
+    dzs_ref,  # [TILE_N, hd] VMEM blocked
+    # scratch
+    xg_t,  # [2, TILE_N, 2*hd]
+    sr_t,  # [2, TILE_N, 128]
+    sems,  # DMA semaphores (2, 2)
+    *,
+    negative_slope: float,
+    precision,
+    hd: int,
+):
+    """Chunked backward phase 2: recomputes each edge's packet
+        c1 = alpha * g[dst] + ds
+    on the src-SELL layout (src rows resident, dst-side operands streamed
+    per edge) and accumulates d_zs per row — THREE MXU products per
+    128-edge column (score, fused stat expansion, dalpha), zero packet
+    buffers. Padding slots gather the tables' appended zero row: g = 0 and
+    r = 0 make de = 0 and c1 exactly 0, so no mask stream is needed."""
+    i = pl.program_id(0)
+    c0 = col_off_ref[i]
+    ncols = col_off_ref[i + 1] - c0
+    dzs_ref[:] = jnp.zeros(dzs_ref.shape, jnp.float32)
+
+    def dmas(slot, k):
+        off = pl.multiple_of((c0 + k) * TILE_N, TILE_N)
+        return (
+            pltpu.make_async_copy(
+                xg_hbm.at[pl.ds(off, TILE_N), :], xg_t.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                sr_hbm.at[pl.ds(off, TILE_N), :], sr_t.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    @pl.when(ncols > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < ncols)
+        def _():
+            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
+                cp.start()
+
+        for cp in dmas(slot, k):
+            cp.wait()
+
+        xg = xg_t[slot]
+        zd_c = xg[:, :hd]
+        g_c = xg[:, hd:]
+        both = _kdot(
+            sr_t[slot], ex_ref[:], (((1,), (0,)), ((), ())), precision,
+            exact_arg=1,
+        )  # [TILE_N, 2*hd]: [sigma_rep | r_rep]
+        zs = zs_ref[:]
+        s = zs + zd_c
+        s_act = jnp.where(s > 0, s, negative_slope * s)
+        sc = _kdot(
+            s_act, a2_ref[:], (((1,), (0,)), ((), ())), precision,
+            sensitive=True,
+        )
+        alpha = jnp.exp(jnp.clip(sc - both[:, :hd], EXP_CLAMP, 0.0))
+        dalpha = _kdot(
+            g_c * zs, b_ref[:], (((1,), (0,)), ((), ())), precision,
+            exact_arg=1,
+        )
+        de = alpha * (dalpha - both[:, hd:])
+        ds = de * a_rep_ref[:] * jnp.where(s > 0, 1.0, negative_slope)
+        dzs_ref[:] = dzs_ref[:] + alpha * g_c + ds
+        return 0
+
+    jax.lax.fori_loop(0, ncols, body, 0)
+
+
+def _sell_bwd_src(
+    xg_e, sr_e, zs_p, a2, bdiag, ex, a_rep, col_off, t,
+    *, negative_slope, hd, precision, interpret,
+):
+    e2 = xg_e.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # xg
+            pl.BlockSpec(memory_space=pl.ANY),  # sr
+            pl.BlockSpec(
+                (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),  # zs_p
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bdiag
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ex
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_rep
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_N, 2 * hd), jnp.float32),
+            pltpu.VMEM((2, TILE_N, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _sell_bwd_src_kernel,
+        negative_slope=negative_slope,
+        precision=_prec_for(precision, interpret),
+        hd=hd,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e2 * hd * hd * 3,
+            bytes_accessed=e2 * (2 * hd + 128) * 4 + t * TILE_N * hd * 4,
+            transcendentals=e2 * hd,
+        ),
+        interpret=interpret,
+    )(col_off, xg_e, sr_e, zs_p, a2, bdiag, ex, a_rep)
+
+
+# ---------------------------------------------------------------------------
+# backward phase 2 (src slices): per-row packet sum — ZERO matmuls
+# ---------------------------------------------------------------------------
+
+
+def _sell_segsum_kernel(
+    # scalar prefetch
+    col_off_ref,
+    # inputs
+    c1s_hbm,  # [e2_ell, hd] ANY — packets permuted to src-ELL order
+    # outputs
+    dzs_ref,  # [TILE_N, hd] VMEM blocked
+    # scratch
+    c1_t,  # [2, TILE_N, hd]
+    sems,  # DMA semaphores (2, 1)
+):
+    """d_zs[i] = sum of this src row's packets — a per-row accumulation
+    (the SELL permute already placed one edge per row per column). Padding
+    slots stream the appended zero packet row: no masks, no matmuls."""
+    i = pl.program_id(0)
+    c0 = col_off_ref[i]
+    ncols = col_off_ref[i + 1] - c0
+    dzs_ref[:] = jnp.zeros(dzs_ref.shape, jnp.float32)
+
+    def dma(slot, k):
+        off = pl.multiple_of((c0 + k) * TILE_N, TILE_N)
+        return pltpu.make_async_copy(
+            c1s_hbm.at[pl.ds(off, TILE_N), :], c1_t.at[slot],
+            sems.at[slot, 0],
+        )
+
+    @pl.when(ncols > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < ncols)
+        def _():
+            dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+        dma(slot, k).wait()
+        dzs_ref[:] = dzs_ref[:] + c1_t[slot]
+        return 0
+
+    jax.lax.fori_loop(0, ncols, body, 0)
+
+
+def _sell_segsum(c1s, col_off, t, *, hd, interpret):
+    e2 = c1s.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_N, hd), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 1)),
+        ],
+    )
+    return pl.pallas_call(
+        _sell_segsum_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=e2 * hd,
+            bytes_accessed=e2 * hd * 4 + t * TILE_N * hd * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(col_off, c1s)
+
+
+# ---------------------------------------------------------------------------
+# public entry point
+# ---------------------------------------------------------------------------
+
+
+def sell_attention(
+    zs: jax.Array,  # [N, H, D] or flat [N, H*D]
+    zd: jax.Array,  # same shape family as zs
+    a: jax.Array,  # [H, D]
+    src: jax.Array,  # unused (sell_tiles carries the layout)
+    dst: jax.Array,  # unused
+    num_nodes: int,
+    *,
+    negative_slope: float,
+    sell_tiles: SellTiles | None = None,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> jax.Array:
+    """Drop-in replacement for ops.attention._edge_attention_xla on the
+    SELL layout (see module docstring). Forward + custom-VJP backward run
+    the SELL Pallas kernels; parity is tested against the XLA oracle."""
+    if sell_tiles is None:
+        raise ValueError(
+            "impl='sell' requires sell_tiles "
+            "(ops.sell_attention.prepare_sell_tiles(row_ptr, col_idx, n))"
+        )
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    st = sell_tiles
+    if num_nodes not in (st.num_nodes, st.padded_num_nodes):
+        raise ValueError(
+            f"sell_tiles built for {st.num_nodes} "
+            f"(padded {st.padded_num_nodes}) dst nodes, got {num_nodes}"
+        )
+    if zs.shape[0] not in (st.num_src_nodes, st.padded_src_nodes):
+        raise ValueError(
+            f"zs has {zs.shape[0]} rows; sell_tiles src space is "
+            f"{st.num_src_nodes} (padded {st.padded_src_nodes})"
+        )
+    if a.shape[0] > STATS_L:
+        # the packed [sigma | r] block holds STATS_L heads; larger head
+        # counts run as independent groups (heads are embarrassingly
+        # parallel — same split as edge_attention_pallas)
+        num_heads, hdim = int(a.shape[0]), int(a.shape[1])
+        outs = []
+        for h0 in range(0, num_heads, STATS_L):
+            h1 = min(h0 + STATS_L, num_heads)
+            if zs.ndim == 2:
+                zs_g, zd_g = (
+                    zs[:, h0 * hdim : h1 * hdim],
+                    zd[:, h0 * hdim : h1 * hdim],
+                )
+            else:
+                zs_g, zd_g = zs[:, h0:h1], zd[:, h0:h1]
+            outs.append(
+                sell_attention(
+                    zs_g, zd_g, a[h0:h1], src, dst, num_nodes,
+                    negative_slope=negative_slope, sell_tiles=sell_tiles,
+                    interpret=interpret, precision=precision,
+                )
+            )
+        return jnp.concatenate(outs, axis=-1 if zs.ndim == 2 else 1)
+
+    num_heads, head_dim = int(a.shape[0]), int(a.shape[1])
+    hd_real = num_heads * head_dim
+    hd = -(-hd_real // 128) * 128
+    flat_io = zs.ndim == 2
+    n_pad = st.padded_num_nodes
+    ns_pad = st.padded_src_nodes
+    kw = dict(
+        negative_slope=negative_slope, hd=hd, precision=precision,
+        interpret=interpret,
+    )
+
+    def _prep(z, rows):
+        n = z.shape[0]
+        z = z.reshape(n, hd_real)
+        if hd != hd_real:
+            z = jnp.pad(z, ((0, 0), (0, hd - hd_real)))
+        if n != rows:
+            z = jnp.pad(z, ((0, rows - n), (0, 0)))
+        return z
+
+    g_chunks = st.num_chunks
+    spc_d = st.spc_dst if st.spc_dst else st.num_dst_tiles
+    spc_s = st.spc_src if st.spc_src else st.num_src_tiles
+
+    def _forward_all(zs_, zd_, a_, st_):
+        zs_flat = _prep(zs_, ns_pad)
+        zd_flat = _prep(zd_, n_pad)
+        a2, _, _, _, s_sel, _ = _sell_matrices(a_, hd)
+        zs_z = jnp.concatenate(
+            [zs_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+        )
+        zd_p = jnp.take(zd_flat, st_.dst.perm, axis=0)
+        if g_chunks == 1:
+            zs_e = jnp.take(zs_z, st_.dst.gather_ids, axis=0)
+            return _sell_forward(
+                zs_e, st_.dst.msk, zd_p, a2, s_sel, st_.dst.col_off,
+                st.num_dst_tiles, **kw,
+            )
+
+        # chunk-sequential (lax.scan): only one chunk's [E/G, hd] gather is
+        # ever live in HBM
+        def body(_, x):
+            ids_g, msk_g, rel_g, zd_c = x
+            zs_e = jnp.take(zs_z, ids_g, axis=0)
+            return 0, _sell_forward(
+                zs_e, msk_g, zd_c, a2, s_sel, rel_g, spc_d, **kw
+            )
+
+        _, (outs, sigs) = jax.lax.scan(
+            body, 0,
+            (
+                st_.dst.ids_grp, st_.dst.msk_grp, st_.dst.rel_off,
+                zd_p.reshape(g_chunks, spc_d * TILE_N, hd),
+            ),
+        )
+        return outs.reshape(-1, hd), sigs.reshape(-1, 128)
+
+    def _restore(out_p):
+        out = jnp.take(out_p, st.dst.inv, axis=0)[:num_nodes, :hd_real]
+        return out if flat_io else out.reshape(
+            num_nodes, num_heads, head_dim
+        )
+
+    @jax.custom_vjp
+    def attn(zs_, zd_, a_, st_):
+        out_p, _ = _forward_all(zs_, zd_, a_, st_)
+        return _restore(out_p)
+
+    def fwd(zs_, zd_, a_, st_):
+        out_p, sig_p = _forward_all(zs_, zd_, a_, st_)
+        out_r = _restore(out_p)
+        # sigma stays in PERMUTED row order (fed straight back to phase 1);
+        # only the real head lanes are kept
+        return out_r, (zs_, zd_, a_, sig_p[:, :STATS_L], out_r, st_)
+
+    def bwd(res, gout):
+        zs_, zd_, a_, sig16_p, out_r, st_ = res
+        zs_flat = _prep(zs_, ns_pad)
+        zd_flat = _prep(zd_, n_pad)
+        g_flat = _prep(gout, n_pad)
+        out_flat = _prep(out_r, n_pad)
+        a2, bdiag, rsig, rr, _, a_rep = _sell_matrices(a_, hd)
+        # softmax-Jacobian segment term by the flash-attention identity:
+        # r_j = <g_j, out_j> per head — node-space VPU dot (see
+        # pallas_attention.bwd_pallas; reference loops the neighborhood
+        # per edge, GATv2_edge_based.cu:654-696)
+        prod = (g_flat * out_flat)[:, :hd_real].reshape(
+            -1, num_heads, head_dim
+        )
+        r16 = jnp.pad(prod.sum(-1), ((0, 0), (0, STATS_L - num_heads)))
+        r16_p = jnp.take(r16, st_.dst.perm, axis=0)
+        sr_p = jnp.pad(
+            jnp.concatenate([sig16_p, r16_p], axis=1),
+            ((0, 0), (0, 128 - 2 * STATS_L)),
+        )
+        zs_z = jnp.concatenate(
+            [zs_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+        )
+        zd_p = jnp.take(zd_flat, st_.dst.perm, axis=0)
+        g_p = jnp.take(g_flat, st_.dst.perm, axis=0)
+        if g_chunks == 1:
+            zs_e = jnp.take(zs_z, st_.dst.gather_ids, axis=0)
+            dzd_p, da_parts, c1 = _sell_bwd_dst(
+                zs_e, st_.dst.msk, zd_p, g_p, sr_p, a2, bdiag, rsig, rr,
+                a_rep, st_.dst.col_off, st.num_dst_tiles, **kw,
+            )
+            da = jnp.sum(da_parts, axis=0)
+            # phase 2a: permute packets to src-ELL order (padding -> the
+            # appended zero row), per-row sum, un-permute rows
+            c1z = jnp.concatenate(
+                [c1, jnp.zeros((1, hd), jnp.float32)], axis=0
+            )
+            c1s = jnp.take(c1z, st_.ell_perm, axis=0)
+            dzs_p = _sell_segsum(
+                c1s, st_.srcs.col_off, st.num_src_tiles, hd=hd,
+                interpret=interpret,
+            )
+        else:
+            # phase 1 per dst chunk (no packet buffer)
+            def body1(_, x):
+                ids_g, msk_g, rel_g, zd_c, g_c, sr_c = x
+                zs_e = jnp.take(zs_z, ids_g, axis=0)
+                dzd_c, da_c = _sell_bwd_dst(
+                    zs_e, msk_g, zd_c, g_c, sr_c, a2, bdiag, rsig, rr,
+                    a_rep, rel_g, spc_d, emit_c1=False, **kw,
+                )
+                return 0, (dzd_c, jnp.sum(da_c, axis=0))
+
+            _, (dzd_s, da_s) = jax.lax.scan(
+                body1, 0,
+                (
+                    st_.dst.ids_grp, st_.dst.msk_grp, st_.dst.rel_off,
+                    zd_p.reshape(g_chunks, spc_d * TILE_N, hd),
+                    g_p.reshape(g_chunks, spc_d * TILE_N, hd),
+                    sr_p.reshape(g_chunks, spc_d * TILE_N, 128),
+                ),
+            )
+            dzd_p = dzd_s.reshape(-1, hd)
+            da = jnp.sum(da_s, axis=0)
+
+            # phase 2b per src chunk: recompute packets from [zd | g] and
+            # [sigma | r] streams gathered by GLOBAL dst id from node-order
+            # tables (appended zero row serves the padding sentinel)
+            sig16_node = jnp.take(sig16_p, st_.dst.inv, axis=0)
+            sr_node = jnp.pad(
+                jnp.concatenate([sig16_node, r16], axis=1),
+                ((0, 0), (0, 128 - 2 * STATS_L)),
+            )
+            xg_tab = jnp.concatenate([zd_flat, g_flat], axis=1)
+            xg_z = jnp.concatenate(
+                [xg_tab, jnp.zeros((1, 2 * hd), jnp.float32)], axis=0
+            )
+            sr_z = jnp.concatenate(
+                [sr_node, jnp.zeros((1, 128), jnp.float32)], axis=0
+            )
+            ex = jnp.concatenate([rsig, rr], axis=1)  # [128, 2*hd]
+            zs_perm = jnp.take(zs_flat, st_.srcs.perm, axis=0)
+
+            def body2(_, x):
+                ids_g, rel_g, zs_c = x
+                xg_e = jnp.take(xg_z, ids_g, axis=0)
+                sr_e = jnp.take(sr_z, ids_g, axis=0)
+                return 0, _sell_bwd_src(
+                    xg_e, sr_e, zs_c, a2, bdiag, ex, a_rep, rel_g, spc_s,
+                    **kw,
+                )
+
+            _, dzs_s = jax.lax.scan(
+                body2, 0,
+                (
+                    st_.srcs.ids_grp, st_.srcs.rel_off,
+                    zs_perm.reshape(g_chunks, spc_s * TILE_N, hd),
+                ),
+            )
+            dzs_p = dzs_s.reshape(-1, hd)
+
+        dzd_flat = jnp.take(dzd_p, st_.dst.inv, axis=0)
+        dzs_flat = jnp.take(dzs_p, st_.srcs.inv, axis=0)
+        dzs = dzs_flat[: zs_.shape[0], :hd_real].reshape(zs_.shape)
+        dzd = dzd_flat[: zd_.shape[0], :hd_real].reshape(zd_.shape)
+        return dzs, dzd, da[:hd_real].reshape(num_heads, head_dim), None
+
+    attn.defvjp(fwd, bwd)
+    return attn(zs, zd, a, st)

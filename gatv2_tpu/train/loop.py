@@ -192,7 +192,7 @@ class Trainer:
         self.metrics_sink = metrics_sink
         self.splits = splits
 
-        if train_config.impl == "pallas":
+        if train_config.impl in ("pallas", "sell"):
             # edges travel via edge_tiles; don't ship the COO arrays
             # (~0.5GB at OGBN-Products scale)
             self.src = jnp.zeros(1, jnp.int32)
@@ -223,6 +223,15 @@ class Trainer:
             edge_tiles, feats, labels, pad_valid = setup_full_graph(
                 graph, model_config.heads, model_config.out_dims,
                 labels=labels,  # possibly split-masked above
+            )
+            if pad_valid is not None and num_valid is None:
+                num_valid = pad_valid
+        elif train_config.impl == "sell":
+            from gatv2_tpu.ops.sell_attention import setup_full_graph_sell
+
+            edge_tiles, feats, labels, pad_valid = setup_full_graph_sell(
+                graph, model_config.heads, model_config.out_dims,
+                labels=labels,
             )
             if pad_valid is not None and num_valid is None:
                 num_valid = pad_valid

@@ -95,6 +95,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         src = jnp.zeros(1, jnp.int32)
         dst = jnp.zeros(1, jnp.int32)
+    elif train_config.impl == "sell":
+        from gatv2_tpu.ops.sell_attention import setup_full_graph_sell
+
+        edge_tiles, feats, _, _ = setup_full_graph_sell(
+            graph, model_config.heads, model_config.out_dims
+        )
+        src = jnp.zeros(1, jnp.int32)
+        dst = jnp.zeros(1, jnp.int32)
     else:
         pe = graph.padded_edges(128)
         src = jnp.asarray(pe.src)

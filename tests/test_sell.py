@@ -1,0 +1,251 @@
+"""SELL-layout kernel tests: layout invariants, forward/grad parity vs the
+XLA oracle (ops.attention._edge_attention_xla), and edge cases (empty rows,
+lane padding, head grouping). All run in interpret mode on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gatv2_tpu.data.synthetic import random_graph
+from gatv2_tpu.ops.attention import _edge_attention_xla, edge_attention
+from gatv2_tpu.ops.sell_attention import (
+    TILE_N,
+    prepare_sell_tiles,
+    sell_attention,
+)
+
+
+def _coo(g):
+    dst = np.repeat(
+        np.arange(g.num_nodes, dtype=np.int32), np.diff(g.row_ptr)
+    )
+    return np.asarray(g.col_idx, np.int32), dst
+
+
+def _rand_zza(n, h, d, seed, flat=False):
+    rng = np.random.default_rng(seed)
+    zs = rng.normal(size=(n, h, d)).astype(np.float32)
+    zd = rng.normal(size=(n, h, d)).astype(np.float32)
+    a = rng.normal(size=(h, d)).astype(np.float32)
+    if flat:
+        zs, zd = zs.reshape(n, h * d), zd.reshape(n, h * d)
+    return jnp.asarray(zs), jnp.asarray(zd), jnp.asarray(a)
+
+
+def _ref(zs, zd, a, src, dst, n, flat=False):
+    if flat:
+        h, d = a.shape
+        out = _edge_attention_xla(
+            zs.reshape(n, h, d), zd.reshape(n, h, d), a,
+            jnp.asarray(src), jnp.asarray(dst), n, negative_slope=0.2,
+        )
+        return out.reshape(n, h * d)
+    return _edge_attention_xla(
+        zs, zd, a, jnp.asarray(src), jnp.asarray(dst), n,
+        negative_slope=0.2,
+    )
+
+
+@pytest.mark.fast
+def test_layout_invariants():
+    g = random_graph(
+        num_nodes=500, num_edges=2300, feature_dim=8, num_classes=3, seed=11
+    )
+    st = prepare_sell_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    src_all, dst_all = _coo(g)
+    perm = np.asarray(st.dst.perm)
+    inv = np.asarray(st.dst.inv)
+    ids = np.asarray(st.dst.gather_ids)
+    msk = np.asarray(st.dst.msk)[:, 0]
+    col_off = np.asarray(st.dst.col_off)
+    assert np.array_equal(perm[inv], np.arange(len(perm)))
+    # in-degree descending within the permutation
+    deg = np.zeros(len(perm), np.int64)
+    deg[: g.num_nodes] = np.diff(g.row_ptr)
+    assert np.all(np.diff(deg[perm]) <= 0)
+    # every real edge appears exactly once, in its dst's row, masked 0
+    real = msk == 0.0
+    assert real.sum() == g.num_edges
+    slots = np.nonzero(real)[0]
+    cols = slots // TILE_N
+    rows = slots % TILE_N
+    t_of_col = np.searchsorted(col_off, cols, side="right") - 1
+    node_of_slot = perm[t_of_col * TILE_N + rows]
+    # per-dst multiset of sources matches the CSR
+    got = sorted(zip(node_of_slot.tolist(), ids[slots].tolist()))
+    want = sorted(zip(dst_all.tolist(), src_all.tolist()))
+    assert got == want
+    # padding slots gather the appended zero row
+    assert np.all(ids[~real] == st.padded_src_nodes)
+    # ell_perm maps each real edge to a real dst-ELL slot, pads to e_ell
+    ep = np.asarray(st.ell_perm)
+    real2 = ep < st.e_ell
+    assert real2.sum() == g.num_edges
+    assert np.all(np.asarray(st.srcs.msk)[:, 0][real2] == 0.0)
+    assert np.array_equal(np.sort(ep[real2]), np.sort(slots))
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("h,d,flat", [(4, 32, False), (1, 16, True), (2, 60, False)])
+def test_sell_forward_parity(h, d, flat):
+    g = random_graph(
+        num_nodes=300, num_edges=1400, feature_dim=8, num_classes=3, seed=3
+    )
+    n = g.num_nodes
+    src_all, dst_all = _coo(g)
+    zs, zd, a = _rand_zza(n, h, d, 0, flat=flat)
+    st = prepare_sell_tiles(g.row_ptr, g.col_idx, n)
+    out = sell_attention(
+        zs, zd, a, None, None, n, negative_slope=0.2, sell_tiles=st,
+        interpret=True,
+    )
+    ref = _ref(zs, zd, a, src_all, dst_all, n, flat=flat)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.fast
+def test_sell_grad_parity():
+    g = random_graph(
+        num_nodes=300, num_edges=1400, feature_dim=8, num_classes=3, seed=5
+    )
+    n = g.num_nodes
+    src_all, dst_all = _coo(g)
+    zs, zd, a = _rand_zza(n, 4, 32, 1)
+    st = prepare_sell_tiles(g.row_ptr, g.col_idx, n)
+
+    def loss_sell(zs, zd, a):
+        o = sell_attention(
+            zs, zd, a, None, None, n, negative_slope=0.2, sell_tiles=st,
+            interpret=True,
+        )
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(zs, zd, a):
+        return jnp.sum(jnp.sin(_ref(zs, zd, a, src_all, dst_all, n)))
+
+    gs = jax.grad(loss_sell, argnums=(0, 1, 2))(zs, zd, a)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(zs, zd, a)
+    for x, y in zip(gs, gr):
+        np.testing.assert_allclose(x, y, rtol=2e-4, atol=5e-5)
+
+
+def test_sell_empty_rows_and_hubs():
+    """Isolated nodes (empty softmax rows) and one high-degree hub: outputs
+    match the oracle and gradients stay finite and correct."""
+    # hand-built CSR: node 0 is a hub (deg 200), nodes 1..50 deg 0,
+    # the rest sparse
+    n = 260
+    rng = np.random.default_rng(7)
+    deg = np.zeros(n, np.int64)
+    deg[0] = 200
+    deg[51:] = rng.integers(0, 4, size=n - 51)
+    row_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=row_ptr[1:])
+    col_idx = rng.integers(0, n, size=int(row_ptr[-1])).astype(np.int32)
+    dst_all = np.repeat(np.arange(n, dtype=np.int32), deg)
+
+    zs, zd, a = _rand_zza(n, 2, 16, 2)
+    st = prepare_sell_tiles(row_ptr, col_idx, n)
+
+    def loss_sell(zs, zd, a):
+        o = sell_attention(
+            zs, zd, a, None, None, n, negative_slope=0.2, sell_tiles=st,
+            interpret=True,
+        )
+        return jnp.sum(jnp.cos(o)), o
+
+    (_, out), gs = jax.value_and_grad(
+        loss_sell, argnums=(0, 1, 2), has_aux=True
+    )(zs, zd, a)
+    ref = _ref(zs, zd, a, col_idx, dst_all, n)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    # empty rows produce exactly zero
+    np.testing.assert_array_equal(np.asarray(out)[1:51], 0.0)
+
+    def loss_ref(zs, zd, a):
+        return jnp.sum(jnp.cos(_ref(zs, zd, a, col_idx, dst_all, n)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(zs, zd, a)
+    for x, y in zip(gs, gr):
+        assert np.all(np.isfinite(x))
+        np.testing.assert_allclose(x, y, rtol=2e-4, atol=5e-5)
+
+
+def test_sell_head_group_split():
+    """>STATS_L heads run as independent groups and still match."""
+    g = random_graph(
+        num_nodes=150, num_edges=600, feature_dim=8, num_classes=3, seed=9
+    )
+    n = g.num_nodes
+    src_all, dst_all = _coo(g)
+    zs, zd, a = _rand_zza(n, 18, 8, 3)
+    st = prepare_sell_tiles(g.row_ptr, g.col_idx, n)
+    out = sell_attention(
+        zs, zd, a, None, None, n, negative_slope=0.2, sell_tiles=st,
+        interpret=True,
+    )
+    ref = _ref(zs, zd, a, src_all, dst_all, n)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.fast
+def test_sell_chunked_parity():
+    """num_chunks > 1 (scan-grouped gathers, phase-2b recompute backward)
+    matches both the oracle and the unchunked packet path."""
+    g = random_graph(
+        num_nodes=700, num_edges=3200, feature_dim=8, num_classes=3, seed=13
+    )
+    n = g.num_nodes
+    src_all, dst_all = _coo(g)
+    zs, zd, a = _rand_zza(n, 2, 32, 8)
+    st1 = prepare_sell_tiles(g.row_ptr, g.col_idx, n)
+    st3 = prepare_sell_tiles(g.row_ptr, g.col_idx, n, num_chunks=3)
+    assert st3.num_chunks == 3
+    assert st3.e_ell == st1.e_ell  # balancing never changes slice widths
+
+    def loss(st):
+        def f(zs, zd, a):
+            o = sell_attention(
+                zs, zd, a, None, None, n, negative_slope=0.2,
+                sell_tiles=st, interpret=True,
+            )
+            return jnp.sum(jnp.sin(o)), o
+
+        return f
+
+    (v3, o3), g3 = jax.value_and_grad(
+        loss(st3), argnums=(0, 1, 2), has_aux=True
+    )(zs, zd, a)
+    (v1, o1), g1 = jax.value_and_grad(
+        loss(st1), argnums=(0, 1, 2), has_aux=True
+    )(zs, zd, a)
+    np.testing.assert_allclose(o3, o1, rtol=1e-6, atol=1e-6)
+    ref = _ref(zs, zd, a, src_all, dst_all, n)
+    np.testing.assert_allclose(o3, ref, rtol=2e-5, atol=2e-5)
+
+    def loss_ref(zs, zd, a):
+        return jnp.sum(jnp.sin(_ref(zs, zd, a, src_all, dst_all, n)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(zs, zd, a)
+    for x3, x1, xr in zip(g3, g1, gr):
+        np.testing.assert_allclose(x3, xr, rtol=2e-4, atol=5e-5)
+        np.testing.assert_allclose(x3, x1, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_sell_via_edge_attention():
+    """The impl='sell' dispatch path through ops.attention.edge_attention."""
+    g = random_graph(
+        num_nodes=200, num_edges=900, feature_dim=8, num_classes=3, seed=4
+    )
+    n = g.num_nodes
+    src_all, dst_all = _coo(g)
+    zs, zd, a = _rand_zza(n, 4, 16, 6)
+    st = prepare_sell_tiles(g.row_ptr, g.col_idx, n)
+    out = edge_attention(
+        zs, zd, a, jnp.asarray(src_all), jnp.asarray(dst_all), n,
+        negative_slope=0.2, impl="sell", edge_tiles=st, interpret=True,
+    )
+    ref = _ref(zs, zd, a, src_all, dst_all, n)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)

@@ -11,6 +11,9 @@ Covers, in ~a minute of chip time:
   3. precision='high' (bf16x3 + exact_arg splits on the real MXU)
   4. 17-head group split (STATS_L boundary)
   5. merge path (edge_attention_pallas_merge, 2 parts)
+  6. SELL-layout kernels (ops/sell_attention.py): fwd + bwd, h=4 d=64 and
+     the lane-pad case h=2 d=60 — the [128, 1] mask stream and the
+     head-replicated representation only prove out on real Mosaic lowering
 
 Prints one JSON line per check and 'SMOKE OK' at the end; exits nonzero on
 the first failure.
@@ -100,6 +103,59 @@ def main():
     check("chunked3_h4d64", 4, 64, num_chunks=3)
     check("high_precision_h4d64", 4, 64, precision="high", tol=3e-4)
     check("heads17_group_split", 17, 8)
+
+    from gatv2_tpu.ops.sell_attention import (
+        prepare_sell_tiles,
+        sell_attention,
+    )
+
+    def check_sell(tag, h, d, *, precision="highest", tol=2e-5):
+        nonlocal failures
+        rng = np.random.default_rng(31)
+        zs = jnp.asarray(rng.standard_normal((g.num_nodes, h, d)), jnp.float32)
+        zd = jnp.asarray(rng.standard_normal((g.num_nodes, h, d)), jnp.float32)
+        a = jnp.asarray(rng.standard_normal((h, d)), jnp.float32)
+        st = prepare_sell_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+
+        def loss_sl(zs, zd, a):
+            return jnp.sum(jnp.sin(sell_attention(
+                zs, zd, a, None, None, g.num_nodes, negative_slope=0.2,
+                sell_tiles=st, precision=precision,
+            )))
+
+        def loss_xla(zs, zd, a):
+            return jnp.sum(jnp.sin(_edge_attention_xla(
+                zs, zd, a, src, dst, g.num_nodes, negative_slope=0.2,
+            )))
+
+        try:
+            v_s, g_s = jax.jit(jax.value_and_grad(
+                loss_sl, argnums=(0, 1, 2)))(zs, zd, a)
+            v_x, g_x = jax.jit(jax.value_and_grad(
+                loss_xla, argnums=(0, 1, 2)))(zs, zd, a)
+            errs = []
+            for p, x in zip(g_s, g_x):
+                p, x = np.asarray(p), np.asarray(x)
+                errs.append(float(np.abs(p - x).max() /
+                                  (np.abs(x).max() + 1e-12)))
+            verr = abs(float(v_s) - float(v_x)) / (abs(float(v_x)) + 1e-12)
+            ok = verr < tol and all(e < tol for e in errs)
+            print(json.dumps({
+                "check": tag, "ok": bool(ok), "val_rel_err": verr,
+                "grad_rel_errs": errs,
+            }), flush=True)
+            if not ok:
+                failures += 1
+        except Exception as e:
+            print(json.dumps({
+                "check": tag, "ok": False,
+                "error": f"{type(e).__name__}: {str(e)[:400]}",
+            }), flush=True)
+            failures += 1
+
+    check_sell("sell_h4d64", 4, 64)
+    check_sell("sell_lanepad_h2d60", 2, 60)
+    check_sell("sell_high_precision", 4, 64, precision="high", tol=3e-4)
 
     # merge path (the halo-overlap building block): split edges in two
     try:
