@@ -9,7 +9,9 @@ timing; each under its own timeout so one hang cannot kill the sweep):
   2. precision=high points: arxiv, products-full (the bf16x3 tier)
   3. mesh=1 overhead rows: citeseer3 + products-sub via --mesh 1
      (sharding machinery cost with no real communication -> SCALING.md §3)
-  4. optional --tile-e study on arxiv (128/256/512)
+  4. impl=sell A/B rows on every config (the SELL-layout kernels,
+     ops/sell_attention.py) — the round-3 kernel bake-off
+  5. optional --tile-e study on arxiv (128/256/512)
 
 Usage:  python tools/run_sweep.py [--out SWEEP_R3.jsonl] [--tile-study]
 Rerun-safe: legs already present in --out (same tag) are skipped.
@@ -38,6 +40,16 @@ LEGS: list[tuple[str, list[str], int]] = [
      ["--config", "products-full", "--precision", "high"], 5400),
     ("citeseer3-mesh1", ["--config", "citeseer3", "--mesh", "1"], 1800),
     ("products-sub-mesh1", ["--config", "products-sub", "--mesh", "1"], 3600),
+    # SELL-layout A/B (run AFTER tools/tpu_smoke.py passes its sell checks)
+    ("citeseer3-sell", ["--config", "citeseer3", "--impl", "sell"], 900),
+    ("cora-sell", ["--config", "cora", "--impl", "sell"], 900),
+    ("pubmed-sell", ["--config", "pubmed", "--impl", "sell"], 900),
+    ("arxiv-sell", ["--config", "arxiv", "--impl", "sell"], 1800),
+    ("products-sub-sell", ["--config", "products-sub", "--impl", "sell"], 3600),
+    ("products-full-sell",
+     ["--config", "products-full", "--impl", "sell"], 5400),
+    ("arxiv-sell-high",
+     ["--config", "arxiv", "--impl", "sell", "--precision", "high"], 1800),
 ]
 
 TILE_LEGS = [
