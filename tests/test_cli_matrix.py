@@ -32,9 +32,12 @@ def run(argv):
     [
         [],
         ["--impl", "pallas"],
+        ["--impl", "sell"],
         ["--variant", "node"],
         ["--variant", "node", "--impl", "pallas"],
+        ["--variant", "node", "--impl", "sell"],
         ["--precision", "high"],
+        ["--precision", "high", "--impl", "sell"],
         ["--clip"],
         ["--mesh", "2"],
         ["--mesh", "2", "--impl", "pallas"],
@@ -51,7 +54,8 @@ def run(argv):
          "--impl", "pallas", "--sampler-engine", "python"],
     ],
     ids=[
-        "xla", "pallas", "node-variant", "node-pallas", "precision-high",
+        "xla", "pallas", "sell", "node-variant", "node-pallas", "node-sell",
+        "precision-high", "precision-high-sell",
         "clip", "mesh", "mesh-pallas",
         "mesh-overlap", "mesh-pallas-overlap",
         "minibatch", "minibatch-host-feats", "minibatch-pallas",
@@ -64,6 +68,18 @@ def test_flag_matrix(extra, capsys):
     assert "Avg Loss:" in out
     # karate ships mask files -> every path must report held-out accuracy
     assert "Final Test Accuracy:" in out
+
+
+def test_sell_rejects_mesh_and_minibatch():
+    """impl=sell is full-graph single-device; distributed modes must fail
+    loudly, not silently fall back."""
+    with pytest.raises(SystemExit):
+        train_main.main(BASE + ["--impl", "sell", "--mesh", "2"])
+    with pytest.raises(SystemExit):
+        train_main.main(
+            BASE + ["--impl", "sell", "--batch-size", "8",
+                    "--fanouts", "4,4"]
+        )
 
 
 def test_checkpoint_resume_with_mesh(tmp_path, capsys):

@@ -35,6 +35,7 @@ CONFIGS = {
 MODES = {
     "xla": (["--impl", "xla"], {}),
     "pallas": (["--impl", "pallas"], {}),
+    "sell": (["--impl", "sell"], {}),
     "mesh8-cpu": (
         ["--impl", "xla", "--mesh", "8"],
         {"GATV2_PLATFORM": "cpu",
