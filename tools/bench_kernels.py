@@ -11,7 +11,7 @@ kernels (bench.flops_per_epoch counts the same passes for the whole epoch;
 here we count one layer's attention only).
 
 Usage: python tools/bench_kernels.py [--config arxiv] [--hd 256]
-       [--mode fwd|fwdbwd] [--precision highest]
+       [--mode fwd|fwdbwd] [--precision highest] [--impl pallas|sell]
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--mode", default="fwdbwd", choices=["fwd", "fwdbwd"])
+    ap.add_argument("--impl", default="pallas", choices=["pallas", "sell"])
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
     ap.add_argument("--tile-e", type=int, default=None)
@@ -66,21 +67,51 @@ def main():
     # edge streams (and the structural-FLOP model below would mislabel the
     # backward pass count)
     budget = (2 << 30) if e >= 30_000_000 else (4 << 30)
-    et = prepare_edge_tiles(
-        g.row_ptr, g.col_idx, g.num_nodes, tile_e=args.tile_e, max_hd=hd,
-        num_chunks=suggest_num_chunks(e, hd, budget_bytes=budget),
-    )
+    if args.impl == "sell":
+        from gatv2_tpu.ops.sell_attention import (
+            _side_geometry,
+            prepare_sell_tiles,
+            suggest_num_chunks_sell,
+        )
+
+        # exact pre-sizing (see setup_full_graph_sell)
+        deg_d = np.diff(np.asarray(g.row_ptr, np.int64))
+        deg_s = np.bincount(
+            np.asarray(g.col_idx, np.int64), minlength=g.num_nodes
+        )
+        _, _, e_ell_est, _ = _side_geometry(deg_d, g.num_nodes, 1)
+        _, _, e2_ell_est, _ = _side_geometry(deg_s, g.num_nodes, 1)
+        et = prepare_sell_tiles(
+            g.row_ptr, g.col_idx, g.num_nodes,
+            num_chunks=suggest_num_chunks_sell(
+                e_ell_est, e2_ell_est, hd, budget_bytes=budget
+            ),
+        )
+    else:
+        et = prepare_edge_tiles(
+            g.row_ptr, g.col_idx, g.num_nodes, tile_e=args.tile_e, max_hd=hd,
+            num_chunks=suggest_num_chunks(e, hd, budget_bytes=budget),
+        )
     n_pad = et.padded_num_nodes
     key = jax.random.PRNGKey(0)
     zs = jax.random.normal(key, (n_pad, h * d), jnp.float32)
     zd = jax.random.normal(jax.random.PRNGKey(1), (n_pad, h * d), jnp.float32)
     a = jax.random.normal(jax.random.PRNGKey(2), (h, d), jnp.float32) * 0.1
 
-    def op(zs, zd, a):
-        return edge_attention_pallas(
-            zs, zd, a, None, None, n_pad, negative_slope=0.2,
-            edge_tiles=et, precision=args.precision,
-        )
+    if args.impl == "sell":
+        from gatv2_tpu.ops.sell_attention import sell_attention
+
+        def op(zs, zd, a):
+            return sell_attention(
+                zs, zd, a, None, None, n_pad, negative_slope=0.2,
+                sell_tiles=et, precision=args.precision,
+            )
+    else:
+        def op(zs, zd, a):
+            return edge_attention_pallas(
+                zs, zd, a, None, None, n_pad, negative_slope=0.2,
+                edge_tiles=et, precision=args.precision,
+            )
 
     if args.mode == "fwd":
         def call(zs, zd, a):
@@ -126,18 +157,25 @@ def main():
 
     # structural MXU FLOPs for ONE layer's attention (see bench.flops_per_epoch)
     chunked = et.num_chunks > 1
-    fwd_hd, bwd_hd = 3.0, (9.0 if chunked else 6.0)
-    passes_hd = fwd_hd if args.mode == "fwd" else fwd_hd + bwd_hd
-    passes_128 = 2.0
-    gflop = 2.0 * e * 128 * (passes_hd * hd + passes_128 * 128) / 1e9
+    if args.impl == "sell":
+        # [128, hd] x [hd, hd] products per 128-edge column: 1 fwd;
+        # backward adds 2 (phase 1) and, when chunked, 3 (phase 2b)
+        prods = 1.0 if args.mode == "fwd" else (1.0 + 2.0 + (3.0 if chunked else 0.0))
+        gflop = et.pad_overhead * e * prods * 2.0 * hd * hd / 1e9
+    else:
+        fwd_hd, bwd_hd = 3.0, (9.0 if chunked else 6.0)
+        passes_hd = fwd_hd if args.mode == "fwd" else fwd_hd + bwd_hd
+        passes_128 = 2.0
+        gflop = 2.0 * e * 128 * (passes_hd * hd + passes_128 * 128) / 1e9
     device = str(jax.devices()[0])
     peak = _peak_tflops(device)
     out = {
         "config": args.config,
         "mode": args.mode,
+        "impl": args.impl,
         "heads": h,
         "dim": d,
-        "tile_e": et.tile_e,
+        "tile_e": getattr(et, "tile_e", None),
         "num_chunks": et.num_chunks,
         "precision": args.precision,
         "ms_per_call": round(ms, 4),
