@@ -49,7 +49,11 @@ CONFIGS = {
 
 
 def flops_per_epoch(
-    name: str, impl: str, num_chunks: int = 1, sell_overhead: float = 1.0
+    name: str,
+    impl: str,
+    num_chunks: int = 1,
+    sell_overhead: float = 1.0,
+    sell_e2_overhead: float | None = None,
 ) -> dict:
     """Model-FLOPs accounting for one training epoch (fwd+bwd+update).
 
@@ -88,12 +92,18 @@ def flops_per_epoch(
             hd = -(-h * d // 128) * 128  # lane-padded feature width
             structural += 2.0 * e * tile * (hd_passes * hd + 2.0 * tile)
         elif impl == "sell":
-            # SELL kernels: 3 [128, hd] x [hd, hd] products per 128-edge
-            # column across fwd (score) + bwd phase 1 (score, dalpha);
-            # phase 2 has none. Padded columns (sell_overhead) burn the
-            # same products on padding slots.
+            # SELL kernels: [128, hd] x [hd, hd] products per 128-edge
+            # column — fwd 1 (score) + bwd phase 1 2 (score, dalpha) on
+            # the dst-side layout; CHUNKED runs add phase 2b's 3 (score,
+            # stat expansion, dalpha) on the SRC-side layout (e2_ell
+            # columns). Unchunked phase 2a has none. Padded columns
+            # (the per-side overheads) burn the same products.
             hd = -(-h * d // 128) * 128
-            structural += sell_overhead * e * 3 * 2.0 * hd * hd
+            ov2 = sell_overhead if sell_e2_overhead is None else sell_e2_overhead
+            prods = 3.0 * sell_overhead + (
+                3.0 * ov2 if num_chunks > 1 else 0.0
+            )
+            structural += prods * e * 2.0 * hd * hd
     dense += 2.0 * n * outdims[-1] * c  # classifier
     fwd_bwd = 3.0  # fwd + ~2x fwd for backward
     return {
@@ -201,6 +211,9 @@ def bench_config(
         impl,
         getattr(edge_tiles, "num_chunks", 1) if edge_tiles is not None else 1,
         sell_overhead=sell_overhead or 1.0,
+        sell_e2_overhead=(
+            edge_tiles.e2_ell / max(e, 1) if impl == "sell" else None
+        ),
     )
     device = str(jax.devices()[0])
     achieved = fl["model_gflop"] / epoch_ms  # GFLOP / ms == TFLOP/s

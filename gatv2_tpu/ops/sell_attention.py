@@ -373,6 +373,29 @@ def prepare_sell_tiles(
     )
 
 
+def suggest_chunks_for_graph(
+    row_ptr, col_idx, num_nodes, heads, out_dims, *, budget_bytes=None
+) -> int:
+    """Chunk count for a CSR graph: exact e_ell/e2_ell pre-sizing (the
+    balancing reorder never changes slice widths) + the live-set budget.
+    Shared by setup_full_graph_sell and tools/bench_kernels so the bench
+    always measures the same chunking the trainer uses."""
+    num_edges = int(np.asarray(row_ptr)[-1])
+    if budget_bytes is None:
+        budget_bytes = (2 << 30) if num_edges >= 30_000_000 else (4 << 30)
+    max_hd = max(
+        -(-min(h, STATS_L) * d // 128) * 128
+        for h, d in zip(heads, out_dims)
+    )
+    deg_d = np.diff(np.asarray(row_ptr, np.int64))
+    deg_s = np.bincount(np.asarray(col_idx, np.int64), minlength=num_nodes)
+    _, _, e_ell_est, _ = _side_geometry(deg_d, num_nodes, 1)
+    _, _, e2_ell_est, _ = _side_geometry(deg_s, num_nodes, 1)
+    return suggest_num_chunks_sell(
+        e_ell_est, e2_ell_est, max_hd, budget_bytes=budget_bytes
+    )
+
+
 def setup_full_graph_sell(
     graph, heads=None, out_dims=None, *, labels=None, budget_bytes=None
 ):
@@ -385,21 +408,9 @@ def setup_full_graph_sell(
     when no padding row was added. Padding labels are -1 (loss-ignored)."""
     num_chunks = 1
     if heads is not None:
-        e = graph.num_edges
-        if budget_bytes is None:
-            budget_bytes = (2 << 30) if e >= 30_000_000 else (4 << 30)
-        max_hd = max(
-            -(-min(h, STATS_L) * d // 128) * 128
-            for h, d in zip(heads, out_dims)
-        )
-        deg_d = np.diff(np.asarray(graph.row_ptr, np.int64))
-        deg_s = np.bincount(
-            np.asarray(graph.col_idx, np.int64), minlength=graph.num_nodes
-        )
-        _, _, e_ell_est, _ = _side_geometry(deg_d, graph.num_nodes, 1)
-        _, _, e2_ell_est, _ = _side_geometry(deg_s, graph.num_nodes, 1)
-        num_chunks = suggest_num_chunks_sell(
-            e_ell_est, e2_ell_est, max_hd, budget_bytes=budget_bytes
+        num_chunks = suggest_chunks_for_graph(
+            graph.row_ptr, graph.col_idx, graph.num_nodes, heads, out_dims,
+            budget_bytes=budget_bytes,
         )
     st = prepare_sell_tiles(
         graph.row_ptr, graph.col_idx, graph.num_nodes, num_chunks=num_chunks
@@ -1092,6 +1103,11 @@ def sell_attention(
         raise ValueError(
             f"zs has {zs.shape[0]} rows; sell_tiles src space is "
             f"{st.num_src_nodes} (padded {st.padded_src_nodes})"
+        )
+    if zd.shape[0] not in (st.num_nodes, st.padded_num_nodes):
+        raise ValueError(
+            f"zd has {zd.shape[0]} rows; sell_tiles dst space is "
+            f"{st.num_nodes} (padded {st.padded_num_nodes})"
         )
     if a.shape[0] > STATS_L:
         # the packed [sigma | r] block holds STATS_L heads; larger head

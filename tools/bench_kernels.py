@@ -69,22 +69,16 @@ def main():
     budget = (2 << 30) if e >= 30_000_000 else (4 << 30)
     if args.impl == "sell":
         from gatv2_tpu.ops.sell_attention import (
-            _side_geometry,
             prepare_sell_tiles,
-            suggest_num_chunks_sell,
+            suggest_chunks_for_graph,
         )
 
-        # exact pre-sizing (see setup_full_graph_sell)
-        deg_d = np.diff(np.asarray(g.row_ptr, np.int64))
-        deg_s = np.bincount(
-            np.asarray(g.col_idx, np.int64), minlength=g.num_nodes
-        )
-        _, _, e_ell_est, _ = _side_geometry(deg_d, g.num_nodes, 1)
-        _, _, e2_ell_est, _ = _side_geometry(deg_s, g.num_nodes, 1)
+        # same chunking policy the trainer uses (shared helper)
         et = prepare_sell_tiles(
             g.row_ptr, g.col_idx, g.num_nodes,
-            num_chunks=suggest_num_chunks_sell(
-                e_ell_est, e2_ell_est, hd, budget_bytes=budget
+            num_chunks=suggest_chunks_for_graph(
+                g.row_ptr, g.col_idx, g.num_nodes, (h,), (d,),
+                budget_bytes=budget,
             ),
         )
     else:
@@ -158,10 +152,14 @@ def main():
     # structural MXU FLOPs for ONE layer's attention (see bench.flops_per_epoch)
     chunked = et.num_chunks > 1
     if args.impl == "sell":
-        # [128, hd] x [hd, hd] products per 128-edge column: 1 fwd;
-        # backward adds 2 (phase 1) and, when chunked, 3 (phase 2b)
-        prods = 1.0 if args.mode == "fwd" else (1.0 + 2.0 + (3.0 if chunked else 0.0))
-        gflop = et.pad_overhead * e * prods * 2.0 * hd * hd / 1e9
+        # [128, hd] x [hd, hd] products per 128-edge column: 1 fwd + 2
+        # bwd phase 1 on the dst-side layout (e_ell padded edges); when
+        # chunked, phase 2b adds 3 on the SRC-side layout (e2_ell)
+        prods_d = 1.0 if args.mode == "fwd" else 3.0
+        prods_s = 3.0 if (chunked and args.mode == "fwdbwd") else 0.0
+        gflop = (
+            (prods_d * et.e_ell + prods_s * et.e2_ell) * 2.0 * hd * hd / 1e9
+        )
     else:
         fwd_hd, bwd_hd = 3.0, (9.0 if chunked else 6.0)
         passes_hd = fwd_hd if args.mode == "fwd" else fwd_hd + bwd_hd

@@ -119,6 +119,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(REPO / "SWEEP_R3.jsonl"))
     ap.add_argument("--tile-study", action="store_true")
+    ap.add_argument("--no-sell", action="store_true",
+                    help="skip the *-sell legs (e.g. when tpu_smoke's "
+                         "sell checks failed on this chip)")
     args = ap.parse_args()
 
     out_path = pathlib.Path(args.out)
@@ -132,6 +135,8 @@ def main():
                 records.append(rec)
 
     legs = LEGS + (TILE_LEGS if args.tile_study else [])
+    if args.no_sell:
+        legs = [leg for leg in legs if "-sell" not in leg[0]]
     with out_path.open("a") as f:
         for tag, leg_args, timeout_s in legs:
             if tag in done:
