@@ -27,7 +27,8 @@ def _params_as_numpy(params):
 
 
 @pytest.mark.parametrize("variant", ["edge", "node"])
-def test_logits_match_oracle(tiny_graph, variant):
+@pytest.mark.parametrize("impl", ["xla", "sell"])
+def test_logits_match_oracle(tiny_graph, variant, impl):
     g = tiny_graph
     config = ModelConfig(
         num_layers=3,
@@ -39,16 +40,26 @@ def test_logits_match_oracle(tiny_graph, variant):
     )
     params = init_params(config, jax.random.PRNGKey(0))
 
+    edge_tiles = None
+    feats = g.features
+    if impl == "sell":
+        from gatv2_tpu.ops.sell_attention import setup_full_graph_sell
+
+        edge_tiles, feats, _, _ = setup_full_graph_sell(
+            g, config.heads, config.out_dims
+        )
     pe = g.padded_edges(128)
     logits = np.asarray(
         model_forward(
             params,
-            jnp.asarray(g.features),
+            jnp.asarray(feats),
             jnp.asarray(pe.src),
             jnp.asarray(pe.dst),
             config,
+            impl=impl,
+            edge_tiles=edge_tiles,
         )
-    )
+    )[: g.num_nodes]
 
     layers_np, w_o_np = _params_as_numpy(params)
     logits_ref = oracle.model_oracle(
