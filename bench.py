@@ -372,7 +372,18 @@ def bench_mesh_config(
     if plan is not None and plan.halo_size >= pg.padded_num_nodes:
         plan = None  # no locality; dense all_gather moves less
     tiles = ov = ov_tiles = None
-    if overlap and plan is not None:
+    if impl == "sell":
+        from gatv2_tpu.parallel.partition import (
+            prepare_partitioned_sell_tiles,
+        )
+
+        if overlap:
+            raise ValueError(
+                "--overlap is unavailable with --impl sell (no merged-"
+                "softmax SELL kernel)"
+            )
+        tiles = prepare_partitioned_sell_tiles(pg, halo_plan=plan)
+    elif overlap and plan is not None:
         split = overlap_split_plan(pg, plan)
         if impl == "pallas":
             ov_tiles = prepare_overlap_tiles(
@@ -460,8 +471,6 @@ def main():
     if args.mesh > 0:
         if args.all:
             ap.error("--all cannot be combined with --mesh")
-        if args.impl == "sell":
-            ap.error("--impl sell is single-device full-graph only")
         r = bench_mesh_config(
             args.config, args.mesh, halo=not args.no_halo,
             overlap=args.overlap, impl=args.impl, precision=args.precision,

@@ -55,8 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     # framework extensions
     p.add_argument("--impl", choices=["xla", "pallas", "sell"], default="xla",
                    help="attention/aggregation implementation (sell = the "
-                        "degree-sorted sliced-ELLPACK kernels, full-graph "
-                        "training only)")
+                        "degree-sorted sliced-ELLPACK kernels; full-graph "
+                        "single-device or --mesh, no minibatch mode)")
     p.add_argument("--variant", choices=["edge", "node"], default="edge",
                    help="reference variant semantics (last-layer activation order)")
     p.add_argument("--precision", choices=["highest", "high", "default"], default="highest",

@@ -202,17 +202,27 @@ def _side_geometry(deg: np.ndarray, num_rows: int, num_chunks: int):
     return t2, spc, max(int(widths.sum()) * TILE_N, TILE_N), g
 
 
-def _build_sell_side(ptr, opp_ids, num_rows, opp_pad_rows, num_chunks):
+def _build_sell_side(
+    ptr, opp_ids, num_rows, opp_pad_rows, num_chunks, fixed_cols=None
+):
     """One side's SELL layout from its CSR view.
 
     ptr [num_rows+1], opp_ids [E]: the opposite endpoint of each edge in
     this side's sorted order. Returns (_SellSide, slot[E] int64 — each
     edge's ELL slot, in this side's edge order, for cross-side permutes —
     and spc, the slices per chunk).
+
+    fixed_cols: force the edge arrays to this total column count (error if
+    the real layout needs more). Keeps every array shape constant across
+    graphs sharing a node budget — required for stacking per-shard layouts
+    (parallel.partition.prepare_partitioned_sell_tiles); the tail region
+    beyond col_off[-1] is all padding sentinels and is never streamed.
     """
     ptr = np.asarray(ptr, np.int64)
     deg = np.diff(ptr)
     t2, spc, _, g = _side_geometry(deg, num_rows, num_chunks)
+    if fixed_cols is not None and g > 1:
+        raise ValueError("fixed_cols requires num_chunks == 1")
     rows_pad = t2 * TILE_N
     deg_pad = np.zeros(rows_pad, np.int64)
     deg_pad[:num_rows] = deg
@@ -243,6 +253,13 @@ def _build_sell_side(ptr, opp_ids, num_rows, opp_pad_rows, num_chunks):
     col_off = np.zeros(t2 + 1, np.int64)
     np.cumsum(widths, out=col_off[1:])
     e_ell = max(int(col_off[-1]) * TILE_N, TILE_N)
+    if fixed_cols is not None:
+        if e_ell > fixed_cols * TILE_N:
+            raise ValueError(
+                f"fixed_cols={fixed_cols} too small: this layout needs "
+                f"{e_ell // TILE_N} columns"
+            )
+        e_ell = fixed_cols * TILE_N
 
     gather = np.full(e_ell, opp_pad_rows, np.int32)
     msk = np.full((e_ell, 1), NEG_INF, np.float32)
@@ -313,11 +330,15 @@ def prepare_sell_tiles(
     num_nodes: int,
     num_src_nodes: int | None = None,
     num_chunks: int = 1,
+    fixed_cols: tuple[int, int] | None = None,
 ) -> SellTiles:
     """Build the two-sided SELL-128 layout from CSR (host-side, once per
     graph). num_src_nodes: bipartite edge sets (col_idx holds global source
     ids while row_ptr covers local destinations); default monopartite.
-    num_chunks=G bounds edge-space HBM temporaries at O(E/G)."""
+    num_chunks=G bounds edge-space HBM temporaries at O(E/G).
+    fixed_cols=(dst_cols, src_cols): force both sides' total column counts
+    so per-shard layouts stack to identical shapes (num_chunks=1 only);
+    the diagnostic aux (num_edges, pad_overhead) is uniformed too."""
     row_ptr = np.asarray(row_ptr, np.int64)
     col_idx = np.asarray(col_idx, np.int32)
     ns = num_nodes if num_src_nodes is None else num_src_nodes
@@ -333,9 +354,11 @@ def prepare_sell_tiles(
         np.diff(row_ptr), num_nodes, num_chunks
     )
     t2_s, spc_s, _, _ = _side_geometry(deg_s, ns, num_chunks)
+    fc_d, fc_s = fixed_cols if fixed_cols is not None else (None, None)
 
     dst_side, slot_d, e_ell, t2_d, spc_d = _build_sell_side(
-        row_ptr, col_idx, num_nodes, t2_s * TILE_N, num_chunks
+        row_ptr, col_idx, num_nodes, t2_s * TILE_N, num_chunks,
+        fixed_cols=fc_d,
     )
 
     # CSC view: edges stably re-sorted by src
@@ -346,7 +369,8 @@ def prepare_sell_tiles(
         np.arange(num_nodes, dtype=np.int32), np.diff(row_ptr)
     )
     src_side, slot_s, e2_ell, t2_s, spc_s = _build_sell_side(
-        sptr, dst_all[order], ns, t2_d * TILE_N, num_chunks
+        sptr, dst_all[order], ns, t2_d * TILE_N, num_chunks,
+        fixed_cols=fc_s,
     )
     if g > 1:
         ell_perm = np.zeros(1, np.int32)  # packet path unused when chunked
@@ -365,8 +389,12 @@ def prepare_sell_tiles(
         num_src_tiles=t2_s,
         e_ell=e_ell,
         e2_ell=e2_ell,
-        num_edges=num_edges,
-        pad_overhead=e_ell / max(num_edges, 1),
+        # stacked per-shard layouts need identical static aux: uniform the
+        # per-shard diagnostics in fixed mode
+        num_edges=-1 if fixed_cols is not None else num_edges,
+        pad_overhead=(
+            0.0 if fixed_cols is not None else e_ell / max(num_edges, 1)
+        ),
         num_chunks=g,
         spc_dst=spc_d,
         spc_src=spc_s,

@@ -254,6 +254,59 @@ def prepare_partitioned_tiles(
     return _stack_tiles(per_shard)
 
 
+def prepare_partitioned_sell_tiles(
+    pg: PartitionedGraph, halo_plan: "HaloPlan | None" = None
+):
+    """Per-shard SELL layouts (ops.sell_attention), stacked on a leading
+    shard axis — the impl='sell' counterpart of prepare_partitioned_tiles.
+
+    Each shard's edge set is bipartite (dst = the shard's local nodes,
+    src = the per-shard gather space: [local | halo rows] with a halo
+    plan, the padded global space otherwise). Both sides' column counts
+    are forced to the max across shards (fixed_cols) so every stacked
+    leaf has identical shape and the static aux agrees."""
+    from gatv2_tpu.ops.sell_attention import (
+        TILE_N,
+        _side_geometry,
+        prepare_sell_tiles,
+    )
+
+    s_count = pg.num_shards
+    nps = pg.nodes_per_shard
+    if halo_plan is not None:
+        n_glob = halo_plan.space_size
+        src_all = halo_plan.src_halo
+    else:
+        n_glob = pg.padded_num_nodes
+        src_all = pg.src.reshape(s_count, -1)
+    dst_all = pg.dst_local.reshape(s_count, -1)
+
+    shards = []
+    cols_d = cols_s = 1
+    for s in range(s_count):
+        real = dst_all[s] < nps
+        dst_s = dst_all[s][real]
+        src_s = src_all[s][real]
+        counts = np.bincount(dst_s, minlength=nps)
+        row_ptr = np.zeros(nps + 1, np.int64)
+        np.cumsum(counts, out=row_ptr[1:])
+        shards.append((row_ptr, src_s))
+        _, _, e_ell, _ = _side_geometry(np.diff(row_ptr), nps, 1)
+        deg_s = np.bincount(src_s, minlength=n_glob)
+        _, _, e2_ell, _ = _side_geometry(deg_s, n_glob, 1)
+        cols_d = max(cols_d, e_ell // TILE_N)
+        cols_s = max(cols_s, e2_ell // TILE_N)
+
+    per_shard = [
+        prepare_sell_tiles(
+            row_ptr, src_s, nps, num_src_nodes=n_glob,
+            fixed_cols=(cols_d, cols_s),
+        )
+        for row_ptr, src_s in shards
+    ]
+    return _stack_tiles(per_shard)
+
+
 def _stack_tiles(per_shard):
     """Pad every array leaf to the max shape across shards and stack on a
     leading shard axis (tail regions are never referenced: the per-tile

@@ -205,13 +205,13 @@ def _sharded_layer(
         # never exchanged (HaloPlan), local srcs index zs_loc directly
         zs_space = jnp.concatenate([zs_loc, halo_rows], axis=0)
 
-    if impl == "pallas":
+    if impl in ("pallas", "sell"):
         # fused bipartite kernels: src space = exchanged rows, dst = local
         from gatv2_tpu.ops.attention import edge_attention
 
         h = edge_attention(
             zs_space, zd_loc, a, None, None, n_loc,
-            negative_slope=negative_slope, impl="pallas",
+            negative_slope=negative_slope, impl=impl,
             edge_tiles=edge_tiles, precision=precision, interpret=interpret,
         )  # [n_loc, H_loc, D]
     else:
@@ -277,10 +277,13 @@ def make_sharded_loss_fn(
     from parallel.partition.prepare_partitioned_tiles)."""
     hs = _head_axis_size(mesh, head_axis)
     has_head_axis = head_axis is not None and head_axis in mesh.axis_names
-    if impl == "pallas" and edge_tiles is None and overlap_tiles is None:
+    if impl in ("pallas", "sell") and edge_tiles is None and (
+        overlap_tiles is None
+    ):
         raise ValueError(
-            "impl='pallas' needs edge_tiles (stacked per shard) or "
-            "overlap_tiles"
+            f"impl={impl!r} needs edge_tiles (stacked per shard: "
+            "prepare_partitioned_tiles / prepare_partitioned_sell_tiles) "
+            "or overlap_tiles"
         )
     if overlap_tiles is not None and halo_plan is None:
         raise ValueError("overlap_tiles needs halo_plan (boundary exchange)")
@@ -292,10 +295,10 @@ def make_sharded_loss_fn(
         )
     overlap_arrays = None
     if overlap_split is not None:
-        if halo_plan is None or impl == "pallas":
+        if halo_plan is None or impl != "xla":
             raise ValueError(
                 "overlap_split needs halo_plan and the xla impl (the fused "
-                "Pallas kernels do their own softmax internally)"
+                "Pallas/SELL kernels do their own softmax internally)"
             )
         overlap_arrays = tuple(
             jnp.asarray(a)
@@ -681,6 +684,18 @@ class ShardedTrainer:
         tiles = None
         if train_config.impl == "pallas" and not (overlap and plan is not None):
             tiles = prepare_partitioned_tiles(self.pg, halo_plan=plan)
+        elif train_config.impl == "sell":
+            from gatv2_tpu.parallel.partition import (
+                prepare_partitioned_sell_tiles,
+            )
+
+            if overlap:
+                log_fn(
+                    "Overlap: not available with impl=sell (no merged-"
+                    "softmax SELL kernel); using the single-pass layer"
+                )
+                overlap = False
+            tiles = prepare_partitioned_sell_tiles(self.pg, halo_plan=plan)
         ov = None
         ov_tiles = None
         if overlap:

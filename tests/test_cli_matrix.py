@@ -41,6 +41,7 @@ def run(argv):
         ["--clip"],
         ["--mesh", "2"],
         ["--mesh", "2", "--impl", "pallas"],
+        ["--mesh", "2", "--impl", "sell"],
         ["--mesh", "2", "--overlap"],
         ["--mesh", "2", "--impl", "pallas", "--overlap"],
         ["--batch-size", "8", "--fanouts", "4,4", "--sampler-engine", "python"],
@@ -56,7 +57,7 @@ def run(argv):
     ids=[
         "xla", "pallas", "sell", "node-variant", "node-pallas", "node-sell",
         "precision-high", "precision-high-sell",
-        "clip", "mesh", "mesh-pallas",
+        "clip", "mesh", "mesh-pallas", "mesh-sell",
         "mesh-overlap", "mesh-pallas-overlap",
         "minibatch", "minibatch-host-feats", "minibatch-pallas",
         "dp-minibatch", "dp-minibatch-pallas",
@@ -70,11 +71,9 @@ def test_flag_matrix(extra, capsys):
     assert "Final Test Accuracy:" in out
 
 
-def test_sell_rejects_mesh_and_minibatch():
-    """impl=sell is full-graph single-device; distributed modes must fail
-    loudly, not silently fall back."""
-    with pytest.raises(SystemExit):
-        train_main.main(BASE + ["--impl", "sell", "--mesh", "2"])
+def test_sell_rejects_minibatch():
+    """impl=sell is full-graph only (single-device or --mesh); minibatch
+    modes must fail loudly, not silently fall back."""
     with pytest.raises(SystemExit):
         train_main.main(
             BASE + ["--impl", "sell", "--batch-size", "8",

@@ -342,6 +342,70 @@ def test_sharded_pallas_matches_single_device(learnable_graph, graph_shards, hea
         )
 
 
+@pytest.mark.parametrize("graph_shards,head_shards", [(4, 1), (2, 2)])
+def test_sharded_sell_matches_single_device(
+    learnable_graph, graph_shards, head_shards
+):
+    """SELL kernels inside shard_map (bipartite per-shard layouts, fixed
+    column counts) reproduce the single-device loss and gradients."""
+    from gatv2_tpu.parallel.partition import prepare_partitioned_sell_tiles
+    from gatv2_tpu.parallel.sharded import (
+        device_put_params,
+        make_sharded_loss_fn,
+    )
+
+    g = learnable_graph
+    config = _cfg(g)
+    params = init_params(config, jax.random.PRNGKey(3))
+    pe = g.padded_edges(128)
+    loss_ref, acc_ref = loss_fn(
+        params,
+        jnp.asarray(g.features),
+        jnp.asarray(pe.src),
+        jnp.asarray(pe.dst),
+        jnp.asarray(g.labels),
+        config,
+    )
+    grads_ref = jax.grad(
+        lambda p: loss_fn(
+            p,
+            jnp.asarray(g.features),
+            jnp.asarray(pe.src),
+            jnp.asarray(pe.dst),
+            jnp.asarray(g.labels),
+            config,
+        )[0]
+    )(params)
+
+    mesh = make_mesh(graph_shards * head_shards, head_shards=head_shards)
+    pg = partition_graph(g, graph_shards)
+    from gatv2_tpu.parallel.partition import halo_exchange_plan
+
+    plan = halo_exchange_plan(pg) if graph_shards > 1 else None
+    if plan is not None and plan.halo_size >= pg.padded_num_nodes:
+        plan = None
+    tiles = prepare_partitioned_sell_tiles(pg, halo_plan=plan)
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+    params_sh = device_put_params(params, config, mesh)
+    sharded_loss = make_sharded_loss_fn(
+        config, mesh, pg.num_real_nodes, impl="sell", edge_tiles=tiles,
+        halo_plan=plan, interpret=True,
+    )
+    loss_sh, acc_sh = jax.jit(sharded_loss)(
+        params_sh, feats, src, dst_l, labels
+    )
+    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-5)
+    assert float(acc_sh) == pytest.approx(float(acc_ref), abs=1e-6)
+
+    grads_sh = jax.jit(
+        jax.grad(lambda p: sharded_loss(p, feats, src, dst_l, labels)[0])
+    )(params_sh)
+    for a, b in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_sh)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-6
+        )
+
+
 def test_sharded_trainer_console_and_learning(learnable_graph, capsys):
     """The --mesh CLI path: ShardedTrainer trains and keeps the reference's
     console contract."""

@@ -50,6 +50,8 @@ LEGS: list[tuple[str, list[str], int]] = [
      ["--config", "products-full", "--impl", "sell"], 5400),
     ("arxiv-sell-high",
      ["--config", "arxiv", "--impl", "sell", "--precision", "high"], 1800),
+    ("products-sub-mesh1-sell",
+     ["--config", "products-sub", "--mesh", "1", "--impl", "sell"], 3600),
 ]
 
 TILE_LEGS = [
