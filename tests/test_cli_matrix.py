@@ -38,6 +38,7 @@ def run(argv):
         ["--variant", "node", "--impl", "sell"],
         ["--precision", "high"],
         ["--precision", "high", "--impl", "sell"],
+        ["--remat", "--impl", "sell"],
         ["--clip"],
         ["--mesh", "2"],
         ["--mesh", "2", "--impl", "pallas"],
@@ -56,7 +57,7 @@ def run(argv):
     ],
     ids=[
         "xla", "pallas", "sell", "node-variant", "node-pallas", "node-sell",
-        "precision-high", "precision-high-sell",
+        "precision-high", "precision-high-sell", "remat-sell",
         "clip", "mesh", "mesh-pallas", "mesh-sell",
         "mesh-overlap", "mesh-pallas-overlap",
         "minibatch", "minibatch-host-feats", "minibatch-pallas",
@@ -145,6 +146,24 @@ def test_predict_from_checkpoint(tmp_path, capsys):
     import numpy as np
     preds = np.loadtxt(f"{out_dir}/predictions.txt", dtype=np.int64)
     assert preds.shape[0] == 34  # karate nodes
+
+
+def test_predict_from_checkpoint_sell(tmp_path, capsys):
+    """predict.py on the SELL path (train with sell, predict with sell)."""
+    import numpy as np
+
+    import predict as predict_main
+
+    ck = str(tmp_path / "ck")
+    run(BASE + ["--impl", "sell", "--checkpoint-dir", ck])
+    out_dir = str(tmp_path / "preds")
+    assert predict_main.main(
+        ["--dataset", "karate", "--data-root", DATA,
+         "--num-layers", "2", "--heads", "2,2", "--outdims", "8,8",
+         "--impl", "sell", "--checkpoint-dir", ck, "--out", out_dir]
+    ) == 0
+    preds = np.loadtxt(f"{out_dir}/predictions.txt", dtype=np.int64)
+    assert preds.shape[0] == 34
 
 
 def test_predict_rejects_mismatched_variant(tmp_path, capsys):
