@@ -372,29 +372,30 @@ def bench_mesh_config(
     if plan is not None and plan.halo_size >= pg.padded_num_nodes:
         plan = None  # no locality; dense all_gather moves less
     tiles = ov = ov_tiles = None
-    if impl == "sell":
-        from gatv2_tpu.parallel.partition import (
-            prepare_partitioned_sell_tiles,
-        )
-
-        if overlap:
-            raise ValueError(
-                "--overlap is unavailable with --impl sell (no merged-"
-                "softmax SELL kernel)"
-            )
-        tiles = prepare_partitioned_sell_tiles(pg, halo_plan=plan)
-    elif overlap and plan is not None:
+    if overlap and plan is not None:
         split = overlap_split_plan(pg, plan)
         if impl == "pallas":
             ov_tiles = prepare_overlap_tiles(
                 pg, plan, split, tile_e=tile_e or 128
             )
+        elif impl == "sell":
+            from gatv2_tpu.parallel.partition import (
+                prepare_overlap_sell_tiles,
+            )
+
+            ov_tiles = prepare_overlap_sell_tiles(pg, plan, split)
         else:
             ov = split
     elif impl == "pallas":
         tiles = prepare_partitioned_tiles(
             pg, tile_e=tile_e or 128, halo_plan=plan
         )
+    elif impl == "sell":
+        from gatv2_tpu.parallel.partition import (
+            prepare_partitioned_sell_tiles,
+        )
+
+        tiles = prepare_partitioned_sell_tiles(pg, halo_plan=plan)
     feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
 
     runners = {

@@ -530,10 +530,16 @@ def _sell_fwd_kernel(
     *,
     negative_slope: float,
     precision,
+    normalize: bool = True,
 ):
     """Online-softmax forward over one slice: each 128-edge column holds one
     edge per dst row, so every softmax/aggregation update is a per-row VPU
-    op. ONE MXU product per column: the score SDDMM s_act @ A2."""
+    op. ONE MXU product per column: the score SDDMM s_act @ A2.
+
+    normalize=False (the multi-pass merge building block, see
+    sell_attention_merge): out is the UNNORMALIZED accumulator
+    u = sum exp(e - m) * zs, and sig_ref packs the compact m in lanes
+    [0, STATS_L) and l in [STATS_L, 2*STATS_L) instead of sigma."""
     i = pl.program_id(0)
     c0 = col_off_ref[i]
     ncols = col_off_ref[i + 1] - c0
@@ -590,17 +596,31 @@ def _sell_fwd_kernel(
 
     jax.lax.fori_loop(0, ncols, body, 0)
 
-    out_ref[:] = acc_scr[:] / (l_scr[:] + SOFTMAX_EPS)
-    sig_rep = m_scr[:] + jnp.log(l_scr[:] + SOFTMAX_EPS)
-    sig_ref[:] = _kdot(
-        sig_rep, s_sel_ref[:], (((1,), (0,)), ((), ())), precision,
-        exact_arg=1,
-    )
+    if normalize:
+        out_ref[:] = acc_scr[:] / (l_scr[:] + SOFTMAX_EPS)
+        sig_rep = m_scr[:] + jnp.log(l_scr[:] + SOFTMAX_EPS)
+        sig_ref[:] = _kdot(
+            sig_rep, s_sel_ref[:], (((1,), (0,)), ((), ())), precision,
+            exact_arg=1,
+        )
+    else:
+        out_ref[:] = acc_scr[:]
+        m_c = _kdot(
+            m_scr[:], s_sel_ref[:], (((1,), (0,)), ((), ())), precision,
+            exact_arg=1,
+        )
+        l_c = _kdot(
+            l_scr[:], s_sel_ref[:], (((1,), (0,)), ((), ())), precision,
+            exact_arg=1,
+        )
+        # pack [m | l]: l's lanes [0, STATS_L) roll to [STATS_L, 2*STATS_L)
+        # (its other lanes are exact zeros, so the wrap adds nothing)
+        sig_ref[:] = m_c + pltpu.roll(l_c, shift=STATS_L, axis=1)
 
 
 def _sell_forward(
     zs_e, msk, zd_p, a2, s_sel, col_off, t, *, negative_slope, hd,
-    precision, interpret,
+    precision, interpret, normalize=True,
 ):
     e_ell = zs_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -636,6 +656,7 @@ def _sell_forward(
         _sell_fwd_kernel,
         negative_slope=negative_slope,
         precision=_prec_for(precision, interpret),
+        normalize=normalize,
     )
     return pl.pallas_call(
         kernel,
@@ -1345,3 +1366,187 @@ def sell_attention(
 
     attn.defvjp(fwd, bwd)
     return attn(zs, zd, a, st)
+
+
+# ---------------------------------------------------------------------------
+# multi-pass merged attention (halo/compute overlap on the SELL path)
+# ---------------------------------------------------------------------------
+
+
+def sell_attention_merge(
+    zs_parts,  # K src-space projections, each [N_k, H, D] or flat [N_k, H*D]
+    zd: jax.Array,  # [N_dst, H, D] / [N_dst, H*D] dst projections
+    a: jax.Array,  # [H, D]
+    num_nodes: int,  # real dst-node count
+    *,
+    negative_slope: float,
+    sell_tiles_parts,  # K bipartite SellTiles (num_chunks=1, same dst space)
+    interpret: bool = False,
+    precision: str = "highest",
+) -> jax.Array:
+    """Fused SELL attention over K edge subsets whose per-destination
+    softmax is MERGED across subsets — the SELL counterpart of
+    edge_attention_pallas_merge (halo/compute-overlapped sharded layers:
+    local-src edges in one pass, halo-src edges in another; only the halo
+    pass waits on the all_to_all).
+
+    Each pass runs the SELL forward unnormalized (u_k = sum exp(e - m_k)
+    zs, plus compact m_k / l_k stats restored to NODE order — each pass has
+    its own degree-sorted row permutation); passes merge with the standard
+    online-softmax rescale. The backward is exact: sigma and the
+    softmax-Jacobian term r come from the MERGED stats/output, so each
+    pass's phase 1 (packet-emitting _sell_bwd_dst) and phase 2 (per-pass
+    src-side segsum) is the single-pass machinery applied with the merged
+    [sigma | r] table.
+    """
+    sts = tuple(sell_tiles_parts)
+    zs_parts = tuple(zs_parts)
+    if len(sts) != len(zs_parts) or not sts:
+        raise ValueError("need one SellTiles per zs part")
+    if any(st.num_chunks != 1 for st in sts):
+        raise ValueError("merge path supports num_chunks == 1 tiles only")
+    n_pad = sts[0].padded_num_nodes
+    if any(st.padded_num_nodes != n_pad for st in sts):
+        raise ValueError("all parts must share the dst node space")
+    num_heads, head_dim = int(a.shape[0]), int(a.shape[1])
+    if num_heads > STATS_L:
+        raise ValueError(
+            f"sell_attention_merge supports at most {STATS_L} heads"
+        )
+    for zs_k, st in zip(zs_parts, sts):
+        if zs_k.shape[0] not in (st.num_src_nodes, st.padded_src_nodes):
+            raise ValueError(
+                f"zs part has {zs_k.shape[0]} rows; its tiles' src space "
+                f"is {st.num_src_nodes} (padded {st.padded_src_nodes})"
+            )
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    hd_real = num_heads * head_dim
+    hd = -(-hd_real // 128) * 128
+    flat_io = zs_parts[0].ndim == 2
+    kw = dict(
+        negative_slope=negative_slope, hd=hd, precision=precision,
+        interpret=interpret,
+    )
+
+    def prep(z, rows):
+        n = z.shape[0]
+        z = z.reshape(n, hd_real)
+        if hd != hd_real:
+            z = jnp.pad(z, ((0, 0), (0, hd - hd_real)))
+        if n != rows:
+            z = jnp.pad(z, ((0, rows - n), (0, 0)))
+        return z
+
+    def rep_heads(x16, pad_lanes=True):
+        """[n, STATS_L] per-head stats -> [n, hd] feature-lane broadcast."""
+        r = jnp.repeat(x16[:, :num_heads], head_dim, axis=1)
+        if pad_lanes and hd != hd_real:
+            r = jnp.pad(r, ((0, 0), (0, hd - hd_real)))
+        return r
+
+    def forward_parts(zs_t, zd_, a_, sts_):
+        zd_flat = prep(zd_, n_pad)
+        a2, _, _, _, s_sel, _ = _sell_matrices(a_, hd)
+        parts = []
+        for zs_k, st in zip(zs_t, sts_):
+            zs_flat = prep(zs_k, st.padded_src_nodes)
+            zs_z = jnp.concatenate(
+                [zs_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+            )
+            zs_e = jnp.take(zs_z, st.dst.gather_ids, axis=0)
+            zd_p = jnp.take(zd_flat, st.dst.perm, axis=0)
+            u_p, ml_p = _sell_forward(
+                zs_e, st.dst.msk, zd_p, a2, s_sel, st.dst.col_off,
+                st.num_dst_tiles, normalize=False, **kw,
+            )
+            # restore to NODE order (each pass has its own permutation)
+            u_n = jnp.take(u_p, st.dst.inv, axis=0)
+            ml_n = jnp.take(ml_p, st.dst.inv, axis=0)
+            parts.append(
+                (u_n, ml_n[:, :STATS_L], ml_n[:, STATS_L : 2 * STATS_L])
+            )
+        return parts
+
+    def merge(parts):
+        m_all = parts[0][1]
+        for _, m_k, _ in parts[1:]:
+            m_all = jnp.maximum(m_all, m_k)
+        m_safe = jnp.where(m_all <= NEG_INF, 0.0, m_all)
+        u_tot = jnp.zeros((n_pad, hd), jnp.float32)
+        l_tot = jnp.zeros((n_pad, STATS_L), jnp.float32)
+        for u_k, m_k, l_k in parts:
+            c = jnp.where(m_k <= NEG_INF, 0.0, jnp.exp(m_k - m_safe))
+            u_tot = u_tot + u_k * rep_heads(c)
+            l_tot = l_tot + l_k * c
+        h = u_tot / (rep_heads(l_tot) + SOFTMAX_EPS)
+        return h, m_all, l_tot
+
+    def restore(h2d):
+        out = h2d[:num_nodes, :hd_real]
+        return out if flat_io else out.reshape(
+            num_nodes, num_heads, head_dim
+        )
+
+    @jax.custom_vjp
+    def attn(zs_t, zd_, a_, sts_):
+        h, _, _ = merge(forward_parts(zs_t, zd_, a_, sts_))
+        return restore(h)
+
+    def fwd(zs_t, zd_, a_, sts_):
+        h, m_all, l_tot = merge(forward_parts(zs_t, zd_, a_, sts_))
+        h_r = restore(h)
+        return h_r, (zs_t, zd_, a_, m_all, l_tot, h_r, sts_)
+
+    def bwd(res, gout):
+        zs_t, zd_, a_, m_all, l_tot, h_r, sts_ = res
+        zd_flat = prep(zd_, n_pad)
+        g_flat = prep(gout, n_pad)
+        h_flat = prep(h_r, n_pad)
+        a2, bdiag, rsig, rr, _, a_rep = _sell_matrices(a_, hd)
+        # MERGED stats: sigma spans all passes; r = <g, h_merged> per head
+        sigma = m_all + jnp.log(l_tot + SOFTMAX_EPS)  # [n_pad, STATS_L]
+        prod = (g_flat * h_flat)[:, :hd_real].reshape(
+            -1, num_heads, head_dim
+        )
+        r16 = jnp.pad(prod.sum(-1), ((0, 0), (0, STATS_L - num_heads)))
+        sr_node = jnp.pad(
+            jnp.concatenate([sigma, r16], axis=1),
+            ((0, 0), (0, 128 - 2 * STATS_L)),
+        )
+        dzd_acc = jnp.zeros((n_pad, hd), jnp.float32)
+        da_acc = jnp.zeros((hd,), jnp.float32)
+        dzs_out = []
+        for zs_k, st in zip(zs_t, sts_):
+            zs_flat = prep(zs_k, st.padded_src_nodes)
+            zs_z = jnp.concatenate(
+                [zs_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+            )
+            zs_e = jnp.take(zs_z, st.dst.gather_ids, axis=0)
+            zd_p = jnp.take(zd_flat, st.dst.perm, axis=0)
+            g_p = jnp.take(g_flat, st.dst.perm, axis=0)
+            sr_p = jnp.take(sr_node, st.dst.perm, axis=0)
+            dzd_p, da_parts, c1 = _sell_bwd_dst(
+                zs_e, st.dst.msk, zd_p, g_p, sr_p, a2, bdiag, rsig, rr,
+                a_rep, st.dst.col_off, st.num_dst_tiles, **kw,
+            )
+            dzd_acc = dzd_acc + jnp.take(dzd_p, st.dst.inv, axis=0)
+            da_acc = da_acc + jnp.sum(da_parts, axis=0)
+            c1z = jnp.concatenate(
+                [c1, jnp.zeros((1, hd), jnp.float32)], axis=0
+            )
+            c1s = jnp.take(c1z, st.ell_perm, axis=0)
+            dzs_p = _sell_segsum(
+                c1s, st.srcs.col_off, st.num_src_tiles, hd=hd,
+                interpret=interpret,
+            )
+            dzs_flat = jnp.take(dzs_p, st.srcs.inv, axis=0)
+            dzs_out.append(
+                dzs_flat[: zs_k.shape[0], :hd_real].reshape(zs_k.shape)
+            )
+        dzd = dzd_acc[: zd_.shape[0], :hd_real].reshape(zd_.shape)
+        da = da_acc[:hd_real].reshape(num_heads, head_dim)
+        return tuple(dzs_out), dzd, da, None
+
+    attn.defvjp(fwd, bwd)
+    return attn(zs_parts, zd, a, sts)

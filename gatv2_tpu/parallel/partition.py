@@ -254,16 +254,9 @@ def prepare_partitioned_tiles(
     return _stack_tiles(per_shard)
 
 
-def prepare_partitioned_sell_tiles(
-    pg: PartitionedGraph, halo_plan: "HaloPlan | None" = None
-):
-    """Per-shard SELL layouts (ops.sell_attention), stacked on a leading
-    shard axis — the impl='sell' counterpart of prepare_partitioned_tiles.
-
-    Each shard's edge set is bipartite (dst = the shard's local nodes,
-    src = the per-shard gather space: [local | halo rows] with a halo
-    plan, the padded global space otherwise). Both sides' column counts
-    are forced to the max across shards (fixed_cols) so every stacked
+def _build_sell_shards(src_all, dst_all, nps, n_glob):
+    """Stacked per-shard bipartite SELL layouts with both sides' column
+    counts forced to the cross-shard max (fixed_cols), so every stacked
     leaf has identical shape and the static aux agrees."""
     from gatv2_tpu.ops.sell_attention import (
         TILE_N,
@@ -271,19 +264,9 @@ def prepare_partitioned_sell_tiles(
         prepare_sell_tiles,
     )
 
-    s_count = pg.num_shards
-    nps = pg.nodes_per_shard
-    if halo_plan is not None:
-        n_glob = halo_plan.space_size
-        src_all = halo_plan.src_halo
-    else:
-        n_glob = pg.padded_num_nodes
-        src_all = pg.src.reshape(s_count, -1)
-    dst_all = pg.dst_local.reshape(s_count, -1)
-
     shards = []
     cols_d = cols_s = 1
-    for s in range(s_count):
+    for s in range(len(dst_all)):
         real = dst_all[s] < nps
         dst_s = dst_all[s][real]
         src_s = src_all[s][real]
@@ -305,6 +288,43 @@ def prepare_partitioned_sell_tiles(
         for row_ptr, src_s in shards
     ]
     return _stack_tiles(per_shard)
+
+
+def prepare_partitioned_sell_tiles(
+    pg: PartitionedGraph, halo_plan: "HaloPlan | None" = None
+):
+    """Per-shard SELL layouts (ops.sell_attention), stacked on a leading
+    shard axis — the impl='sell' counterpart of prepare_partitioned_tiles.
+
+    Each shard's edge set is bipartite (dst = the shard's local nodes,
+    src = the per-shard gather space: [local | halo rows] with a halo
+    plan, the padded global space otherwise)."""
+    s_count = pg.num_shards
+    nps = pg.nodes_per_shard
+    if halo_plan is not None:
+        n_glob = halo_plan.space_size
+        src_all = halo_plan.src_halo
+    else:
+        n_glob = pg.padded_num_nodes
+        src_all = pg.src.reshape(s_count, -1)
+    dst_all = pg.dst_local.reshape(s_count, -1)
+    return _build_sell_shards(src_all, dst_all, nps, n_glob)
+
+
+def prepare_overlap_sell_tiles(
+    pg: PartitionedGraph, plan: "HaloPlan", split: "OverlapSplit"
+):
+    """Per-shard SELL layout PAIRS for the halo/compute-overlap layer
+    (ops.sell_attention.sell_attention_merge): the LOCAL pass's src space
+    is the shard's own nodes, the HALO pass's src space is the halo table.
+    Returns (stacked_local_tiles, stacked_halo_tiles)."""
+    nps = pg.nodes_per_shard
+    return (
+        _build_sell_shards(split.local_src, split.local_dst, nps, nps),
+        _build_sell_shards(
+            split.halo_src, split.halo_dst, nps, plan.halo_size
+        ),
+    )
 
 
 def _stack_tiles(per_shard):

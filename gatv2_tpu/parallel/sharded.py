@@ -125,6 +125,27 @@ def _sharded_layer(
     zs_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_src, precision=precision)
     zd_loc = jnp.einsum("nf,hdf->nhd", x_loc, w_dst, precision=precision)
 
+    if overlap_tiles is not None and halo is not None and impl == "sell":
+        # SELL halo/compute overlap: same structure as the Pallas merge —
+        # the all_to_all is issued first, the LOCAL pass's kernels have no
+        # data dependence on it, and the per-destination softmax stats
+        # merge exactly inside sell_attention_merge's custom VJP.
+        from gatv2_tpu.ops.attention import precision_name
+        from gatv2_tpu.ops.sell_attention import sell_attention_merge
+
+        halo_rows = _halo_all_to_all(zs_loc, halo[0], axis_name)
+        h = sell_attention_merge(
+            (zs_loc, halo_rows), zd_loc, a, n_loc,
+            negative_slope=negative_slope, sell_tiles_parts=overlap_tiles,
+            interpret=interpret, precision=precision_name(precision),
+        )  # [n_loc, H_loc, D]
+        return _combine_heads(
+            h, n_loc,
+            is_last=is_last, negative_slope=negative_slope, variant=variant,
+            head_sharded=head_sharded, head_axis=head_axis,
+            num_heads_global=num_heads_global,
+        )
+
     if overlap_tiles is not None and halo is not None and impl == "pallas":
         # Pallas halo/compute overlap: the boundary all_to_all is issued
         # first; the LOCAL pass's fused kernel has no data dependence on it
@@ -682,24 +703,24 @@ class ShardedTrainer:
             )
         )
         tiles = None
-        if train_config.impl == "pallas" and not (overlap and plan is not None):
-            tiles = prepare_partitioned_tiles(self.pg, halo_plan=plan)
-        elif train_config.impl == "sell":
-            from gatv2_tpu.parallel.partition import (
-                prepare_partitioned_sell_tiles,
-            )
-
-            if overlap:
-                log_fn(
-                    "Overlap: not available with impl=sell (no merged-"
-                    "softmax SELL kernel); using the single-pass layer"
+        fused = train_config.impl in ("pallas", "sell")
+        if fused and not (overlap and plan is not None):
+            if train_config.impl == "pallas":
+                tiles = prepare_partitioned_tiles(self.pg, halo_plan=plan)
+            else:
+                from gatv2_tpu.parallel.partition import (
+                    prepare_partitioned_sell_tiles,
                 )
-                overlap = False
-            tiles = prepare_partitioned_sell_tiles(self.pg, halo_plan=plan)
+
+                tiles = prepare_partitioned_sell_tiles(
+                    self.pg, halo_plan=plan
+                )
         ov = None
         ov_tiles = None
         if overlap:
             if plan is None:
+                # single-pass tiles were already built above (the outer
+                # condition is true when the plan is None)
                 log_fn(
                     "Overlap: unavailable (needs a boundary halo plan); "
                     "using the single-pass layer"
@@ -717,6 +738,14 @@ class ShardedTrainer:
                     )
 
                     ov_tiles = prepare_overlap_tiles(self.pg, plan, split)
+                elif train_config.impl == "sell":
+                    from gatv2_tpu.parallel.partition import (
+                        prepare_overlap_sell_tiles,
+                    )
+
+                    ov_tiles = prepare_overlap_sell_tiles(
+                        self.pg, plan, split
+                    )
                 else:
                     ov = split
         self.overlap_split = ov

@@ -45,6 +45,7 @@ def run(argv):
         ["--mesh", "2", "--impl", "sell"],
         ["--mesh", "2", "--overlap"],
         ["--mesh", "2", "--impl", "pallas", "--overlap"],
+        ["--mesh", "2", "--impl", "sell", "--overlap"],
         ["--batch-size", "8", "--fanouts", "4,4", "--sampler-engine", "python"],
         ["--batch-size", "8", "--fanouts", "4,4", "--sampler-engine", "python",
          "--feature-residency", "host"],
@@ -59,7 +60,7 @@ def run(argv):
         "xla", "pallas", "sell", "node-variant", "node-pallas", "node-sell",
         "precision-high", "precision-high-sell", "remat-sell",
         "clip", "mesh", "mesh-pallas", "mesh-sell",
-        "mesh-overlap", "mesh-pallas-overlap",
+        "mesh-overlap", "mesh-pallas-overlap", "mesh-sell-overlap",
         "minibatch", "minibatch-host-feats", "minibatch-pallas",
         "dp-minibatch", "dp-minibatch-pallas",
     ],

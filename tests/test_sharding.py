@@ -662,6 +662,53 @@ def test_pallas_overlap_matches_single_pass(learnable_graph):
         )
 
 
+def test_sell_overlap_matches_single_pass(learnable_graph):
+    """SELL two-pass merged-softmax overlap layer == the single-pass SELL
+    halo layer (loss + grads)."""
+    from gatv2_tpu.parallel.partition import (
+        halo_exchange_plan,
+        overlap_split_plan,
+        prepare_overlap_sell_tiles,
+        prepare_partitioned_sell_tiles,
+    )
+    from gatv2_tpu.parallel.sharded import make_sharded_loss_fn
+
+    g = learnable_graph
+    config = _cfg(g)
+    params = init_params(config, jax.random.PRNGKey(9))
+    mesh = make_mesh(4)
+    pg = partition_graph(g, 4)
+    plan = halo_exchange_plan(pg)
+    split = overlap_split_plan(pg, plan)
+    ov_tiles = prepare_overlap_sell_tiles(pg, plan, split)
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+
+    single = make_sharded_loss_fn(
+        config, mesh, pg.num_real_nodes, impl="sell",
+        edge_tiles=prepare_partitioned_sell_tiles(pg, halo_plan=plan),
+        halo_plan=plan, interpret=True,
+    )
+    twopass = make_sharded_loss_fn(
+        config, mesh, pg.num_real_nodes, impl="sell",
+        halo_plan=plan, overlap_tiles=ov_tiles, interpret=True,
+    )
+    l0, a0 = jax.jit(single)(params, feats, src, dst_l, labels)
+    l1, a1 = jax.jit(twopass)(params, feats, src, dst_l, labels)
+    assert float(l1) == pytest.approx(float(l0), rel=1e-5)
+    assert float(a1) == pytest.approx(float(a0), abs=1e-6)
+
+    g0 = jax.jit(
+        jax.grad(lambda p: single(p, feats, src, dst_l, labels)[0])
+    )(params)
+    g1 = jax.jit(
+        jax.grad(lambda p: twopass(p, feats, src, dst_l, labels)[0])
+    )(params)
+    for a_, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_pallas_overlap_trainer(learnable_graph):
     """--mesh --impl pallas --overlap end-to-end: trains and reports."""
     from gatv2_tpu.parallel.sharded import ShardedTrainer

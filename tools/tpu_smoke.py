@@ -14,6 +14,8 @@ Covers, in ~a minute of chip time:
   6. SELL-layout kernels (ops/sell_attention.py): fwd + bwd, h=4 d=64 and
      the lane-pad case h=2 d=60 — the [128, 1] mask stream and the
      head-replicated representation only prove out on real Mosaic lowering
+  7. SELL merge path (sell_attention_merge, 2 parts — the halo-overlap
+     building block: unnormalized forward + packed [m | l] stats)
 
 Prints one JSON line per check and 'SMOKE OK' at the end; exits nonzero on
 the first failure.
@@ -156,6 +158,63 @@ def main():
     check_sell("sell_h4d64", 4, 64)
     check_sell("sell_lanepad_h2d60", 2, 60)
     check_sell("sell_high_precision", 4, 64, precision="high", tol=3e-4)
+
+    # SELL merge path (the halo-overlap building block): 2 edge subsets
+    try:
+        from gatv2_tpu.ops.sell_attention import sell_attention_merge
+
+        rng = np.random.default_rng(29)
+        h, d = 2, 32
+        zs = jnp.asarray(rng.standard_normal((g.num_nodes, h, d)), jnp.float32)
+        zd = jnp.asarray(rng.standard_normal((g.num_nodes, h, d)), jnp.float32)
+        a = jnp.asarray(rng.standard_normal((h, d)), jnp.float32)
+        cut = g.num_edges // 2
+        sts = []
+        for piece in (slice(0, cut), slice(cut, g.num_edges)):
+            dsts = g.dst[piece]
+            srcs = g.col_idx[piece]
+            counts = np.bincount(dsts, minlength=g.num_nodes)
+            rp = np.zeros(g.num_nodes + 1, np.int64)
+            np.cumsum(counts, out=rp[1:])
+            order = np.argsort(dsts, kind="stable")
+            sts.append(prepare_sell_tiles(
+                rp, srcs[order], g.num_nodes, num_src_nodes=g.num_nodes,
+            ))
+
+        def loss_m(zs, zd, a):
+            return jnp.sum(jnp.sin(sell_attention_merge(
+                (zs, zs), zd, a, g.num_nodes, negative_slope=0.2,
+                sell_tiles_parts=sts,
+            )))
+
+        def loss_x(zs, zd, a):
+            return jnp.sum(jnp.sin(_edge_attention_xla(
+                zs, zd, a, src, dst, g.num_nodes, negative_slope=0.2,
+            )))
+
+        v_m, gm = jax.jit(jax.value_and_grad(loss_m, argnums=(1, 2)))(
+            zs, zd, a)
+        v_x, gx = jax.jit(jax.value_and_grad(loss_x, argnums=(1, 2)))(
+            zs, zd, a)
+        verr = abs(float(v_m) - float(v_x)) / (abs(float(v_x)) + 1e-12)
+        errs = [
+            float(np.abs(np.asarray(p) - np.asarray(x)).max()
+                  / (np.abs(np.asarray(x)).max() + 1e-12))
+            for p, x in zip(gm, gx)
+        ]
+        ok = verr < 2e-5 and all(e < 2e-5 for e in errs)
+        print(json.dumps({
+            "check": "sell_merge_2part", "ok": bool(ok),
+            "val_rel_err": verr, "grad_rel_errs": errs,
+        }), flush=True)
+        if not ok:
+            failures += 1
+    except Exception as e:
+        print(json.dumps({
+            "check": "sell_merge_2part", "ok": False,
+            "error": f"{type(e).__name__}: {str(e)[:400]}",
+        }), flush=True)
+        failures += 1
 
     # merge path (the halo-overlap building block): split edges in two
     try:
