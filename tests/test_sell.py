@@ -87,7 +87,16 @@ def test_layout_invariants():
 
 
 @pytest.mark.fast
-@pytest.mark.parametrize("h,d,flat", [(4, 32, False), (1, 16, True), (2, 60, False)])
+@pytest.mark.parametrize(
+    "h,d,flat",
+    [
+        (4, 32, False),
+        (1, 16, True),
+        (2, 60, False),  # hd_real=120: lane padding
+        (3, 24, False),  # odd head count, non-power-of-two dim (hd=72)
+        (5, 40, True),  # hd_real=200: padding crosses a head boundary
+    ],
+)
 def test_sell_forward_parity(h, d, flat):
     g = random_graph(
         num_nodes=300, num_edges=1400, feature_dim=8, num_classes=3, seed=3
