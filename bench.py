@@ -45,7 +45,22 @@ CONFIGS = {
     # the reference's 4-head headline at full Products scale — does NOT fit
     # one 16 GB chip; meant for --mesh >= 2 (per-shard HBM plan: SCALING.md)
     "products-full-4h": (2449029, 61859140, 100, 47, 3, (4, 1, 1), (64, 32, 16)),
+    # arxiv-scale with a Zipf(1.2) degree profile on BOTH endpoints — the
+    # hub-heavy regime real citation/product graphs have (the uniform
+    # configs above flatter layouts that pad per-slice; SELL handles hubs
+    # by virtual-row splitting, measured here)
+    "arxiv-pl": (169343, 1166243, 128, 40, 3, (4, 1, 1), (64, 32, 16)),
 }
+
+
+def _bench_graph(name, n, e, f, c, seed):
+    if name.endswith("-pl"):
+        from gatv2_tpu.data.synthetic import powerlaw_graph
+
+        return powerlaw_graph(n, e, f, c, seed=seed, alpha=1.2)
+    from gatv2_tpu.data.synthetic import random_graph
+
+    return random_graph(n, e, f, c, seed=seed)
 
 
 def flops_per_epoch(
@@ -149,7 +164,7 @@ def bench_config(
 
     n, e, f, c, layers, heads, outdims = CONFIGS[name]
     k1, k2, reps = _rep_plan(e, k1, k2, reps)
-    g = random_graph(n, e, f, c, seed=seed)
+    g = _bench_graph(name, n, e, f, c, seed)
     config = ModelConfig(
         num_layers=layers, heads=heads, out_dims=outdims,
         num_classes=c, in_dim=f, matmul_precision=precision,
@@ -357,7 +372,7 @@ def bench_mesh_config(
 
     n, e, f, c, layers, heads, outdims = CONFIGS[name]
     k1, k2, reps = _rep_plan(e, k1, k2, reps)
-    g = random_graph(n, e, f, c, seed=seed)
+    g = _bench_graph(name, n, e, f, c, seed)
     config = ModelConfig(
         num_layers=layers, heads=heads, out_dims=outdims,
         num_classes=c, in_dim=f, matmul_precision=precision,

@@ -49,6 +49,49 @@ def random_graph(
     return Graph(features=features, row_ptr=row_ptr, col_idx=src, labels=labels)
 
 
+def powerlaw_graph(
+    num_nodes: int,
+    num_edges: int,
+    feature_dim: int,
+    num_classes: int,
+    seed: int = 0,
+    alpha: float = 1.2,
+) -> Graph:
+    """Random directed graph with Zipf-like in- AND out-degree skew.
+
+    The uniform random_graph gives near-Poisson degrees — flattering for
+    layouts that pad to per-slice max degree. Real citation/product graphs
+    are heavy-tailed; this generator draws BOTH endpoints from a Zipf(α)
+    rank distribution over independently permuted node ranks (hub dst ids
+    are not hub src ids), matching the hub-heavy profile benchmarks should
+    stress. Same CSR output contract as random_graph.
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+    features = rng.standard_normal((num_nodes, feature_dim)).astype(
+        np.float32
+    )
+
+    # Zipf over ranks: P(rank k) ∝ (k+1)^-alpha, sampled by inverse CDF
+    w = (np.arange(num_nodes, dtype=np.float64) + 1.0) ** -alpha
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+
+    def draw(perm_seed):
+        ranks = np.searchsorted(cdf, rng.random(num_edges)).astype(np.int64)
+        perm = np.random.default_rng(perm_seed).permutation(num_nodes)
+        return perm[ranks].astype(np.int32)
+
+    src = draw(seed + 1)
+    dst = draw(seed + 2)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    counts = np.bincount(dst, minlength=num_nodes)
+    row_ptr = np.zeros(num_nodes + 1, dtype=np.int32)
+    np.cumsum(counts, out=row_ptr[1:])
+    return Graph(features=features, row_ptr=row_ptr, col_idx=src, labels=labels)
+
+
 def chain_graph(num_nodes: int, feature_dim: int, num_classes: int, seed: int = 0) -> Graph:
     """Deterministic tiny graph: i -> i+1 edges plus self-loops at even nodes."""
     rng = np.random.default_rng(seed)

@@ -74,6 +74,7 @@ from gatv2_tpu.ops.pallas_attention import (
     _kdot,
     _prec_for,
 )
+from gatv2_tpu.ops.segment import segment_max, segment_sum
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,15 +82,26 @@ class _SellSide:
     """One SELL tiling direction (dst-sorted for the forward/phase-1, or
     src-sorted for phase 2), optionally grouped into chunks.
 
-    perm        [rows_pad] int32 — kernel row j holds node perm[j]
-                (degree-descending within each chunk; padding rows mixed
-                in with real degree-0 nodes at the tail). With chunking,
-                slices are dealt greedily into chunks so per-chunk column
-                totals balance, then renumbered chunk-contiguously.
-    inv         [rows_pad] int32 — node n lives at kernel row inv[n].
+    Rows are VIRTUAL rows: normally one per node (a permutation, length-
+    descending within each chunk), but nodes whose degree exceeds the
+    side's split_cap occupy ceil(degree / cap) rows of <= cap columns each
+    (split=True) — the SELL answer to power-law hubs, whose single row
+    would otherwise pad its whole slice to the hub degree (measured 10-49x
+    padding on Zipf graphs; split brings it back to ~1.01x). Split sides
+    merge their per-row partial softmax stats back to node space with the
+    standard online-softmax rescale (exact); unsplit sides keep the direct
+    scatter-free restore.
+
+    perm        [rows_pad] int32 — row j accumulates node perm[j]
+                (repeats when split; padding rows carry the node grid's
+                padded row count = the appended-zero-row index).
+    inv         [node_pad] int32 — node n's row (UNSPLIT sides only;
+                dummy [1] when split).
+    vsort       [rows_pad] int32 — row indices ordered by node id, pads
+                last (segment-merge restore; dummy [1] when unsplit).
     gather_ids  [e_ell] int32 — the streamed OPPOSITE endpoint's global
                 node id per ELL slot; padding slots carry the opposite
-                side's padded row count (gathers an appended zero row).
+                side's padded node count (gathers an appended zero row).
                 Dummy [1] when num_chunks > 1 (grouped arrays replace it).
     msk         [e_ell, 1] f32 — additive score mask: 0 real, -1e30 pad.
                 Dummy when num_chunks > 1.
@@ -99,16 +111,19 @@ class _SellSide:
                 chunk's column count * TILE_N; excess slots are padding).
     msk_grp     [G, Ec, 1] f32 — per-chunk masks.
     rel_off     [G, spc+1] int32 — per-chunk chunk-relative column offsets.
+    split       STATIC bool — whether any node was split across rows.
     """
 
     perm: jax.Array
     inv: jax.Array
+    vsort: jax.Array
     gather_ids: jax.Array
     msk: jax.Array
     col_off: jax.Array
     ids_grp: jax.Array
     msk_grp: jax.Array
     rel_off: jax.Array
+    split: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,7 +151,7 @@ class SellTiles:
     ell_perm: jax.Array
     num_nodes: int  # real dst-node count
     num_src_nodes: int  # real src-node count (== num_nodes if monopartite)
-    num_dst_tiles: int  # TOTAL dst slices (num_chunks * spc_dst)
+    num_dst_tiles: int  # TOTAL dst row slices (num_chunks * spc_dst)
     num_src_tiles: int
     e_ell: int
     e2_ell: int
@@ -145,24 +160,35 @@ class SellTiles:
     num_chunks: int = 1
     spc_dst: int = 0  # slices per chunk, dst side
     spc_src: int = 0
+    # padded NODE grids (== the row grids unless the side is split)
+    node_pad_dst: int = -1  # -1 -> num_dst_tiles * TILE_N
+    node_pad_src: int = -1
 
     @property
     def padded_num_nodes(self) -> int:
-        return self.num_dst_tiles * TILE_N
+        return (
+            self.num_dst_tiles * TILE_N
+            if self.node_pad_dst < 0
+            else self.node_pad_dst
+        )
 
     @property
     def padded_src_nodes(self) -> int:
-        return self.num_src_tiles * TILE_N
+        return (
+            self.num_src_tiles * TILE_N
+            if self.node_pad_src < 0
+            else self.node_pad_src
+        )
 
 
 jax.tree_util.register_pytree_node(
     _SellSide,
     lambda s: (
-        (s.perm, s.inv, s.gather_ids, s.msk, s.col_off, s.ids_grp,
+        (s.perm, s.inv, s.vsort, s.gather_ids, s.msk, s.col_off, s.ids_grp,
          s.msk_grp, s.rel_off),
-        None,
+        (s.split,),
     ),
-    lambda _, ch: _SellSide(*ch),
+    lambda aux, ch: _SellSide(*ch, *aux),
 )
 jax.tree_util.register_pytree_node(
     SellTiles,
@@ -180,54 +206,112 @@ jax.tree_util.register_pytree_node(
             t.num_chunks,
             t.spc_dst,
             t.spc_src,
+            t.node_pad_dst,
+            t.node_pad_src,
         ),
     ),
     lambda aux, ch: SellTiles(*ch, *aux),
 )
 
 
-def _side_geometry(deg: np.ndarray, num_rows: int, num_chunks: int):
+def _vrow_lengths(deg: np.ndarray, split_cap: int | None, force=False):
+    """Virtual-row decomposition of a degree profile.
+
+    Returns (split, vnode [nvr], vlen [nvr], vbase [num_rows+1]) where
+    unsplit sides get exactly one row per node (including empty nodes —
+    today's permutation semantics) and split sides get ceil(deg/cap) rows
+    per NONEMPTY node (empty nodes own no rows). force=True selects split
+    mode even below the cap (stacked per-shard layouts need a UNIFORM
+    static mode across shards)."""
+    num_rows = len(deg)
+    split = split_cap is not None and (
+        force
+        or (
+            num_rows > 0
+            and deg.size > 0
+            and int(deg.max(initial=0)) > split_cap
+        )
+    )
+    if not split:
+        vbase = np.arange(num_rows + 1, dtype=np.int64)
+        return False, np.arange(num_rows, dtype=np.int64), deg.astype(
+            np.int64
+        ), vbase
+    nvr_node = -(-deg // split_cap)
+    vbase = np.zeros(num_rows + 1, np.int64)
+    np.cumsum(nvr_node, out=vbase[1:])
+    nvr = int(vbase[-1])
+    vnode = np.repeat(np.arange(num_rows, dtype=np.int64), nvr_node)
+    k = np.arange(nvr, dtype=np.int64) - np.repeat(vbase[:-1], nvr_node)
+    vlen = np.minimum(deg[vnode] - k * split_cap, split_cap)
+    return True, vnode, vlen, vbase
+
+
+def _side_geometry(
+    deg: np.ndarray, num_rows: int, num_chunks: int, split_cap=None
+):
     """(t2 total slices, spc slices/chunk, e_ell, g) for one side — exact,
     without building the arrays (used to pick num_chunks up front; the
     balancing reorder below never changes slice widths, only their order).
     Both sides always use the SAME chunk count g == num_chunks (tiny sides
     pad with empty slices) so the wrapper's per-chunk scans stay uniform."""
-    t_real = max(1, -(-num_rows // TILE_N))
+    _, _, vlen, _ = _vrow_lengths(np.asarray(deg, np.int64), split_cap)
+    nvr = max(1, len(vlen))
+    t_real = max(1, -(-nvr // TILE_N))
     g = max(1, num_chunks)
     spc = -(-t_real // g)
     t2 = g * spc
-    deg_pad = np.zeros(t2 * TILE_N, np.int64)
-    deg_pad[: len(deg)] = deg
-    widths = np.sort(deg_pad)[::-1].reshape(t2, TILE_N).max(axis=1)
+    vlen_pad = np.zeros(t2 * TILE_N, np.int64)
+    vlen_pad[: len(vlen)] = vlen
+    widths = np.sort(vlen_pad)[::-1].reshape(t2, TILE_N).max(axis=1)
     return t2, spc, max(int(widths.sum()) * TILE_N, TILE_N), g
 
 
 def _build_sell_side(
-    ptr, opp_ids, num_rows, opp_pad_rows, num_chunks, fixed_cols=None
+    ptr, opp_ids, num_rows, opp_pad_rows, num_chunks, fixed=None,
+    split_cap=None, force_split=False,
 ):
     """One side's SELL layout from its CSR view.
 
     ptr [num_rows+1], opp_ids [E]: the opposite endpoint of each edge in
     this side's sorted order. Returns (_SellSide, slot[E] int64 — each
     edge's ELL slot, in this side's edge order, for cross-side permutes —
-    and spc, the slices per chunk).
+    t2 row slices, and spc, the slices per chunk).
 
-    fixed_cols: force the edge arrays to this total column count (error if
-    the real layout needs more). Keeps every array shape constant across
-    graphs sharing a node budget — required for stacking per-shard layouts
-    (parallel.partition.prepare_partitioned_sell_tiles); the tail region
-    beyond col_off[-1] is all padding sentinels and is never streamed.
+    split_cap: rows longer than this split into ceil(deg/cap) virtual rows
+    (power-law hubs; see _SellSide docstring). None disables splitting.
+    fixed=(cols, tiles): force the edge arrays' total column count AND the
+    row-slice count (error if the real layout needs more). Keeps every
+    array shape constant across graphs sharing a node budget — required
+    for stacking per-shard layouts; tail regions are padding sentinels and
+    are never streamed.
     """
     ptr = np.asarray(ptr, np.int64)
     deg = np.diff(ptr)
-    t2, spc, _, g = _side_geometry(deg, num_rows, num_chunks)
-    if fixed_cols is not None and g > 1:
-        raise ValueError("fixed_cols requires num_chunks == 1")
+    num_edges = int(ptr[-1])
+    split, vnode, vlen, vbase = _vrow_lengths(
+        deg, split_cap, force=force_split
+    )
+    nvr = len(vnode)
+    t_real = max(1, -(-max(nvr, 1) // TILE_N))
+    g = max(1, num_chunks)
+    if fixed is not None:
+        if g > 1:
+            raise ValueError("fixed layouts require num_chunks == 1")
+        fixed_cols, fixed_tiles = fixed
+        if t_real > fixed_tiles:
+            raise ValueError(
+                f"fixed tiles={fixed_tiles} too small: this side needs "
+                f"{t_real} row slices"
+            )
+        t_real = fixed_tiles
+    spc = -(-t_real // g)
+    t2 = g * spc
     rows_pad = t2 * TILE_N
-    deg_pad = np.zeros(rows_pad, np.int64)
-    deg_pad[:num_rows] = deg
-    order0 = np.argsort(-deg_pad, kind="stable")
-    widths0 = deg_pad[order0].reshape(t2, TILE_N).max(axis=1)
+    vlen_pad = np.zeros(rows_pad, np.int64)
+    vlen_pad[:nvr] = vlen
+    order0 = np.argsort(-vlen_pad, kind="stable")
+    widths0 = vlen_pad[order0].reshape(t2, TILE_N).max(axis=1)
     if g > 1:
         # deal slices (already width-descending) greedily into g chunks of
         # exactly spc slices each, lightest-loaded first: per-chunk column
@@ -244,16 +328,36 @@ def _build_sell_side(
         slice_order = np.argsort(assign, kind="stable")
     else:
         slice_order = np.arange(t2)
-    perm = (
-        order0.reshape(t2, TILE_N)[slice_order].reshape(-1).astype(np.int32)
-    )
+    # final row p holds (pre-sort) virtual row vorder[p]
+    vorder = order0.reshape(t2, TILE_N)[slice_order].reshape(-1)
+    vpos = np.empty(rows_pad, np.int64)
+    vpos[vorder] = np.arange(rows_pad, dtype=np.int64)
+    if split:
+        # decoupled node grid: rows are virtual; padding rows carry the
+        # node grid's appended-zero-row index
+        node_pad = max(TILE_N, -(-num_rows // TILE_N) * TILE_N)
+        vnode_ext = np.concatenate(
+            [vnode, np.full(rows_pad - nvr, node_pad, np.int64)]
+        )
+        perm = vnode_ext[vorder].astype(np.int32)
+        inv = np.zeros(1, np.int32)  # direct restore unavailable
+        vsort = np.argsort(perm, kind="stable").astype(np.int32)
+    else:
+        # one row per PADDED-GRID node id (nvr == num_rows real rows plus
+        # degree-0 rows up to rows_pad): perm is a permutation of the row
+        # grid and the node grid IS the row grid — the pre-split
+        # semantics, so node tables pad to rows_pad and every padding
+        # node keeps its zero row through take(out_p, inv)
+        node_pad = rows_pad
+        perm = vorder.astype(np.int32)
+        inv = np.empty(rows_pad, np.int32)
+        inv[perm] = np.arange(rows_pad, dtype=np.int32)
+        vsort = np.zeros(1, np.int32)
     widths = widths0[slice_order]
-    inv = np.empty(rows_pad, np.int32)
-    inv[perm] = np.arange(rows_pad, dtype=np.int32)
     col_off = np.zeros(t2 + 1, np.int64)
     np.cumsum(widths, out=col_off[1:])
     e_ell = max(int(col_off[-1]) * TILE_N, TILE_N)
-    if fixed_cols is not None:
+    if fixed is not None:
         if e_ell > fixed_cols * TILE_N:
             raise ValueError(
                 f"fixed_cols={fixed_cols} too small: this layout needs "
@@ -263,12 +367,14 @@ def _build_sell_side(
 
     gather = np.full(e_ell, opp_pad_rows, np.int32)
     msk = np.full((e_ell, 1), NEG_INF, np.float32)
-    num_edges = int(ptr[-1])
     if num_edges:
         own = np.repeat(np.arange(num_rows, dtype=np.int64), deg)
         rank = np.arange(num_edges, dtype=np.int64) - np.repeat(ptr[:-1], deg)
-        pos = inv[own].astype(np.int64)
-        slot = (col_off[pos // TILE_N] + rank) * TILE_N + pos % TILE_N
+        cap = split_cap if split else (int(deg.max()) + 1 if len(deg) else 1)
+        vr0 = vbase[own] + rank // cap
+        within = rank % cap
+        pos = vpos[vr0]
+        slot = (col_off[pos // TILE_N] + within) * TILE_N + pos % TILE_N
         gather[slot] = opp_ids
         msk[slot, 0] = 0.0
     else:
@@ -299,14 +405,16 @@ def _build_sell_side(
     side = _SellSide(
         perm=jnp.asarray(perm),
         inv=jnp.asarray(inv),
+        vsort=jnp.asarray(vsort),
         gather_ids=jnp.asarray(gather),
         msk=jnp.asarray(msk),
         col_off=jnp.asarray(col_flat),
         ids_grp=jnp.asarray(ids_grp),
         msk_grp=jnp.asarray(msk_grp),
         rel_off=jnp.asarray(rel),
+        split=split,
     )
-    return side, slot, e_ell, t2, spc
+    return side, slot, e_ell, t2, spc, node_pad
 
 
 def suggest_num_chunks_sell(
@@ -324,21 +432,29 @@ def suggest_num_chunks_sell(
     return max(2, -(-need // budget_bytes))
 
 
+DEFAULT_SPLIT_CAP = 256
+
+
 def prepare_sell_tiles(
     row_ptr: np.ndarray,
     col_idx: np.ndarray,
     num_nodes: int,
     num_src_nodes: int | None = None,
     num_chunks: int = 1,
-    fixed_cols: tuple[int, int] | None = None,
+    fixed: tuple | None = None,
+    split_cap: int | None = DEFAULT_SPLIT_CAP,
+    force_split: tuple[bool, bool] = (False, False),
 ) -> SellTiles:
     """Build the two-sided SELL-128 layout from CSR (host-side, once per
     graph). num_src_nodes: bipartite edge sets (col_idx holds global source
     ids while row_ptr covers local destinations); default monopartite.
     num_chunks=G bounds edge-space HBM temporaries at O(E/G).
-    fixed_cols=(dst_cols, src_cols): force both sides' total column counts
-    so per-shard layouts stack to identical shapes (num_chunks=1 only);
-    the diagnostic aux (num_edges, pad_overhead) is uniformed too."""
+    split_cap: rows above this degree split into virtual rows (power-law
+    hubs; None disables — required by the merge/overlap path).
+    fixed=(dst_cols, src_cols, dst_tiles, src_tiles): force both sides'
+    total column AND row-slice counts so per-shard layouts stack to
+    identical shapes (num_chunks=1 only); the diagnostic aux (num_edges,
+    pad_overhead) is uniformed too."""
     row_ptr = np.asarray(row_ptr, np.int64)
     col_idx = np.asarray(col_idx, np.int32)
     ns = num_nodes if num_src_nodes is None else num_src_nodes
@@ -347,18 +463,36 @@ def prepare_sell_tiles(
         ns, np.int64
     )
 
-    # both sides' padded row counts depend only on (row count, G): compute
-    # them up front so each side's padding slots can point at the OTHER
-    # side's appended zero row
-    t2_d, spc_d, _, g = _side_geometry(
-        np.diff(row_ptr), num_nodes, num_chunks
-    )
-    t2_s, spc_s, _, _ = _side_geometry(deg_s, ns, num_chunks)
-    fc_d, fc_s = fixed_cols if fixed_cols is not None else (None, None)
+    fx_d = fx_s = None
+    if fixed is not None:
+        fx_d = (fixed[0], fixed[2])
+        fx_s = (fixed[1], fixed[3])
 
-    dst_side, slot_d, e_ell, t2_d, spc_d = _build_sell_side(
-        row_ptr, col_idx, num_nodes, t2_s * TILE_N, num_chunks,
-        fixed_cols=fc_d,
+    # both sides' padded NODE grids depend only on the node counts: each
+    # side's padding slots point at the OTHER side's appended zero row
+    node_pad_d = max(TILE_N, -(-num_nodes // TILE_N) * TILE_N)
+    node_pad_s = max(TILE_N, -(-ns // TILE_N) * TILE_N)
+    # unsplit sides couple their node grid to the ROW grid (chunk padding
+    # can extend it); compute both sides' final node pads up front
+    deg_d = np.diff(row_ptr)
+    split_d, _, _, _ = _vrow_lengths(deg_d, split_cap, force=force_split[0])
+    split_s, _, _, _ = _vrow_lengths(
+        deg_s.astype(np.int64), split_cap, force=force_split[1]
+    )
+    if not split_d:
+        t2_d0, _, _, _ = _side_geometry(deg_d, num_nodes, num_chunks)
+        if fixed is not None:
+            t2_d0 = max(t2_d0, fixed[2])
+        node_pad_d = t2_d0 * TILE_N
+    if not split_s:
+        t2_s0, _, _, _ = _side_geometry(deg_s, ns, num_chunks)
+        if fixed is not None:
+            t2_s0 = max(t2_s0, fixed[3])
+        node_pad_s = t2_s0 * TILE_N
+
+    dst_side, slot_d, e_ell, t2_d, spc_d, node_pad_d = _build_sell_side(
+        row_ptr, col_idx, num_nodes, node_pad_s, num_chunks,
+        fixed=fx_d, split_cap=split_cap, force_split=force_split[0],
     )
 
     # CSC view: edges stably re-sorted by src
@@ -368,10 +502,11 @@ def prepare_sell_tiles(
     dst_all = np.repeat(
         np.arange(num_nodes, dtype=np.int32), np.diff(row_ptr)
     )
-    src_side, slot_s, e2_ell, t2_s, spc_s = _build_sell_side(
-        sptr, dst_all[order], ns, t2_d * TILE_N, num_chunks,
-        fixed_cols=fc_s,
+    src_side, slot_s, e2_ell, t2_s, spc_s, node_pad_s = _build_sell_side(
+        sptr, dst_all[order], ns, node_pad_d, num_chunks,
+        fixed=fx_s, split_cap=split_cap, force_split=force_split[1],
     )
+    g = max(1, num_chunks)
     if g > 1:
         ell_perm = np.zeros(1, np.int32)  # packet path unused when chunked
     else:
@@ -391,13 +526,15 @@ def prepare_sell_tiles(
         e2_ell=e2_ell,
         # stacked per-shard layouts need identical static aux: uniform the
         # per-shard diagnostics in fixed mode
-        num_edges=-1 if fixed_cols is not None else num_edges,
+        num_edges=-1 if fixed is not None else num_edges,
         pad_overhead=(
-            0.0 if fixed_cols is not None else e_ell / max(num_edges, 1)
+            0.0 if fixed is not None else e_ell / max(num_edges, 1)
         ),
         num_chunks=g,
         spc_dst=spc_d,
         spc_src=spc_s,
+        node_pad_dst=node_pad_d,
+        node_pad_src=node_pad_s,
     )
 
 
@@ -417,8 +554,12 @@ def suggest_chunks_for_graph(
     )
     deg_d = np.diff(np.asarray(row_ptr, np.int64))
     deg_s = np.bincount(np.asarray(col_idx, np.int64), minlength=num_nodes)
-    _, _, e_ell_est, _ = _side_geometry(deg_d, num_nodes, 1)
-    _, _, e2_ell_est, _ = _side_geometry(deg_s, num_nodes, 1)
+    _, _, e_ell_est, _ = _side_geometry(
+        deg_d, num_nodes, 1, split_cap=DEFAULT_SPLIT_CAP
+    )
+    _, _, e2_ell_est, _ = _side_geometry(
+        deg_s, num_nodes, 1, split_cap=DEFAULT_SPLIT_CAP
+    )
     return suggest_num_chunks_sell(
         e_ell_est, e2_ell_est, max_hd, budget_bytes=budget_bytes
     )
@@ -1206,59 +1347,117 @@ def sell_attention(
     spc_d = st.spc_dst if st.spc_dst else st.num_dst_tiles
     spc_s = st.spc_src if st.spc_src else st.num_src_tiles
 
+    def _rep16(x16):
+        """[n, STATS_L] per-head values -> [n, hd] feature-lane layout."""
+        r = jnp.repeat(x16[:, :num_heads], head_dim, axis=1)
+        if hd != hd_real:
+            r = jnp.pad(r, ((0, 0), (0, hd - hd_real)))
+        return r
+
+    def _rows_to_nodes_sum(x_p, side, node_pad):
+        """Row-space grads -> node space: direct inverse take (unsplit) or
+        a sorted segment sum over each node's virtual rows (split)."""
+        if not side.split:
+            return jnp.take(x_p, side.inv, axis=0)
+        ids = jnp.take(side.perm, side.vsort)
+        return segment_sum(
+            jnp.take(x_p, side.vsort, axis=0), ids, node_pad + 1,
+            indices_sorted=True,
+        )[:node_pad]
+
+    def _merge_rows_dst(u_p, ml_p):
+        """vrow-space (u, packed m|l) -> node-space (out, sigma16): the
+        exact online-softmax merge over each node's virtual rows (the
+        same rescale flash attention uses across blocks)."""
+        side = st.dst
+        vs = side.vsort
+        ids = jnp.take(side.perm, vs)  # ascending node ids, pads last
+        m_s = jnp.take(ml_p[:, :STATS_L], vs, axis=0)
+        l_s = jnp.take(ml_p[:, STATS_L : 2 * STATS_L], vs, axis=0)
+        u_s = jnp.take(u_p, vs, axis=0)
+        m_n = segment_max(m_s, ids, n_pad + 1, indices_sorted=True)[:n_pad]
+        # keep finite: -inf (empty nodes) would NaN the 0*inf terms of the
+        # backward's structural expansion matmuls
+        m_n = jnp.maximum(m_n, NEG_INF)
+        m_z = jnp.concatenate(
+            [m_n, jnp.zeros((1, STATS_L), jnp.float32)], axis=0
+        )
+        c = jnp.exp(m_s - jnp.take(m_z, ids, axis=0))  # [rows, 16]
+        u_n = segment_sum(
+            u_s * _rep16(c), ids, n_pad + 1, indices_sorted=True
+        )[:n_pad]
+        l_n = segment_sum(l_s * c, ids, n_pad + 1, indices_sorted=True)[
+            :n_pad
+        ]
+        out_n = u_n / (_rep16(l_n) + SOFTMAX_EPS)
+        sigma = m_n + jnp.log(l_n + SOFTMAX_EPS)
+        return out_n, sigma
+
     def _forward_all(zs_, zd_, a_, st_):
+        """Returns (out node-order [n_pad, hd], sigma node-order
+        [n_pad, STATS_L])."""
         zs_flat = _prep(zs_, ns_pad)
         zd_flat = _prep(zd_, n_pad)
         a2, _, _, _, s_sel, _ = _sell_matrices(a_, hd)
         zs_z = jnp.concatenate(
             [zs_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
         )
-        zd_p = jnp.take(zd_flat, st_.dst.perm, axis=0)
+        zd_z = jnp.concatenate(
+            [zd_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+        )
+        zd_p = jnp.take(zd_z, st_.dst.perm, axis=0)
+        normalize = not st.dst.split
         if g_chunks == 1:
             zs_e = jnp.take(zs_z, st_.dst.gather_ids, axis=0)
-            return _sell_forward(
+            out_p, sig_p = _sell_forward(
                 zs_e, st_.dst.msk, zd_p, a2, s_sel, st_.dst.col_off,
-                st.num_dst_tiles, **kw,
+                st.num_dst_tiles, normalize=normalize, **kw,
             )
+        else:
+            # chunk-sequential (lax.scan): only one chunk's [E/G, hd]
+            # gather is ever live in HBM
+            def body(_, x):
+                ids_g, msk_g, rel_g, zd_c = x
+                zs_e = jnp.take(zs_z, ids_g, axis=0)
+                return 0, _sell_forward(
+                    zs_e, msk_g, zd_c, a2, s_sel, rel_g, spc_d,
+                    normalize=normalize, **kw,
+                )
 
-        # chunk-sequential (lax.scan): only one chunk's [E/G, hd] gather is
-        # ever live in HBM
-        def body(_, x):
-            ids_g, msk_g, rel_g, zd_c = x
-            zs_e = jnp.take(zs_z, ids_g, axis=0)
-            return 0, _sell_forward(
-                zs_e, msk_g, zd_c, a2, s_sel, rel_g, spc_d, **kw
+            _, (outs, sigs) = jax.lax.scan(
+                body, 0,
+                (
+                    st_.dst.ids_grp, st_.dst.msk_grp, st_.dst.rel_off,
+                    zd_p.reshape(g_chunks, spc_d * TILE_N, hd),
+                ),
             )
+            out_p = outs.reshape(-1, hd)
+            sig_p = sigs.reshape(-1, 128)
+        if normalize:
+            out_n = jnp.take(out_p, st_.dst.inv, axis=0)
+            sigma = jnp.take(sig_p[:, :STATS_L], st_.dst.inv, axis=0)
+            return out_n, sigma
+        return _merge_rows_dst(out_p, sig_p)
 
-        _, (outs, sigs) = jax.lax.scan(
-            body, 0,
-            (
-                st_.dst.ids_grp, st_.dst.msk_grp, st_.dst.rel_off,
-                zd_p.reshape(g_chunks, spc_d * TILE_N, hd),
-            ),
-        )
-        return outs.reshape(-1, hd), sigs.reshape(-1, 128)
-
-    def _restore(out_p):
-        out = jnp.take(out_p, st.dst.inv, axis=0)[:num_nodes, :hd_real]
+    def _restore(out_n):
+        out = out_n[:num_nodes, :hd_real]
         return out if flat_io else out.reshape(
             num_nodes, num_heads, head_dim
         )
 
     @jax.custom_vjp
     def attn(zs_, zd_, a_, st_):
-        out_p, _ = _forward_all(zs_, zd_, a_, st_)
-        return _restore(out_p)
+        out_n, _ = _forward_all(zs_, zd_, a_, st_)
+        return _restore(out_n)
 
     def fwd(zs_, zd_, a_, st_):
-        out_p, sig_p = _forward_all(zs_, zd_, a_, st_)
-        out_r = _restore(out_p)
-        # sigma stays in PERMUTED row order (fed straight back to phase 1);
-        # only the real head lanes are kept
-        return out_r, (zs_, zd_, a_, sig_p[:, :STATS_L], out_r, st_)
+        out_n, sigma = _forward_all(zs_, zd_, a_, st_)
+        out_r = _restore(out_n)
+        # sigma rides in NODE order (both phases gather it per row/edge)
+        return out_r, (zs_, zd_, a_, sigma, out_r, st_)
 
     def bwd(res, gout):
-        zs_, zd_, a_, sig16_p, out_r, st_ = res
+        zs_, zd_, a_, sigma_n, out_r, st_ = res
         zs_flat = _prep(zs_, ns_pad)
         zd_flat = _prep(zd_, n_pad)
         g_flat = _prep(gout, n_pad)
@@ -1272,16 +1471,25 @@ def sell_attention(
             -1, num_heads, head_dim
         )
         r16 = jnp.pad(prod.sum(-1), ((0, 0), (0, STATS_L - num_heads)))
-        r16_p = jnp.take(r16, st_.dst.perm, axis=0)
-        sr_p = jnp.pad(
-            jnp.concatenate([sig16_p, r16_p], axis=1),
+        sr_node = jnp.pad(
+            jnp.concatenate([sigma_n, r16], axis=1),
             ((0, 0), (0, 128 - 2 * STATS_L)),
+        )
+        sr_z = jnp.concatenate(
+            [sr_node, jnp.zeros((1, 128), jnp.float32)], axis=0
         )
         zs_z = jnp.concatenate(
             [zs_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
         )
-        zd_p = jnp.take(zd_flat, st_.dst.perm, axis=0)
-        g_p = jnp.take(g_flat, st_.dst.perm, axis=0)
+        zd_z = jnp.concatenate(
+            [zd_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+        )
+        g_z = jnp.concatenate(
+            [g_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+        )
+        zd_p = jnp.take(zd_z, st_.dst.perm, axis=0)
+        g_p = jnp.take(g_z, st_.dst.perm, axis=0)
+        sr_p = jnp.take(sr_z, st_.dst.perm, axis=0)
         if g_chunks == 1:
             zs_e = jnp.take(zs_z, st_.dst.gather_ids, axis=0)
             dzd_p, da_parts, c1 = _sell_bwd_dst(
@@ -1325,20 +1533,12 @@ def sell_attention(
             # phase 2b per src chunk: recompute packets from [zd | g] and
             # [sigma | r] streams gathered by GLOBAL dst id from node-order
             # tables (appended zero row serves the padding sentinel)
-            sig16_node = jnp.take(sig16_p, st_.dst.inv, axis=0)
-            sr_node = jnp.pad(
-                jnp.concatenate([sig16_node, r16], axis=1),
-                ((0, 0), (0, 128 - 2 * STATS_L)),
-            )
             xg_tab = jnp.concatenate([zd_flat, g_flat], axis=1)
             xg_z = jnp.concatenate(
                 [xg_tab, jnp.zeros((1, 2 * hd), jnp.float32)], axis=0
             )
-            sr_z = jnp.concatenate(
-                [sr_node, jnp.zeros((1, 128), jnp.float32)], axis=0
-            )
             ex = jnp.concatenate([rsig, rr], axis=1)  # [128, 2*hd]
-            zs_perm = jnp.take(zs_flat, st_.srcs.perm, axis=0)
+            zs_perm = jnp.take(zs_z, st_.srcs.perm, axis=0)
 
             def body2(_, x):
                 ids_g, rel_g, zs_c = x
@@ -1358,8 +1558,8 @@ def sell_attention(
             )
             dzs_p = dzs_s.reshape(-1, hd)
 
-        dzd_flat = jnp.take(dzd_p, st_.dst.inv, axis=0)
-        dzs_flat = jnp.take(dzs_p, st_.srcs.inv, axis=0)
+        dzd_flat = _rows_to_nodes_sum(dzd_p, st_.dst, n_pad)
+        dzs_flat = _rows_to_nodes_sum(dzs_p, st_.srcs, ns_pad)
         dzs = dzs_flat[: zs_.shape[0], :hd_real].reshape(zs_.shape)
         dzd = dzd_flat[: zd_.shape[0], :hd_real].reshape(zd_.shape)
         return dzs, dzd, da[:hd_real].reshape(num_heads, head_dim), None
@@ -1405,6 +1605,11 @@ def sell_attention_merge(
         raise ValueError("need one SellTiles per zs part")
     if any(st.num_chunks != 1 for st in sts):
         raise ValueError("merge path supports num_chunks == 1 tiles only")
+    if any(st.dst.split or st.srcs.split for st in sts):
+        raise ValueError(
+            "merge path needs UNSPLIT layouts (build its tiles with "
+            "split_cap=None; prepare_overlap_sell_tiles does)"
+        )
     n_pad = sts[0].padded_num_nodes
     if any(st.padded_num_nodes != n_pad for st in sts):
         raise ValueError("all parts must share the dst node space")

@@ -254,18 +254,23 @@ def prepare_partitioned_tiles(
     return _stack_tiles(per_shard)
 
 
-def _build_sell_shards(src_all, dst_all, nps, n_glob):
+def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default"):
     """Stacked per-shard bipartite SELL layouts with both sides' column
-    counts forced to the cross-shard max (fixed_cols), so every stacked
-    leaf has identical shape and the static aux agrees."""
+    AND row-slice counts forced to the cross-shard max (fixed mode), so
+    every stacked leaf has identical shape and the static aux agrees.
+
+    split_cap: "default" uses the library default (hub rows split into
+    virtual rows); None disables splitting (required by the merge path)."""
     from gatv2_tpu.ops.sell_attention import (
+        DEFAULT_SPLIT_CAP,
         TILE_N,
         _side_geometry,
         prepare_sell_tiles,
     )
 
+    cap = DEFAULT_SPLIT_CAP if split_cap == "default" else split_cap
     shards = []
-    cols_d = cols_s = 1
+    cols_d = cols_s = tiles_d = tiles_s = 1
     for s in range(len(dst_all)):
         real = dst_all[s] < nps
         dst_s = dst_all[s][real]
@@ -274,16 +279,35 @@ def _build_sell_shards(src_all, dst_all, nps, n_glob):
         row_ptr = np.zeros(nps + 1, np.int64)
         np.cumsum(counts, out=row_ptr[1:])
         shards.append((row_ptr, src_s))
-        _, _, e_ell, _ = _side_geometry(np.diff(row_ptr), nps, 1)
+        t_d, _, e_ell, _ = _side_geometry(
+            np.diff(row_ptr), nps, 1, split_cap=cap
+        )
         deg_s = np.bincount(src_s, minlength=n_glob)
-        _, _, e2_ell, _ = _side_geometry(deg_s, n_glob, 1)
+        t_s, _, e2_ell, _ = _side_geometry(deg_s, n_glob, 1, split_cap=cap)
         cols_d = max(cols_d, e_ell // TILE_N)
         cols_s = max(cols_s, e2_ell // TILE_N)
+        tiles_d = max(tiles_d, t_d)
+        tiles_s = max(tiles_s, t_s)
+
+    # the "is this side split" decision must be UNIFORM across shards (it
+    # is static aux): split whenever ANY shard would split
+    any_split_d = any(
+        cap is not None and len(np.diff(rp)) and int(np.diff(rp).max()) > cap
+        for rp, _ in shards
+    )
+    any_split_s = any(
+        cap is not None
+        and len(ss)
+        and int(np.bincount(ss, minlength=n_glob).max()) > cap
+        for _, ss in shards
+    )
 
     per_shard = [
         prepare_sell_tiles(
             row_ptr, src_s, nps, num_src_nodes=n_glob,
-            fixed_cols=(cols_d, cols_s),
+            fixed=(cols_d, cols_s, tiles_d, tiles_s),
+            split_cap=cap,
+            force_split=(any_split_d, any_split_s),
         )
         for row_ptr, src_s in shards
     ]
@@ -319,10 +343,15 @@ def prepare_overlap_sell_tiles(
     is the shard's own nodes, the HALO pass's src space is the halo table.
     Returns (stacked_local_tiles, stacked_halo_tiles)."""
     nps = pg.nodes_per_shard
+    # the merged-softmax kernels need UNSPLIT layouts (their per-pass
+    # stats merge across passes, not across a node's virtual rows)
     return (
-        _build_sell_shards(split.local_src, split.local_dst, nps, nps),
         _build_sell_shards(
-            split.halo_src, split.halo_dst, nps, plan.halo_size
+            split.local_src, split.local_dst, nps, nps, split_cap=None
+        ),
+        _build_sell_shards(
+            split.halo_src, split.halo_dst, nps, plan.halo_size,
+            split_cap=None,
         ),
     )
 

@@ -243,6 +243,82 @@ def test_sell_chunked_parity():
 
 
 @pytest.mark.fast
+def test_sell_split_rows_powerlaw():
+    """Hub degrees above the split cap engage virtual-row splitting: the
+    layout stays tight (overhead ~1x, not the hub-degree blowup) and the
+    merged forward/backward match the oracle exactly."""
+    from gatv2_tpu.data.synthetic import powerlaw_graph
+
+    g = powerlaw_graph(1200, 20000, 8, 3, seed=4, alpha=1.2)
+    n = g.num_nodes
+    deg = np.diff(g.row_ptr)
+    assert deg.max() > 256  # the fixture must actually exceed the cap
+    src_all, dst_all = _coo(g)
+    zs, zd, a = _rand_zza(n, 2, 32, 21)
+    st = prepare_sell_tiles(g.row_ptr, g.col_idx, n)
+    assert st.dst.split and st.srcs.split
+    # no hub blowup: splitting must beat the unsplit layout by a wide
+    # margin (small graphs carry some slice-boundary noise, hence relative)
+    st_unsplit = prepare_sell_tiles(
+        g.row_ptr, g.col_idx, n, split_cap=None
+    )
+    assert st.pad_overhead < st_unsplit.pad_overhead / 3
+    assert st.pad_overhead < 2.5
+
+    def loss_sell(zs, zd, a):
+        o = sell_attention(
+            zs, zd, a, None, None, n, negative_slope=0.2, sell_tiles=st,
+            interpret=True,
+        )
+        return jnp.sum(jnp.sin(o)), o
+
+    (_, out), gs = jax.value_and_grad(
+        loss_sell, argnums=(0, 1, 2), has_aux=True
+    )(zs, zd, a)
+    ref = _ref(zs, zd, a, src_all, dst_all, n)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def loss_ref(zs, zd, a):
+        return jnp.sum(jnp.sin(_ref(zs, zd, a, src_all, dst_all, n)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(zs, zd, a)
+    for x, y in zip(gs, gr):
+        np.testing.assert_allclose(x, y, rtol=5e-4, atol=1e-4)
+
+
+def test_sell_split_chunked_parity():
+    """Split rows + chunking together (the Products-with-hubs regime)."""
+    from gatv2_tpu.data.synthetic import powerlaw_graph
+
+    g = powerlaw_graph(900, 12000, 8, 3, seed=6, alpha=1.1)
+    n = g.num_nodes
+    src_all, dst_all = _coo(g)
+    zs, zd, a = _rand_zza(n, 2, 16, 22)
+    st3 = prepare_sell_tiles(g.row_ptr, g.col_idx, n, num_chunks=3)
+    assert st3.num_chunks == 3 and st3.dst.split
+
+    def loss_sell(zs, zd, a):
+        o = sell_attention(
+            zs, zd, a, None, None, n, negative_slope=0.2, sell_tiles=st3,
+            interpret=True,
+        )
+        return jnp.sum(jnp.sin(o)), o
+
+    (_, out), gs = jax.value_and_grad(
+        loss_sell, argnums=(0, 1, 2), has_aux=True
+    )(zs, zd, a)
+    ref = _ref(zs, zd, a, src_all, dst_all, n)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def loss_ref(zs, zd, a):
+        return jnp.sum(jnp.sin(_ref(zs, zd, a, src_all, dst_all, n)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(zs, zd, a)
+    for x, y in zip(gs, gr):
+        np.testing.assert_allclose(x, y, rtol=5e-4, atol=1e-4)
+
+
+@pytest.mark.fast
 def test_sell_via_edge_attention():
     """The impl='sell' dispatch path through ops.attention.edge_attention."""
     g = random_graph(

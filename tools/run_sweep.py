@@ -52,6 +52,9 @@ LEGS: list[tuple[str, list[str], int]] = [
      ["--config", "arxiv", "--impl", "sell", "--precision", "high"], 1800),
     ("products-sub-mesh1-sell",
      ["--config", "products-sub", "--mesh", "1", "--impl", "sell"], 3600),
+    # hub-heavy (Zipf) degree profile: the regime real graphs have
+    ("arxiv-pl", ["--config", "arxiv-pl"], 1800),
+    ("arxiv-pl-sell", ["--config", "arxiv-pl", "--impl", "sell"], 1800),
 ]
 
 TILE_LEGS = [
