@@ -157,7 +157,6 @@ def bench_config(
     import jax.numpy as jnp
 
     from gatv2_tpu.config import ModelConfig, TrainConfig
-    from gatv2_tpu.data.synthetic import random_graph
     from gatv2_tpu.models.gatv2 import init_params
     from gatv2_tpu.train import optim
     from gatv2_tpu.train.loop import make_multi_epoch_runner
@@ -353,7 +352,6 @@ def bench_mesh_config(
     import jax.numpy as jnp
 
     from gatv2_tpu.config import ModelConfig, TrainConfig
-    from gatv2_tpu.data.synthetic import random_graph
     from gatv2_tpu.models.gatv2 import init_params_for_variant
     from gatv2_tpu.parallel.mesh import make_mesh
     from gatv2_tpu.parallel.partition import (

@@ -99,6 +99,9 @@ class _SellSide:
                 dummy [1] when split).
     vsort       [rows_pad] int32 — row indices ordered by node id, pads
                 last (segment-merge restore; dummy [1] when unsplit).
+    sids        [rows_pad] int32 — perm[vsort], the ascending node ids the
+                segment merges key on (host-precomputed so the restore
+                does not re-gather them every step; dummy when unsplit).
     gather_ids  [e_ell] int32 — the streamed OPPOSITE endpoint's global
                 node id per ELL slot; padding slots carry the opposite
                 side's padded node count (gathers an appended zero row).
@@ -117,6 +120,7 @@ class _SellSide:
     perm: jax.Array
     inv: jax.Array
     vsort: jax.Array
+    sids: jax.Array
     gather_ids: jax.Array
     msk: jax.Array
     col_off: jax.Array
@@ -184,8 +188,8 @@ class SellTiles:
 jax.tree_util.register_pytree_node(
     _SellSide,
     lambda s: (
-        (s.perm, s.inv, s.vsort, s.gather_ids, s.msk, s.col_off, s.ids_grp,
-         s.msk_grp, s.rel_off),
+        (s.perm, s.inv, s.vsort, s.sids, s.gather_ids, s.msk, s.col_off,
+         s.ids_grp, s.msk_grp, s.rel_off),
         (s.split,),
     ),
     lambda aux, ch: _SellSide(*ch, *aux),
@@ -247,9 +251,7 @@ def _vrow_lengths(deg: np.ndarray, split_cap: int | None, force=False):
     return True, vnode, vlen, vbase
 
 
-def _side_geometry(
-    deg: np.ndarray, num_rows: int, num_chunks: int, split_cap=None
-):
+def _side_geometry(deg: np.ndarray, num_chunks: int, split_cap=None):
     """(t2 total slices, spc slices/chunk, e_ell, g) for one side — exact,
     without building the arrays (used to pick num_chunks up front; the
     balancing reorder below never changes slice widths, only their order).
@@ -342,6 +344,7 @@ def _build_sell_side(
         perm = vnode_ext[vorder].astype(np.int32)
         inv = np.zeros(1, np.int32)  # direct restore unavailable
         vsort = np.argsort(perm, kind="stable").astype(np.int32)
+        sids = perm[vsort]
     else:
         # one row per PADDED-GRID node id (nvr == num_rows real rows plus
         # degree-0 rows up to rows_pad): perm is a permutation of the row
@@ -353,6 +356,7 @@ def _build_sell_side(
         inv = np.empty(rows_pad, np.int32)
         inv[perm] = np.arange(rows_pad, dtype=np.int32)
         vsort = np.zeros(1, np.int32)
+        sids = np.zeros(1, np.int32)
     widths = widths0[slice_order]
     col_off = np.zeros(t2 + 1, np.int64)
     np.cumsum(widths, out=col_off[1:])
@@ -406,6 +410,7 @@ def _build_sell_side(
         perm=jnp.asarray(perm),
         inv=jnp.asarray(inv),
         vsort=jnp.asarray(vsort),
+        sids=jnp.asarray(sids),
         gather_ids=jnp.asarray(gather),
         msk=jnp.asarray(msk),
         col_off=jnp.asarray(col_flat),
@@ -480,12 +485,12 @@ def prepare_sell_tiles(
         deg_s.astype(np.int64), split_cap, force=force_split[1]
     )
     if not split_d:
-        t2_d0, _, _, _ = _side_geometry(deg_d, num_nodes, num_chunks)
+        t2_d0, _, _, _ = _side_geometry(deg_d, num_chunks)
         if fixed is not None:
             t2_d0 = max(t2_d0, fixed[2])
         node_pad_d = t2_d0 * TILE_N
     if not split_s:
-        t2_s0, _, _, _ = _side_geometry(deg_s, ns, num_chunks)
+        t2_s0, _, _, _ = _side_geometry(deg_s, num_chunks)
         if fixed is not None:
             t2_s0 = max(t2_s0, fixed[3])
         node_pad_s = t2_s0 * TILE_N
@@ -555,10 +560,10 @@ def suggest_chunks_for_graph(
     deg_d = np.diff(np.asarray(row_ptr, np.int64))
     deg_s = np.bincount(np.asarray(col_idx, np.int64), minlength=num_nodes)
     _, _, e_ell_est, _ = _side_geometry(
-        deg_d, num_nodes, 1, split_cap=DEFAULT_SPLIT_CAP
+        deg_d, 1, split_cap=DEFAULT_SPLIT_CAP
     )
     _, _, e2_ell_est, _ = _side_geometry(
-        deg_s, num_nodes, 1, split_cap=DEFAULT_SPLIT_CAP
+        deg_s, 1, split_cap=DEFAULT_SPLIT_CAP
     )
     return suggest_num_chunks_sell(
         e_ell_est, e2_ell_est, max_hd, budget_bytes=budget_bytes
@@ -1359,9 +1364,8 @@ def sell_attention(
         a sorted segment sum over each node's virtual rows (split)."""
         if not side.split:
             return jnp.take(x_p, side.inv, axis=0)
-        ids = jnp.take(side.perm, side.vsort)
         return segment_sum(
-            jnp.take(x_p, side.vsort, axis=0), ids, node_pad + 1,
+            jnp.take(x_p, side.vsort, axis=0), side.sids, node_pad + 1,
             indices_sorted=True,
         )[:node_pad]
 
@@ -1371,7 +1375,7 @@ def sell_attention(
         same rescale flash attention uses across blocks)."""
         side = st.dst
         vs = side.vsort
-        ids = jnp.take(side.perm, vs)  # ascending node ids, pads last
+        ids = side.sids  # ascending node ids, pads last
         m_s = jnp.take(ml_p[:, :STATS_L], vs, axis=0)
         l_s = jnp.take(ml_p[:, STATS_L : 2 * STATS_L], vs, axis=0)
         u_s = jnp.take(u_p, vs, axis=0)

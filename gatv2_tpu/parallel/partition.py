@@ -271,6 +271,7 @@ def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default"):
     cap = DEFAULT_SPLIT_CAP if split_cap == "default" else split_cap
     shards = []
     cols_d = cols_s = tiles_d = tiles_s = 1
+    max_deg_d = max_deg_s = 0
     for s in range(len(dst_all)):
         real = dst_all[s] < nps
         dst_s = dst_all[s][real]
@@ -279,28 +280,33 @@ def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default"):
         row_ptr = np.zeros(nps + 1, np.int64)
         np.cumsum(counts, out=row_ptr[1:])
         shards.append((row_ptr, src_s))
-        t_d, _, e_ell, _ = _side_geometry(
-            np.diff(row_ptr), nps, 1, split_cap=cap
-        )
         deg_s = np.bincount(src_s, minlength=n_glob)
-        t_s, _, e2_ell, _ = _side_geometry(deg_s, n_glob, 1, split_cap=cap)
+        t_d, _, e_ell, _ = _side_geometry(counts, 1, split_cap=cap)
+        t_s, _, e2_ell, _ = _side_geometry(deg_s, 1, split_cap=cap)
         cols_d = max(cols_d, e_ell // TILE_N)
         cols_s = max(cols_s, e2_ell // TILE_N)
         tiles_d = max(tiles_d, t_d)
         tiles_s = max(tiles_s, t_s)
+        max_deg_d = max(max_deg_d, int(counts.max(initial=0)))
+        max_deg_s = max(max_deg_s, int(deg_s.max(initial=0)))
+
+    if cap is None:
+        from gatv2_tpu.ops.sell_attention import DEFAULT_SPLIT_CAP as _dc
+
+        hub = max(max_deg_d, max_deg_s)
+        if hub > 4 * _dc:
+            raise ValueError(
+                f"split_cap=None (the merged-softmax overlap path) on a "
+                f"hub-heavy partition: max degree {hub} would pad its "
+                f"whole SELL slice to the hub degree (10-49x measured on "
+                f"Zipf graphs). Use the single-pass sharded SELL layer "
+                f"(no --overlap), which splits hub rows."
+            )
 
     # the "is this side split" decision must be UNIFORM across shards (it
     # is static aux): split whenever ANY shard would split
-    any_split_d = any(
-        cap is not None and len(np.diff(rp)) and int(np.diff(rp).max()) > cap
-        for rp, _ in shards
-    )
-    any_split_s = any(
-        cap is not None
-        and len(ss)
-        and int(np.bincount(ss, minlength=n_glob).max()) > cap
-        for _, ss in shards
-    )
+    any_split_d = cap is not None and max_deg_d > cap
+    any_split_s = cap is not None and max_deg_s > cap
 
     per_shard = [
         prepare_sell_tiles(

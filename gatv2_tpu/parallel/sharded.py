@@ -741,11 +741,21 @@ class ShardedTrainer:
                 elif train_config.impl == "sell":
                     from gatv2_tpu.parallel.partition import (
                         prepare_overlap_sell_tiles,
+                        prepare_partitioned_sell_tiles,
                     )
 
-                    ov_tiles = prepare_overlap_sell_tiles(
-                        self.pg, plan, split
-                    )
+                    try:
+                        ov_tiles = prepare_overlap_sell_tiles(
+                            self.pg, plan, split
+                        )
+                    except ValueError as e:
+                        # hub-heavy partitions: the merged-softmax layer
+                        # needs unsplit layouts — fall back to the
+                        # single-pass SELL layer (which splits hub rows)
+                        log_fn(f"Overlap: unavailable ({e}); single-pass")
+                        tiles = prepare_partitioned_sell_tiles(
+                            self.pg, halo_plan=plan
+                        )
                 else:
                     ov = split
         self.overlap_split = ov

@@ -662,6 +662,54 @@ def test_pallas_overlap_matches_single_pass(learnable_graph):
         )
 
 
+def test_sharded_sell_powerlaw_matches_single_device():
+    """Partitioned SELL on a hub-heavy (Zipf) graph: the per-shard layouts
+    engage forced-uniform virtual-row splitting (fixed cols/tiles across
+    shards) and still match the single-device loss and gradients."""
+    from gatv2_tpu.data.synthetic import powerlaw_graph
+    from gatv2_tpu.parallel.partition import prepare_partitioned_sell_tiles
+    from gatv2_tpu.parallel.sharded import (
+        device_put_params,
+        make_sharded_loss_fn,
+    )
+
+    g = powerlaw_graph(600, 9000, 16, 4, seed=12, alpha=1.2)
+    assert np.diff(g.row_ptr).max() > 256  # hubs must exceed the cap
+    config = _cfg(g)
+    params = init_params(config, jax.random.PRNGKey(5))
+    pe = g.padded_edges(128)
+    loss_ref, _ = loss_fn(
+        params, jnp.asarray(g.features), jnp.asarray(pe.src),
+        jnp.asarray(pe.dst), jnp.asarray(g.labels), config,
+    )
+    grads_ref = jax.grad(
+        lambda p: loss_fn(
+            p, jnp.asarray(g.features), jnp.asarray(pe.src),
+            jnp.asarray(pe.dst), jnp.asarray(g.labels), config,
+        )[0]
+    )(params)
+
+    mesh = make_mesh(4)
+    pg = partition_graph(g, 4)
+    tiles = prepare_partitioned_sell_tiles(pg)
+    assert tiles.dst.split or tiles.srcs.split
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+    params_sh = device_put_params(params, config, mesh)
+    sharded_loss = make_sharded_loss_fn(
+        config, mesh, pg.num_real_nodes, impl="sell", edge_tiles=tiles,
+        interpret=True,
+    )
+    loss_sh, _ = jax.jit(sharded_loss)(params_sh, feats, src, dst_l, labels)
+    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-5)
+    grads_sh = jax.jit(
+        jax.grad(lambda p: sharded_loss(p, feats, src, dst_l, labels)[0])
+    )(params_sh)
+    for a, b in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_sh)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
 def test_sell_overlap_matches_single_pass(learnable_graph):
     """SELL two-pass merged-softmax overlap layer == the single-pass SELL
     halo layer (loss + grads)."""
