@@ -50,6 +50,33 @@ def test_two_process_matches_single_process():
 
 
 @pytest.mark.slow
+def test_two_process_sell_matches_single_process():
+    """The sharded SELL kernels under real 2-process jax.distributed
+    collectives reproduce the single-process mesh losses."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, SMOKE, str(i), "2", str(port), "sell"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"smoke process failed:\n{err[-2000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert outs[0]["losses"] == outs[1]["losses"]
+
+    from tools.multihost_smoke import run_training_sell
+
+    single = run_training_sell(num_devices=2)
+    for a, b in zip(single, outs[0]["losses"]):
+        assert a == pytest.approx(b, rel=1e-6)
+
+
+@pytest.mark.slow
 def test_two_process_sharded_trainer_with_splits():
     """The FULL ShardedTrainer (splits, masked labels, split eval, the
     time-based default seed broadcast from process 0, multi-host-safe mask

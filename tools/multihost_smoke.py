@@ -43,7 +43,11 @@ def main() -> int:
     assert ok, "multihost.initialize() did not trigger"
     print(multihost.process_summary(), file=sys.stderr)
 
-    run = run_training if mode == "step" else run_trainer
+    run = {
+        "step": run_training,
+        "trainer": run_trainer,
+        "sell": run_training_sell,
+    }[mode]
     losses = run(num_devices=jax.device_count())
     print(json.dumps({"process": proc_id, "losses": losses}), flush=True)
     return 0
@@ -79,7 +83,15 @@ def run_trainer(num_devices: int, epochs: int = 4) -> list[float]:
     return losses
 
 
-def run_training(num_devices: int, epochs: int = 4) -> list[float]:
+def run_training_sell(num_devices: int, epochs: int = 4) -> list[float]:
+    """run_training on the SELL kernels: per-shard bipartite SELL layouts
+    inside the 2-process mesh (interpret mode on CPU)."""
+    return run_training(num_devices, epochs, impl="sell")
+
+
+def run_training(
+    num_devices: int, epochs: int = 4, impl: str = "xla"
+) -> list[float]:
     """Deterministic sharded training; shared by the smoke processes and the
     single-process comparison run in tests/test_multihost.py."""
     import jax
@@ -102,15 +114,25 @@ def run_training(num_devices: int, epochs: int = 4) -> list[float]:
         num_layers=2, heads=(2, 2), out_dims=(8, 6),
         num_classes=g.num_classes, in_dim=g.feature_dim,
     )
-    tc = TrainConfig(optimizer="adam", lr=0.02, seed=0)
+    tc = TrainConfig(optimizer="adam", lr=0.02, seed=0, impl=impl)
     mesh = make_mesh(num_devices)
     pg = partition_graph(g, num_devices)
+    tiles = None
+    if impl == "sell":
+        from gatv2_tpu.parallel.partition import (
+            prepare_partitioned_sell_tiles,
+        )
+
+        tiles = prepare_partitioned_sell_tiles(pg)
     data = device_put_partitioned(pg, mesh)
     params = device_put_params(
         gatv2.init_params_for_variant(mc, jax.random.PRNGKey(0)), mc, mesh
     )
     opt_state = optim.init_opt_state(params, "adam")
-    step = make_sharded_train_step(mc, tc, mesh, pg.num_real_nodes)
+    step = make_sharded_train_step(
+        mc, tc, mesh, pg.num_real_nodes, edge_tiles=tiles,
+        interpret=jax.default_backend() == "cpu",
+    )
     losses = []
     for epoch in range(1, epochs + 1):
         params, opt_state, loss, acc = step(
