@@ -87,6 +87,46 @@ def test_layout_invariants():
 
 
 @pytest.mark.fast
+def test_split_layout_invariants():
+    """Virtual-row layout: every edge lands exactly once, within <= cap
+    columns of a row mapped to its dst node; vsort/sids order by node."""
+    from gatv2_tpu.data.synthetic import powerlaw_graph
+    from gatv2_tpu.ops.sell_attention import DEFAULT_SPLIT_CAP
+
+    g = powerlaw_graph(800, 9000, 8, 3, seed=17, alpha=1.2)
+    st = prepare_sell_tiles(g.row_ptr, g.col_idx, g.num_nodes)
+    assert st.dst.split
+    src_all, dst_all = _coo(g)
+    perm = np.asarray(st.dst.perm)
+    ids = np.asarray(st.dst.gather_ids)
+    msk = np.asarray(st.dst.msk)[:, 0]
+    col_off = np.asarray(st.dst.col_off)
+    real = msk == 0.0
+    assert real.sum() == g.num_edges
+    slots = np.nonzero(real)[0]
+    cols = slots // TILE_N
+    rows = slots % TILE_N
+    t_of_col = np.searchsorted(col_off, cols, side="right") - 1
+    vrow = t_of_col * TILE_N + rows
+    node_of_slot = perm[vrow]
+    # per-dst multiset of sources matches CSR, across a node's split rows
+    got = sorted(zip(node_of_slot.tolist(), ids[slots].tolist()))
+    want = sorted(zip(dst_all.tolist(), src_all.tolist()))
+    assert got == want
+    # each virtual row holds at most cap edges
+    per_vrow = np.bincount(vrow, minlength=len(perm))
+    assert per_vrow.max() <= DEFAULT_SPLIT_CAP
+    # split rows of one node are contiguous groups under vsort, and sids
+    # is exactly perm[vsort] ascending with pads last
+    vsort = np.asarray(st.dst.vsort)
+    sids = np.asarray(st.dst.sids)
+    assert np.array_equal(sids, perm[vsort])
+    assert np.all(np.diff(sids) >= 0)
+    # padding slots gather the appended zero row of the src node grid
+    assert np.all(ids[~real] == st.padded_src_nodes)
+
+
+@pytest.mark.fast
 @pytest.mark.parametrize(
     "h,d,flat",
     [
