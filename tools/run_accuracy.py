@@ -46,6 +46,11 @@ MODES = {
         {"GATV2_PLATFORM": "cpu",
          "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
     ),
+    "mesh8-sell-cpu": (
+        ["--impl", "sell", "--mesh", "8"],
+        {"GATV2_PLATFORM": "cpu",
+         "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    ),
     "dp4-minibatch-cpu": (
         ["--impl", "xla", "--mesh", "4", "--batch-size", "128",
          "--fanouts", "10,10"],
