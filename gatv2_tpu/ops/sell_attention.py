@@ -41,10 +41,13 @@ and the backward pipeline 612-874.
 Padding semantics (no explicit masking branches):
   - padding SLOTS carry gather id == the opposite side's padded row count,
     indexing an appended all-zero row: their zs stream is exactly 0;
-  - a per-slot additive mask (0 real / -1e30 pad) rides a tiny [e_ell, 1]
-    stream; sc_pad = -1e30 makes exp(clip(sc - m, -80, 0)) <= e^-80 ~ 2e-35,
-    which is below the f32 ulp of any real softmax denominator (l >= 1 for
-    any row with a real edge), so real rows are bit-clean;
+  - the additive score mask (0 real / -1e30 pad) is rebuilt in-kernel from
+    a per-column valid-row COUNT (scalar-prefetched, see _SellSide.cnt)
+    compared against a sublane iota — valid slots are a row prefix because
+    slices are length-descending; sc_pad = -1e30 makes
+    exp(clip(sc - m, -80, 0)) <= e^-80 ~ 2e-35, which is below the f32 ulp
+    of any real softmax denominator (l >= 1 for any row with a real edge),
+    so real rows are bit-clean;
   - EMPTY rows (degree 0, incl. padding rows): m = l's junk stays confined
     to the row; the aggregation numerator is exactly 0 (pad zs == 0), so
     the output row is 0, matching the oracle. In the backward, empty rows
@@ -106,13 +109,20 @@ class _SellSide:
                 node id per ELL slot; padding slots carry the opposite
                 side's padded node count (gathers an appended zero row).
                 Dummy [1] when num_chunks > 1 (grouped arrays replace it).
-    msk         [e_ell, 1] f32 — additive score mask: 0 real, -1e30 pad.
-                Dummy when num_chunks > 1.
+    cnt         [e_ell / 128] int32 — valid-row count per 128-edge column.
+                Rows within a slice are length-descending, so a column's
+                real slots are exactly its first cnt rows; the kernels
+                rebuild the additive score mask (0 real / -1e30 pad) from
+                a sublane iota against this scalar — no per-slot mask
+                stream (a [e_ell, 1] f32 stream would lane-pad 128x in
+                VMEM and its [128, 1] DMA slices fail Mosaic's lane-
+                alignment rule). Scalar-prefetched (SMEM). Dummy when
+                num_chunks > 1.
     col_off     [T+1] int32 — cumulative 128-edge column counts per slice
                 (scalar-prefetched by the kernels). Dummy when chunked.
     ids_grp     [G, Ec] int32 — per-chunk gather ids (Ec = the widest
                 chunk's column count * TILE_N; excess slots are padding).
-    msk_grp     [G, Ec, 1] f32 — per-chunk masks.
+    cnt_grp     [G, Ec / 128] int32 — per-chunk column counts.
     rel_off     [G, spc+1] int32 — per-chunk chunk-relative column offsets.
     split       STATIC bool — whether any node was split across rows.
     """
@@ -122,10 +132,10 @@ class _SellSide:
     vsort: jax.Array
     sids: jax.Array
     gather_ids: jax.Array
-    msk: jax.Array
+    cnt: jax.Array
     col_off: jax.Array
     ids_grp: jax.Array
-    msk_grp: jax.Array
+    cnt_grp: jax.Array
     rel_off: jax.Array
     split: bool = False
 
@@ -188,8 +198,8 @@ class SellTiles:
 jax.tree_util.register_pytree_node(
     _SellSide,
     lambda s: (
-        (s.perm, s.inv, s.vsort, s.sids, s.gather_ids, s.msk, s.col_off,
-         s.ids_grp, s.msk_grp, s.rel_off),
+        (s.perm, s.inv, s.vsort, s.sids, s.gather_ids, s.cnt, s.col_off,
+         s.ids_grp, s.cnt_grp, s.rel_off),
         (s.split,),
     ),
     lambda aux, ch: _SellSide(*ch, *aux),
@@ -370,8 +380,25 @@ def _build_sell_side(
         e_ell = fixed_cols * TILE_N
 
     gather = np.full(e_ell, opp_pad_rows, np.int32)
-    msk = np.full((e_ell, 1), NEG_INF, np.float32)
+    # per-column valid-row counts: rows within a slice are vlen-descending
+    # (order0 sorts globally; slice_order permutes whole slices), so column
+    # c of a slice holds real edges in exactly its first
+    # #{rows: vlen > c} rows — the kernels rebuild the additive mask from
+    # this scalar instead of streaming a [e_ell, 1] mask (see _SellSide)
+    cnt = np.zeros(e_ell // TILE_N, np.int32)
     if num_edges:
+        vlen_sl = vlen_pad[vorder].reshape(t2, TILE_N)
+        for s in range(t2):
+            w = int(widths[s])
+            if w:
+                asc = vlen_sl[s][::-1]
+                c0 = int(col_off[s])
+                cnt[c0 : c0 + w] = (
+                    TILE_N
+                    - np.searchsorted(
+                        asc, np.arange(w, dtype=np.int64), side="right"
+                    )
+                ).astype(np.int32)
         own = np.repeat(np.arange(num_rows, dtype=np.int64), deg)
         rank = np.arange(num_edges, dtype=np.int64) - np.repeat(ptr[:-1], deg)
         cap = split_cap if split else (int(deg.max()) + 1 if len(deg) else 1)
@@ -380,7 +407,6 @@ def _build_sell_side(
         pos = vpos[vr0]
         slot = (col_off[pos // TILE_N] + within) * TILE_N + pos % TILE_N
         gather[slot] = opp_ids
-        msk[slot, 0] = 0.0
     else:
         slot = np.zeros(0, np.int64)
 
@@ -388,22 +414,24 @@ def _build_sell_side(
         bounds = col_off[::spc]  # [g+1] chunk column boundaries
         ec = max(int(np.diff(bounds).max()), 1) * TILE_N
         ids_grp = np.full((g, ec), opp_pad_rows, np.int32)
-        msk_grp = np.full((g, ec, 1), NEG_INF, np.float32)
+        cnt_grp = np.zeros((g, ec // TILE_N), np.int32)
         rel = np.zeros((g, spc + 1), np.int32)
         for k in range(g):
             lo, hi = int(bounds[k]) * TILE_N, int(bounds[k + 1]) * TILE_N
             ids_grp[k, : hi - lo] = gather[lo:hi]
-            msk_grp[k, : hi - lo] = msk[lo:hi]
+            cnt_grp[k, : (hi - lo) // TILE_N] = cnt[
+                int(bounds[k]) : int(bounds[k + 1])
+            ]
             rel[k] = (
                 col_off[k * spc : (k + 1) * spc + 1] - col_off[k * spc]
             ).astype(np.int32)
         # drop flat edge arrays (only the grouped layout is consumed)
         gather = np.zeros(1, np.int32)
-        msk = np.zeros((1, 1), np.float32)
+        cnt = np.zeros(1, np.int32)
         col_flat = np.zeros(1, np.int32)
     else:
         ids_grp = gather[None]
-        msk_grp = msk[None]
+        cnt_grp = cnt[None]
         rel = col_off[None].astype(np.int32)
         col_flat = col_off.astype(np.int32)
     side = _SellSide(
@@ -412,10 +440,10 @@ def _build_sell_side(
         vsort=jnp.asarray(vsort),
         sids=jnp.asarray(sids),
         gather_ids=jnp.asarray(gather),
-        msk=jnp.asarray(msk),
+        cnt=jnp.asarray(cnt),
         col_off=jnp.asarray(col_flat),
         ids_grp=jnp.asarray(ids_grp),
-        msk_grp=jnp.asarray(msk_grp),
+        cnt_grp=jnp.asarray(cnt_grp),
         rel_off=jnp.asarray(rel),
         split=split,
     )
@@ -657,9 +685,9 @@ def _sell_matrices(a: jax.Array, hd: int):
 def _sell_fwd_kernel(
     # scalar prefetch
     col_off_ref,  # [T+1] int32, 128-edge-column units
+    cnt_ref,  # [e_ell/128] int32 — valid-row count per column (SMEM)
     # inputs
     zs_e_hbm,  # [e_ell, hd] ANY — src projections gathered into ELL order
-    msk_hbm,  # [e_ell, 1] f32 ANY — additive mask (0 real / -1e30 pad)
     zd_ref,  # [TILE_N, hd] VMEM blocked — dst projections, permuted rows
     a2_ref,  # [hd, hd] VMEM
     s_sel_ref,  # [hd, 128] VMEM
@@ -668,11 +696,10 @@ def _sell_fwd_kernel(
     sig_ref,  # [TILE_N, 128] VMEM blocked — compact sigma = m + log(l+eps)
     # scratch
     zs_t,  # [2, TILE_N, hd]
-    msk_t,  # [2, TILE_N, 1]
     m_scr,  # [TILE_N, hd]  (head-replicated running max)
     l_scr,  # [TILE_N, hd]  (head-replicated running sum-exp)
     acc_scr,  # [TILE_N, hd]
-    sems,  # DMA semaphores (2, 2)
+    sems,  # DMA semaphores (2, 1)
     *,
     negative_slope: float,
     precision,
@@ -694,43 +721,37 @@ def _sell_fwd_kernel(
     l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    def dmas(slot, k):
+    def dma(slot, k):
         off = pl.multiple_of((c0 + k) * TILE_N, TILE_N)
-        return (
-            pltpu.make_async_copy(
-                zs_e_hbm.at[pl.ds(off, TILE_N), :], zs_t.at[slot],
-                sems.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                msk_hbm.at[pl.ds(off, TILE_N), :], msk_t.at[slot],
-                sems.at[slot, 1],
-            ),
+        return pltpu.make_async_copy(
+            zs_e_hbm.at[pl.ds(off, TILE_N), :], zs_t.at[slot],
+            sems.at[slot, 0],
         )
 
     @pl.when(ncols > 0)
     def _():
-        for cp in dmas(0, 0):
-            cp.start()
+        dma(0, 0).start()
 
     def body(k, _):
         slot = jax.lax.rem(k, 2)
 
         @pl.when(k + 1 < ncols)
         def _():
-            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
-                cp.start()
+            dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
-        for cp in dmas(slot, k):
-            cp.wait()
+        dma(slot, k).wait()
 
         zs_c = zs_t[slot]
         s = zs_c + zd_ref[:]
         s_act = jnp.where(s > 0, s, negative_slope * s)
-        # head-replicated score + additive pad mask ([TILE_N, 1] broadcast)
+        # head-replicated score + additive pad mask: this column's real
+        # edges occupy rows [0, cnt) (length-descending slices), so the
+        # mask is a sublane-iota compare against the prefetched count
+        rowi = jax.lax.broadcasted_iota(jnp.int32, zs_c.shape, 0)
         sc = (
             _kdot(s_act, a2_ref[:], (((1,), (0,)), ((), ())), precision,
                   sensitive=True)
-            + msk_t[slot]
+            + jnp.where(rowi < cnt_ref[c0 + k], 0.0, NEG_INF)
         )
         new_m = jnp.maximum(m_scr[:], sc)
         c = jnp.exp(m_scr[:] - new_m)
@@ -765,16 +786,15 @@ def _sell_fwd_kernel(
 
 
 def _sell_forward(
-    zs_e, msk, zd_p, a2, s_sel, col_off, t, *, negative_slope, hd,
+    zs_e, cnt, zd_p, a2, s_sel, col_off, t, *, negative_slope, hd,
     precision, interpret, normalize=True,
 ):
     e_ell = zs_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zs_e
-            pl.BlockSpec(memory_space=pl.ANY),  # msk
             pl.BlockSpec(
                 (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
             ),  # zd_p
@@ -791,11 +811,10 @@ def _sell_forward(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, TILE_N, hd), jnp.float32),
-            pltpu.VMEM((2, TILE_N, 1), jnp.float32),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )
     kernel = functools.partial(
@@ -816,11 +835,11 @@ def _sell_forward(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * e_ell * hd * hd,
-            bytes_accessed=e_ell * (hd + 1) * 4 + 3 * t * TILE_N * hd * 4,
+            bytes_accessed=e_ell * hd * 4 + 3 * t * TILE_N * hd * 4,
             transcendentals=2 * e_ell * hd,
         ),
         interpret=interpret,
-    )(col_off, zs_e, msk, zd_p, a2, s_sel)
+    )(col_off, cnt, zs_e, zd_p, a2, s_sel)
 
 
 # ---------------------------------------------------------------------------
@@ -831,9 +850,9 @@ def _sell_forward(
 def _sell_bwd_dst_kernel(
     # scalar prefetch
     col_off_ref,
+    cnt_ref,  # [e_ell/128] int32 — valid-row count per column (SMEM)
     # inputs
     zs_e_hbm,  # [e_ell, hd] ANY
-    msk_hbm,  # [e_ell, 1] ANY
     zd_ref,  # [TILE_N, hd] VMEM blocked
     g_ref,  # [TILE_N, hd] VMEM blocked — upstream grad, permuted rows
     sr_ref,  # [TILE_N, 128] VMEM blocked — packed [sigma | r] compact
@@ -846,7 +865,7 @@ def _sell_bwd_dst_kernel(
     dzd_ref,  # [TILE_N, hd] VMEM blocked
     da_ref,  # [8, hd] VMEM blocked (row 0)
     *rest,  # with emit_c1: c1_hbm [e_ell, hd] ANY output; then scratch
-    #         (zs_t, msk_t, [c1_t], sig_scr, r_scr, da_scr, sems)
+    #         (zs_t, [c1_t], sig_scr, r_scr, da_scr, sems)
     negative_slope: float,
     precision,
     emit_c1: bool = True,
@@ -862,9 +881,9 @@ def _sell_bwd_dst_kernel(
     [sigma | r] block (two structural matmuls, amortized over the slice's
     columns)."""
     if emit_c1:
-        c1_hbm, zs_t, msk_t, c1_t, sig_scr, r_scr, da_scr, sems = rest
+        c1_hbm, zs_t, c1_t, sig_scr, r_scr, da_scr, sems = rest
     else:
-        zs_t, msk_t, sig_scr, r_scr, da_scr, sems = rest
+        zs_t, sig_scr, r_scr, da_scr, sems = rest
         c1_hbm = c1_t = None
     i = pl.program_id(0)
     c0 = col_off_ref[i]
@@ -881,40 +900,31 @@ def _sell_bwd_dst_kernel(
         sr, rr_ref[:], (((1,), (0,)), ((), ())), precision, exact_arg=1
     )
 
-    def dmas(slot, k):
+    def dma(slot, k):
         off = pl.multiple_of((c0 + k) * TILE_N, TILE_N)
-        return (
-            pltpu.make_async_copy(
-                zs_e_hbm.at[pl.ds(off, TILE_N), :], zs_t.at[slot],
-                sems.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                msk_hbm.at[pl.ds(off, TILE_N), :], msk_t.at[slot],
-                sems.at[slot, 1],
-            ),
+        return pltpu.make_async_copy(
+            zs_e_hbm.at[pl.ds(off, TILE_N), :], zs_t.at[slot],
+            sems.at[slot, 0],
         )
 
     def c1_dma(slot, k):
         off = pl.multiple_of((c0 + k) * TILE_N, TILE_N)
         return pltpu.make_async_copy(
-            c1_t.at[slot], c1_hbm.at[pl.ds(off, TILE_N), :], sems.at[slot, 2]
+            c1_t.at[slot], c1_hbm.at[pl.ds(off, TILE_N), :], sems.at[slot, 1]
         )
 
     @pl.when(ncols > 0)
     def _():
-        for cp in dmas(0, 0):
-            cp.start()
+        dma(0, 0).start()
 
     def body(k, _):
         slot = jax.lax.rem(k, 2)
 
         @pl.when(k + 1 < ncols)
         def _():
-            for cp in dmas(jax.lax.rem(k + 1, 2), k + 1):
-                cp.start()
+            dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
-        for cp in dmas(slot, k):
-            cp.wait()
+        dma(slot, k).wait()
 
         if emit_c1:
             # the c1 store from iteration k-2 must drain before slot reuse
@@ -926,10 +936,11 @@ def _sell_bwd_dst_kernel(
         g = g_ref[:]
         s = zs_c + zd_ref[:]
         s_act = jnp.where(s > 0, s, negative_slope * s)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, zs_c.shape, 0)
         sc = (
             _kdot(s_act, a2_ref[:], (((1,), (0,)), ((), ())), precision,
                   sensitive=True)
-            + msk_t[slot]
+            + jnp.where(rowi < cnt_ref[c0 + k], 0.0, NEG_INF)
         )
         alpha = jnp.exp(jnp.clip(sc - sig_scr[:], EXP_CLAMP, 0.0))
         dalpha = _kdot(
@@ -963,16 +974,15 @@ def _sell_bwd_dst_kernel(
 
 
 def _sell_bwd_dst(
-    zs_e, msk, zd_p, g_p, sr_p, a2, bdiag, rsig, rr, a_rep, col_off, t,
+    zs_e, cnt, zd_p, g_p, sr_p, a2, bdiag, rsig, rr, a_rep, col_off, t,
     *, negative_slope, hd, precision, interpret, emit_c1=True,
 ):
     e_ell = zs_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zs_e
-            pl.BlockSpec(memory_space=pl.ANY),  # msk
             pl.BlockSpec(
                 (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
             ),  # zd_p
@@ -998,13 +1008,12 @@ def _sell_bwd_dst(
         ] + ([pl.BlockSpec(memory_space=pl.ANY)] if emit_c1 else []),
         scratch_shapes=[
             pltpu.VMEM((2, TILE_N, hd), jnp.float32),
-            pltpu.VMEM((2, TILE_N, 1), jnp.float32),
         ] + ([pltpu.VMEM((2, TILE_N, hd), jnp.float32)] if emit_c1 else [])
         + [
             pltpu.VMEM((TILE_N, hd), jnp.float32),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3 if emit_c1 else 2)),
+            pltpu.SemaphoreType.DMA((2, 2 if emit_c1 else 1)),
         ],
     )
     kernel = functools.partial(
@@ -1028,12 +1037,12 @@ def _sell_bwd_dst(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * e_ell * hd * hd * 2,
-            bytes_accessed=e_ell * (2 * hd + 1) * 4
+            bytes_accessed=e_ell * 2 * hd * 4
             + 5 * t * TILE_N * hd * 4,
             transcendentals=e_ell * hd,
         ),
         interpret=interpret,
-    )(col_off, zs_e, msk, zd_p, g_p, sr_p, a2, bdiag, rsig, rr, a_rep)
+    )(col_off, cnt, zs_e, zd_p, g_p, sr_p, a2, bdiag, rsig, rr, a_rep)
 
 
 # ---------------------------------------------------------------------------
@@ -1414,24 +1423,24 @@ def sell_attention(
         if g_chunks == 1:
             zs_e = jnp.take(zs_z, st_.dst.gather_ids, axis=0)
             out_p, sig_p = _sell_forward(
-                zs_e, st_.dst.msk, zd_p, a2, s_sel, st_.dst.col_off,
+                zs_e, st_.dst.cnt, zd_p, a2, s_sel, st_.dst.col_off,
                 st.num_dst_tiles, normalize=normalize, **kw,
             )
         else:
             # chunk-sequential (lax.scan): only one chunk's [E/G, hd]
             # gather is ever live in HBM
             def body(_, x):
-                ids_g, msk_g, rel_g, zd_c = x
+                ids_g, cnt_g, rel_g, zd_c = x
                 zs_e = jnp.take(zs_z, ids_g, axis=0)
                 return 0, _sell_forward(
-                    zs_e, msk_g, zd_c, a2, s_sel, rel_g, spc_d,
+                    zs_e, cnt_g, zd_c, a2, s_sel, rel_g, spc_d,
                     normalize=normalize, **kw,
                 )
 
             _, (outs, sigs) = jax.lax.scan(
                 body, 0,
                 (
-                    st_.dst.ids_grp, st_.dst.msk_grp, st_.dst.rel_off,
+                    st_.dst.ids_grp, st_.dst.cnt_grp, st_.dst.rel_off,
                     zd_p.reshape(g_chunks, spc_d * TILE_N, hd),
                 ),
             )
@@ -1497,7 +1506,7 @@ def sell_attention(
         if g_chunks == 1:
             zs_e = jnp.take(zs_z, st_.dst.gather_ids, axis=0)
             dzd_p, da_parts, c1 = _sell_bwd_dst(
-                zs_e, st_.dst.msk, zd_p, g_p, sr_p, a2, bdiag, rsig, rr,
+                zs_e, st_.dst.cnt, zd_p, g_p, sr_p, a2, bdiag, rsig, rr,
                 a_rep, st_.dst.col_off, st.num_dst_tiles, **kw,
             )
             da = jnp.sum(da_parts, axis=0)
@@ -1514,10 +1523,10 @@ def sell_attention(
         else:
             # phase 1 per dst chunk (no packet buffer)
             def body1(_, x):
-                ids_g, msk_g, rel_g, zd_c, g_c, sr_c = x
+                ids_g, cnt_g, rel_g, zd_c, g_c, sr_c = x
                 zs_e = jnp.take(zs_z, ids_g, axis=0)
                 dzd_c, da_c = _sell_bwd_dst(
-                    zs_e, msk_g, zd_c, g_c, sr_c, a2, bdiag, rsig, rr,
+                    zs_e, cnt_g, zd_c, g_c, sr_c, a2, bdiag, rsig, rr,
                     a_rep, rel_g, spc_d, emit_c1=False, **kw,
                 )
                 return 0, (dzd_c, jnp.sum(da_c, axis=0))
@@ -1525,7 +1534,7 @@ def sell_attention(
             _, (dzd_s, da_s) = jax.lax.scan(
                 body1, 0,
                 (
-                    st_.dst.ids_grp, st_.dst.msk_grp, st_.dst.rel_off,
+                    st_.dst.ids_grp, st_.dst.cnt_grp, st_.dst.rel_off,
                     zd_p.reshape(g_chunks, spc_d * TILE_N, hd),
                     g_p.reshape(g_chunks, spc_d * TILE_N, hd),
                     sr_p.reshape(g_chunks, spc_d * TILE_N, 128),
@@ -1666,7 +1675,7 @@ def sell_attention_merge(
             zs_e = jnp.take(zs_z, st.dst.gather_ids, axis=0)
             zd_p = jnp.take(zd_flat, st.dst.perm, axis=0)
             u_p, ml_p = _sell_forward(
-                zs_e, st.dst.msk, zd_p, a2, s_sel, st.dst.col_off,
+                zs_e, st.dst.cnt, zd_p, a2, s_sel, st.dst.col_off,
                 st.num_dst_tiles, normalize=False, **kw,
             )
             # restore to NODE order (each pass has its own permutation)
@@ -1736,7 +1745,7 @@ def sell_attention_merge(
             g_p = jnp.take(g_flat, st.dst.perm, axis=0)
             sr_p = jnp.take(sr_node, st.dst.perm, axis=0)
             dzd_p, da_parts, c1 = _sell_bwd_dst(
-                zs_e, st.dst.msk, zd_p, g_p, sr_p, a2, bdiag, rsig, rr,
+                zs_e, st.dst.cnt, zd_p, g_p, sr_p, a2, bdiag, rsig, rr,
                 a_rep, st.dst.col_off, st.num_dst_tiles, **kw,
             )
             dzd_acc = dzd_acc + jnp.take(dzd_p, st.dst.inv, axis=0)

@@ -23,6 +23,15 @@ def _coo(g):
     return np.asarray(g.col_idx, np.int32), dst
 
 
+def _real_slots(side):
+    """Expand the per-column valid-row counts to a [e_ell] bool mask:
+    slot (col, row) is a real edge iff row < cnt[col] (the prefix contract
+    the kernels' iota masking relies on)."""
+    cnt = np.asarray(side.cnt)
+    rows = np.arange(TILE_N)
+    return (rows[None, :] < cnt[:, None]).reshape(-1)
+
+
 def _rand_zza(n, h, d, seed, flat=False):
     rng = np.random.default_rng(seed)
     zs = rng.normal(size=(n, h, d)).astype(np.float32)
@@ -57,15 +66,15 @@ def test_layout_invariants():
     perm = np.asarray(st.dst.perm)
     inv = np.asarray(st.dst.inv)
     ids = np.asarray(st.dst.gather_ids)
-    msk = np.asarray(st.dst.msk)[:, 0]
     col_off = np.asarray(st.dst.col_off)
     assert np.array_equal(perm[inv], np.arange(len(perm)))
     # in-degree descending within the permutation
     deg = np.zeros(len(perm), np.int64)
     deg[: g.num_nodes] = np.diff(g.row_ptr)
     assert np.all(np.diff(deg[perm]) <= 0)
-    # every real edge appears exactly once, in its dst's row, masked 0
-    real = msk == 0.0
+    # every real edge appears exactly once, in its dst's row, inside the
+    # column's valid-row prefix (the cnt contract)
+    real = _real_slots(st.dst)
     assert real.sum() == g.num_edges
     slots = np.nonzero(real)[0]
     cols = slots // TILE_N
@@ -82,7 +91,7 @@ def test_layout_invariants():
     ep = np.asarray(st.ell_perm)
     real2 = ep < st.e_ell
     assert real2.sum() == g.num_edges
-    assert np.all(np.asarray(st.srcs.msk)[:, 0][real2] == 0.0)
+    assert np.all(_real_slots(st.srcs)[real2])
     assert np.array_equal(np.sort(ep[real2]), np.sort(slots))
 
 
@@ -99,9 +108,8 @@ def test_split_layout_invariants():
     src_all, dst_all = _coo(g)
     perm = np.asarray(st.dst.perm)
     ids = np.asarray(st.dst.gather_ids)
-    msk = np.asarray(st.dst.msk)[:, 0]
     col_off = np.asarray(st.dst.col_off)
-    real = msk == 0.0
+    real = _real_slots(st.dst)
     assert real.sum() == g.num_edges
     slots = np.nonzero(real)[0]
     cols = slots // TILE_N

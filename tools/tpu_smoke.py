@@ -55,7 +55,7 @@ def main():
     src, dst = jnp.asarray(pe.src), jnp.asarray(pe.dst)
     failures = 0
 
-    def check(tag, h, d, *, num_chunks=1, precision="highest", tol=2e-5):
+    def check(tag, h, d, *, num_chunks=1, precision="highest", tol=1e-4):
         nonlocal failures
         rng = np.random.default_rng(17)
         zs = jnp.asarray(rng.standard_normal((g.num_nodes, h, d)), jnp.float32)
@@ -111,7 +111,7 @@ def main():
         sell_attention,
     )
 
-    def check_sell(tag, h, d, *, precision="highest", tol=2e-5):
+    def check_sell(tag, h, d, *, precision="highest", tol=1e-4):
         nonlocal failures
         rng = np.random.default_rng(31)
         zs = jnp.asarray(rng.standard_normal((g.num_nodes, h, d)), jnp.float32)
@@ -202,7 +202,7 @@ def main():
                   / (np.abs(np.asarray(x)).max() + 1e-12))
             for p, x in zip(gm, gx)
         ]
-        ok = verr < 2e-5 and all(e < 2e-5 for e in errs)
+        ok = verr < 1e-4 and all(e < 1e-4 for e in errs)
         print(json.dumps({
             "check": "sell_merge_2part", "ok": bool(ok),
             "val_rel_err": verr, "grad_rel_errs": errs,
@@ -258,7 +258,7 @@ def main():
                   / (np.abs(np.asarray(x)).max() + 1e-12))
             for p, x in zip(gm, gx)
         ]
-        ok = verr < 2e-5 and all(e < 2e-5 for e in errs)
+        ok = verr < 1e-4 and all(e < 1e-4 for e in errs)
         print(json.dumps({
             "check": "merge_2part", "ok": bool(ok), "val_rel_err": verr,
             "grad_rel_errs": errs,
