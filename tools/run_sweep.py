@@ -29,32 +29,34 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 
 LEGS: list[tuple[str, list[str], int]] = [
     # (tag, bench.py args, timeout seconds)
-    ("citeseer3", ["--config", "citeseer3"], 900),
-    ("cora", ["--config", "cora"], 900),
-    ("pubmed", ["--config", "pubmed"], 900),
+    # Ordered by decision value (A/B pairs adjacent) so a truncated sweep
+    # still answers the round's headline question: does the SELL layout
+    # beat the one-hot pallas kernels on large graphs?
     ("arxiv", ["--config", "arxiv"], 1800),
-    ("products-sub", ["--config", "products-sub"], 3600),
-    ("products-full", ["--config", "products-full"], 5400),
-    ("arxiv-high", ["--config", "arxiv", "--precision", "high"], 1800),
-    ("products-full-high",
-     ["--config", "products-full", "--precision", "high"], 5400),
-    ("citeseer3-mesh1", ["--config", "citeseer3", "--mesh", "1"], 1800),
-    ("products-sub-mesh1", ["--config", "products-sub", "--mesh", "1"], 3600),
-    # SELL-layout A/B (run AFTER tools/tpu_smoke.py passes its sell checks)
-    ("citeseer3-sell", ["--config", "citeseer3", "--impl", "sell"], 900),
-    ("cora-sell", ["--config", "cora", "--impl", "sell"], 900),
-    ("pubmed-sell", ["--config", "pubmed", "--impl", "sell"], 900),
     ("arxiv-sell", ["--config", "arxiv", "--impl", "sell"], 1800),
-    ("products-sub-sell", ["--config", "products-sub", "--impl", "sell"], 3600),
-    ("products-full-sell",
-     ["--config", "products-full", "--impl", "sell"], 5400),
-    ("arxiv-sell-high",
-     ["--config", "arxiv", "--impl", "sell", "--precision", "high"], 1800),
-    ("products-sub-mesh1-sell",
-     ["--config", "products-sub", "--mesh", "1", "--impl", "sell"], 3600),
+    ("citeseer3", ["--config", "citeseer3"], 900),
+    ("citeseer3-sell", ["--config", "citeseer3", "--impl", "sell"], 900),
     # hub-heavy (Zipf) degree profile: the regime real graphs have
     ("arxiv-pl", ["--config", "arxiv-pl"], 1800),
     ("arxiv-pl-sell", ["--config", "arxiv-pl", "--impl", "sell"], 1800),
+    ("products-sub", ["--config", "products-sub"], 3600),
+    ("products-sub-sell", ["--config", "products-sub", "--impl", "sell"], 3600),
+    ("arxiv-high", ["--config", "arxiv", "--precision", "high"], 1800),
+    ("arxiv-sell-high",
+     ["--config", "arxiv", "--impl", "sell", "--precision", "high"], 1800),
+    ("pubmed", ["--config", "pubmed"], 900),
+    ("pubmed-sell", ["--config", "pubmed", "--impl", "sell"], 900),
+    ("cora", ["--config", "cora"], 900),
+    ("cora-sell", ["--config", "cora", "--impl", "sell"], 900),
+    ("citeseer3-mesh1", ["--config", "citeseer3", "--mesh", "1"], 1800),
+    ("products-sub-mesh1", ["--config", "products-sub", "--mesh", "1"], 3600),
+    ("products-sub-mesh1-sell",
+     ["--config", "products-sub", "--mesh", "1", "--impl", "sell"], 3600),
+    ("products-full", ["--config", "products-full"], 5400),
+    ("products-full-sell",
+     ["--config", "products-full", "--impl", "sell"], 5400),
+    ("products-full-high",
+     ["--config", "products-full", "--precision", "high"], 5400),
 ]
 
 TILE_LEGS = [
