@@ -29,6 +29,25 @@ import sys
 from gatv2_tpu.config import ModelConfig, TrainConfig
 
 
+def _resolve_impl(args) -> str:
+    """Resolve --impl auto to the measured winner for the selected mode.
+
+    Round-3 A/B on TPU v5e (SWEEP_R3.jsonl): the SELL-layout kernels are
+    ~3x the one-hot pallas kernels on full-graph configs >= arxiv scale
+    and at parity on tiny ones, so full-graph on an accelerator -> sell.
+    Minibatch modes have no SELL host-layout emitter (per-batch layouts
+    would need a native builder) -> pallas. CPU has no Mosaic backend
+    (kernels would run interpret-mode, far slower than XLA's fused
+    scatter path) -> xla."""
+    if args.impl != "auto":
+        return args.impl
+    if args.batch_size > 0:
+        return "pallas"
+    import jax
+
+    return "sell" if jax.default_backend() != "cpu" else "xla"
+
+
 def _int_list(s: str) -> list[int]:
     try:
         return [int(v) for v in s.split(",") if v != ""]
@@ -53,10 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, default="pubmed")
     p.add_argument("--data-root", type=str, default=None)
     # framework extensions
-    p.add_argument("--impl", choices=["xla", "pallas", "sell"], default="xla",
+    p.add_argument("--impl", choices=["xla", "pallas", "sell", "auto"],
+                   default="xla",
                    help="attention/aggregation implementation (sell = the "
                         "degree-sorted sliced-ELLPACK kernels; full-graph "
-                        "single-device or --mesh, no minibatch mode)")
+                        "single-device or --mesh, no minibatch mode). "
+                        "'auto' picks the measured winner: sell for "
+                        "full-graph on an accelerator, pallas for "
+                        "minibatch, xla on CPU")
     p.add_argument("--variant", choices=["edge", "node"], default="edge",
                    help="reference variant semantics (last-layer activation order)")
     p.add_argument("--precision", choices=["highest", "high", "default"], default="highest",
@@ -158,6 +181,7 @@ def _finish(args: argparse.Namespace) -> tuple[ModelConfig, TrainConfig, argpars
             f"(got {len(outdims)})."
         )
 
+    impl = _resolve_impl(args)
     model_config = ModelConfig(
         num_layers=args.num_layers,
         heads=tuple(heads),
@@ -183,7 +207,7 @@ def _finish(args: argparse.Namespace) -> tuple[ModelConfig, TrainConfig, argpars
             if args.data_root is not None
             else os.environ.get("DATA_ROOT", "./data")
         ),
-        impl=args.impl,
+        impl=impl,
         batch_size=args.batch_size,
         fanouts=tuple(args.fanouts) if args.fanouts is not None
         else tuple([10] * args.num_layers if args.batch_size > 0 else []),

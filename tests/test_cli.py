@@ -130,3 +130,13 @@ def test_data_root_resolution(monkeypatch):
     assert tc.data_root == "/somewhere"
     _, tc, _ = cli.parse_args(["--data-root", "/flag"])
     assert tc.data_root == "/flag"
+
+
+def test_impl_auto_resolution():
+    """--impl auto: pallas for minibatch, xla on the CPU backend (the
+    tests run with JAX_PLATFORMS=cpu; on an accelerator full-graph auto
+    resolves to sell — exercised by the real-chip verify recipe)."""
+    _, tc, _ = cli.parse_args("--impl auto --batch-size 64".split())
+    assert tc.impl == "pallas"
+    _, tc, _ = cli.parse_args(["--impl", "auto"])
+    assert tc.impl == "xla"
