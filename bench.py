@@ -400,15 +400,40 @@ def bench_mesh_config(
         else:
             ov = split
     elif impl == "pallas":
+        from gatv2_tpu.ops.pallas_attention import (
+            STATS_L,
+            suggest_num_chunks,
+        )
+
+        # same chunk policy as setup_full_graph, on PER-SHARD edges: the
+        # streamed-operand backward materializes [E_shard, 2*hd + 128]
+        # per-edge streams, which at products-sub scale (8.25 M padded
+        # edges x 640 lanes = 21 GB f32) OOMs a 16 GB chip unchunked
+        max_hd = max(-(-h * d // 128) * 128 for h, d in zip(heads, outdims))
+        kernel_hd = max(
+            -(-min(h, STATS_L) * d // 128) * 128
+            for h, d in zip(heads, outdims)
+        )
+        e_shard = pg.edges_per_shard
+        budget = (2 << 30) if e_shard >= 30_000_000 else (4 << 30)
         tiles = prepare_partitioned_tiles(
-            pg, tile_e=tile_e or 128, halo_plan=plan
+            pg, tile_e=tile_e or 128,
+            num_chunks=suggest_num_chunks(e_shard, max_hd,
+                                          budget_bytes=budget),
+            halo_plan=plan, max_hd=kernel_hd,
         )
     elif impl == "sell":
         from gatv2_tpu.parallel.partition import (
             prepare_partitioned_sell_tiles,
         )
 
-        tiles = prepare_partitioned_sell_tiles(pg, halo_plan=plan)
+        tiles = prepare_partitioned_sell_tiles(
+            pg, halo_plan=plan,
+            # auto-chunked on a 1-shard mesh (the --mesh 1 overhead row);
+            # multi-shard meshes stay unchunked (fixed-mode stacking)
+            num_chunks=None if n_devices == 1 else 1,
+            heads=heads, out_dims=outdims,
+        )
     feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
 
     runners = {

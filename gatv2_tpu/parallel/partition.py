@@ -254,7 +254,8 @@ def prepare_partitioned_tiles(
     return _stack_tiles(per_shard)
 
 
-def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default"):
+def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default",
+                       num_chunks=1):
     """Stacked per-shard bipartite SELL layouts with both sides' column
     AND row-slice counts forced to the cross-shard max (fixed mode), so
     every stacked leaf has identical shape and the static aux agrees.
@@ -308,6 +309,27 @@ def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default"):
     any_split_d = cap is not None and max_deg_d > cap
     any_split_s = cap is not None and max_deg_s > cap
 
+    if num_chunks > 1:
+        # chunked SELL layouts cannot use fixed mode (grouped arrays have
+        # data-dependent group shapes), so cross-shard stacking is only
+        # well-defined for a single shard. Multi-shard meshes divide the
+        # per-shard edge set by S anyway, so the unchunked live set
+        # shrinks with the mesh; a 1-shard mesh (the --mesh 1 overhead
+        # row) is the case that genuinely needs chunking on one chip.
+        if len(shards) > 1:
+            raise ValueError(
+                "chunked sharded SELL layouts (num_chunks > 1) are only "
+                "supported on a 1-shard mesh; with S > 1 shards the "
+                "per-shard edge set is E/S — pick S large enough that "
+                "the unchunked live set fits, or use impl='pallas'."
+            )
+        row_ptr, src_s = shards[0]
+        return _stack_tiles([
+            prepare_sell_tiles(
+                row_ptr, src_s, nps, num_src_nodes=n_glob,
+                num_chunks=num_chunks, split_cap=cap,
+            )
+        ])
     per_shard = [
         prepare_sell_tiles(
             row_ptr, src_s, nps, num_src_nodes=n_glob,
@@ -321,14 +343,21 @@ def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default"):
 
 
 def prepare_partitioned_sell_tiles(
-    pg: PartitionedGraph, halo_plan: "HaloPlan | None" = None
+    pg: PartitionedGraph, halo_plan: "HaloPlan | None" = None,
+    num_chunks: int | None = 1, heads=None, out_dims=None,
+    budget_bytes=None,
 ):
     """Per-shard SELL layouts (ops.sell_attention), stacked on a leading
     shard axis — the impl='sell' counterpart of prepare_partitioned_tiles.
 
     Each shard's edge set is bipartite (dst = the shard's local nodes,
     src = the per-shard gather space: [local | halo rows] with a halo
-    plan, the padded global space otherwise)."""
+    plan, the padded global space otherwise).
+
+    num_chunks=None auto-picks the chunk count from the model widths
+    (heads/out_dims, like setup_full_graph_sell) so per-shard edge-space
+    temporaries fit budget_bytes; chunking is 1-shard-mesh only (see
+    _build_sell_shards)."""
     s_count = pg.num_shards
     nps = pg.nodes_per_shard
     if halo_plan is not None:
@@ -338,7 +367,24 @@ def prepare_partitioned_sell_tiles(
         n_glob = pg.padded_num_nodes
         src_all = pg.src.reshape(s_count, -1)
     dst_all = pg.dst_local.reshape(s_count, -1)
-    return _build_sell_shards(src_all, dst_all, nps, n_glob)
+    if num_chunks is None:
+        from gatv2_tpu.ops.sell_attention import suggest_chunks_for_graph
+
+        num_chunks = 1
+        if heads is not None and s_count == 1:
+            real = dst_all[0] < nps
+            dst_s = dst_all[0][real]
+            src_s = src_all[0][real]
+            counts = np.bincount(dst_s, minlength=nps)
+            row_ptr = np.zeros(nps + 1, np.int64)
+            np.cumsum(counts, out=row_ptr[1:])
+            num_chunks = suggest_chunks_for_graph(
+                row_ptr, src_s, n_glob, heads, out_dims,
+                budget_bytes=budget_bytes,
+            )
+    return _build_sell_shards(
+        src_all, dst_all, nps, n_glob, num_chunks=num_chunks
+    )
 
 
 def prepare_overlap_sell_tiles(

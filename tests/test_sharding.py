@@ -836,3 +836,60 @@ def test_halo_plan_excludes_diagonal_on_community_graph():
         halo = plan.src_halo[j][sel]
         assert (halo[own[sel]] < pg.nodes_per_shard).all()
         assert (halo[~own[sel]] >= pg.nodes_per_shard).all()
+
+
+def test_mesh1_chunked_tiles_match_single_device(learnable_graph):
+    """A 1-shard mesh with CHUNKED edge layouts (the bench --mesh 1 path at
+    products-sub scale, where the unchunked streamed-operand live set
+    [E, 2*hd + 128] overflows one chip's HBM) reproduces the single-device
+    losses for both fused impls. Chunking is forced (num_chunks=3) so the
+    grouped code paths run even on this small graph; SELL chunked sharding
+    is 1-shard-only (fixed-mode stacking excludes grouped arrays) and must
+    reject a multi-shard request loudly."""
+    from gatv2_tpu.models.gatv2 import init_params_for_variant
+    from gatv2_tpu.parallel.partition import (
+        prepare_partitioned_sell_tiles,
+        prepare_partitioned_tiles,
+    )
+    from gatv2_tpu.parallel.sharded import (
+        device_put_params,
+        make_sharded_multi_epoch_runner,
+    )
+
+    g = learnable_graph
+    config = _cfg(g)
+    mesh = make_mesh(1)
+    pg = partition_graph(g, 1)
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+
+    def run(impl, tiles):
+        tc = TrainConfig(optimizer="adam", lr=0.01, seed=0, impl=impl)
+        runner = make_sharded_multi_epoch_runner(
+            config, tc, mesh, pg.num_real_nodes, 3,
+            edge_tiles=tiles, halo_plan=None, interpret=True,
+        )
+        params = device_put_params(
+            init_params_for_variant(config, jax.random.PRNGKey(0)),
+            config, mesh,
+        )
+        opt_state = optim.init_opt_state(params, "adam")
+        _, _, losses, _ = runner(
+            params, opt_state, jnp.asarray(0, jnp.int32),
+            feats, src, dst_l, labels,
+        )
+        return np.asarray(losses)
+
+    losses_ref = run("xla", None)
+    tiles_p = prepare_partitioned_tiles(pg, tile_e=128, num_chunks=3)
+    np.testing.assert_allclose(
+        run("pallas", tiles_p), losses_ref, rtol=2e-5, atol=2e-6
+    )
+    tiles_s = prepare_partitioned_sell_tiles(pg, num_chunks=3)
+    assert tiles_s.num_chunks == 3
+    np.testing.assert_allclose(
+        run("sell", tiles_s), losses_ref, rtol=2e-5, atol=2e-6
+    )
+
+    pg2 = partition_graph(g, 2)
+    with pytest.raises(ValueError, match="1-shard"):
+        prepare_partitioned_sell_tiles(pg2, num_chunks=2)
