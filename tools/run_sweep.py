@@ -1,19 +1,28 @@
 #!/usr/bin/env python
-"""Round-3 benchmark sweep driver: runs every bench leg on the real chip
-and collects one JSONL file + a BENCH_SWEEP-ready markdown table.
+"""Benchmark sweep driver: runs every bench leg on the real chip and
+collects one JSONL file + a BENCH_SWEEP-ready markdown table.
 
 Legs (all on the single real TPU via bench.py's differenced two-program
 timing; each under its own timeout so one hang cannot kill the sweep):
 
   1. full-graph sweep: every CONFIGS row, impl=pallas, exact f32
-  2. precision=high points: arxiv, products-full (the bf16x3 tier)
+  2. precision=high points: arxiv/arxiv-pl/products-full (bf16x3 tier)
   3. mesh=1 overhead rows: citeseer3 + products-sub via --mesh 1
      (sharding machinery cost with no real communication -> SCALING.md §3)
   4. impl=sell A/B rows on every config (the SELL-layout kernels,
-     ops/sell_attention.py) — the round-3 kernel bake-off
+     ops/sell_attention.py)
   5. optional --tile-e study on arxiv (128/256/512)
 
-Usage:  python tools/run_sweep.py [--out SWEEP_R3.jsonl] [--tile-study]
+Transient-worker retry: the tunneled single-chip worker intermittently
+dies between processes (observed as `UNAVAILABLE: TPU worker process
+crashed or restarted ... kernel fault` and `FAILED_PRECONDITION: TPU
+backend error`; round-3's `arxiv-sell-high` "kernel fault" was exactly
+this — the identical leg passes deterministically when re-run, see
+tools/bisect_sell_high.py). Legs whose stderr matches those signatures
+are retried up to 2 times after a settle delay, and the error record
+notes how many attempts were made.
+
+Usage:  python tools/run_sweep.py [--out SWEEP_R4.jsonl] [--tile-study]
 Rerun-safe: legs already present in --out (same tag) are skipped.
 """
 
@@ -24,8 +33,19 @@ import json
 import pathlib
 import subprocess
 import sys
+import time
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+
+# stderr signatures of a flaky worker/tunnel (not a real program bug):
+# retrying is both safe and the correct interpretation.
+TRANSIENT_SIGNATURES = (
+    "TPU worker process crashed or restarted",
+    "FAILED_PRECONDITION: TPU backend error",
+    "UNAVAILABLE: Connection reset",
+    "failed to connect to all addresses",
+)
+RETRY_SETTLE_S = 30
 
 LEGS: list[tuple[str, list[str], int]] = [
     # (tag, bench.py args, timeout seconds)
@@ -44,6 +64,11 @@ LEGS: list[tuple[str, list[str], int]] = [
     ("arxiv-high", ["--config", "arxiv", "--precision", "high"], 1800),
     ("arxiv-sell-high",
      ["--config", "arxiv", "--impl", "sell", "--precision", "high"], 1800),
+    # hub regime under bf16x3: exercises virtual-row splitting + _kdot
+    # splits together (round-3's crashed combination class, now retried)
+    ("arxiv-pl-sell-high",
+     ["--config", "arxiv-pl", "--impl", "sell", "--precision", "high"],
+     1800),
     ("pubmed", ["--config", "pubmed"], 900),
     ("pubmed-sell", ["--config", "pubmed", "--impl", "sell"], 900),
     ("cora", ["--config", "cora"], 900),
@@ -67,28 +92,45 @@ TILE_LEGS = [
 
 def run_leg(tag: str, args: list[str], timeout_s: int) -> dict:
     cmd = [sys.executable, str(REPO / "bench.py"), *args]
-    print(f"[sweep] {tag}: {' '.join(args)}", file=sys.stderr, flush=True)
-    try:
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
-        )
-    except subprocess.TimeoutExpired:
-        return {"tag": tag, "error": f"timeout after {timeout_s}s"}
-    if out.returncode != 0:
-        return {"tag": tag, "error": out.stderr.strip()[-2000:]}
-    lines = out.stdout.strip().splitlines()
-    if not lines:
-        return {
-            "tag": tag,
-            "error": f"no stdout (stderr tail: {out.stderr.strip()[-500:]})",
-        }
-    line = lines[-1]
-    try:
-        rec = json.loads(line)
-    except json.JSONDecodeError:
-        return {"tag": tag, "error": f"unparseable output: {line[:500]}"}
-    rec["tag"] = tag
-    return rec
+    attempts = 0
+    while True:
+        attempts += 1
+        print(f"[sweep] {tag} (attempt {attempts}): {' '.join(args)}",
+              file=sys.stderr, flush=True)
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=timeout_s,
+                cwd=REPO,
+            )
+        except subprocess.TimeoutExpired:
+            return {"tag": tag, "error": f"timeout after {timeout_s}s",
+                    "attempts": attempts}
+        if out.returncode != 0:
+            err = out.stderr.strip()
+            if (attempts <= 2
+                    and any(s in err for s in TRANSIENT_SIGNATURES)):
+                print(f"[sweep] {tag}: transient worker error, retrying "
+                      f"in {RETRY_SETTLE_S}s", file=sys.stderr, flush=True)
+                time.sleep(RETRY_SETTLE_S)
+                continue
+            return {"tag": tag, "error": err[-2000:], "attempts": attempts}
+        lines = out.stdout.strip().splitlines()
+        if not lines:
+            return {
+                "tag": tag, "attempts": attempts,
+                "error":
+                    f"no stdout (stderr tail: {out.stderr.strip()[-500:]})",
+            }
+        line = lines[-1]
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            return {"tag": tag, "error": f"unparseable output: {line[:500]}",
+                    "attempts": attempts}
+        rec["tag"] = tag
+        if attempts > 1:
+            rec["attempts"] = attempts
+        return rec
 
 
 def markdown_table(records: list[dict]) -> str:
@@ -124,7 +166,7 @@ def markdown_table(records: list[dict]) -> str:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=str(REPO / "SWEEP_R3.jsonl"))
+    ap.add_argument("--out", default=str(REPO / "SWEEP_R4.jsonl"))
     ap.add_argument("--tile-study", action="store_true")
     ap.add_argument("--no-sell", action="store_true",
                     help="skip the *-sell legs (e.g. when tpu_smoke's "
