@@ -402,6 +402,7 @@ def bench_mesh_config(
     elif impl == "pallas":
         from gatv2_tpu.ops.pallas_attention import (
             STATS_L,
+            default_chunk_budget,
             suggest_num_chunks,
         )
 
@@ -415,7 +416,7 @@ def bench_mesh_config(
             for h, d in zip(heads, outdims)
         )
         e_shard = pg.edges_per_shard
-        budget = (2 << 30) if e_shard >= 30_000_000 else (4 << 30)
+        budget = default_chunk_budget(e_shard)
         tiles = prepare_partitioned_tiles(
             pg, tile_e=tile_e or 128,
             num_chunks=suggest_num_chunks(e_shard, max_hd,

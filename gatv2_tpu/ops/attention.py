@@ -129,8 +129,8 @@ def _edge_attention_xla(
     zs, zd, a, src, dst, num_nodes, *, negative_slope, precision=None,
     indices_sorted=True,
 ) -> jax.Array:
-    zs_e = jnp.take(zs, src, axis=0)  # [E, H, D]
-    zd_e = jnp.take(zd, jnp.minimum(dst, num_nodes - 1), axis=0)
+    zs_e = jnp.take(zs, src, axis=0, mode="clip")  # [E, H, D]
+    zd_e = jnp.take(zd, jnp.minimum(dst, num_nodes - 1), axis=0, mode="clip")
     s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
     # [E, H] attention logits
     e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)

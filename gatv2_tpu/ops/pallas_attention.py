@@ -299,6 +299,17 @@ def _prec_for(precision_name: str, interpret: bool):
     return _PRECISIONS[precision_name]
 
 
+def _take(x, ids):
+    """Row gather with mode='clip'. Every index these wrappers stream is
+    in-bounds by construction (padding slots are pre-clamped onto appended
+    zero rows or point at zero packets), but jnp.take's default
+    mode='fill' lowers to gather + a full-width oob-select pass that
+    re-streams the whole [E, hd] edge stream through HBM (measured via
+    tools/profile_roofline.py). mode='clip' keeps only the index clamp
+    the gather hardware needs anyway."""
+    return jnp.take(x, ids, axis=0, mode="clip")
+
+
 def _vmem_cap_tile_e(max_hd: int) -> int:
     """Largest te whose double-buffered backward scratch fits VMEM.
 
@@ -603,7 +614,7 @@ def setup_full_graph(
     """
     e = graph.num_edges
     if budget_bytes is None:
-        budget_bytes = (2 << 30) if e >= 30_000_000 else (4 << 30)
+        budget_bytes = default_chunk_budget(e)
     max_hd = max(-(-h * d // 128) * 128 for h, d in zip(heads, out_dims))
     # per-KERNEL lane width: >STATS_L-head layers run as <=16-head groups
     kernel_hd = max(
@@ -625,6 +636,20 @@ def setup_full_graph(
         l_pad[:n] = labels
         feats, labels, num_valid = f_pad, l_pad, n
     return et, feats, labels, num_valid
+
+
+def default_chunk_budget(num_edges: int) -> int:
+    """Edge-temporary HBM budget for auto-chunking — THE single policy
+    shared by setup_full_graph (pallas + sell) and bench's sharded path
+    (previously three drifting copies).
+
+    6 GB below 30M edges: big enough that arxiv-scale graphs (~5.4 GB
+    unchunked emit_c1 live set at hd=256) keep the fast packet path —
+    round 3 ran arxiv chunked under a 4 GB budget and paid ~1.5x epoch
+    time for the 2hd+128-lane phase-2b recompute streams. 2 GB at >=30M
+    edges: products-full keeps enough HBM headroom for its feature matrix
+    and per-layer activations on a 16 GB chip."""
+    return (2 << 30) if num_edges >= 30_000_000 else (6 << 30)
 
 
 def suggest_num_chunks(
@@ -1514,7 +1539,7 @@ def edge_attention_pallas(
         a_sel, r_mat, _ = _head_matrices(a, hd)
 
         def one(g, ids_g, other_g, rel_g):
-            zs_e = jnp.take(zs_flat, other_g, axis=0)  # [Ec, hd]
+            zs_e = _take(zs_flat, other_g)  # [Ec, hd]
             # dst projections pre-gathered per edge (ids are chunk-relative;
             # padding slots index the appended zero row, so padding edges
             # see zd == 0 exactly as the old in-kernel one-hot gather did)
@@ -1525,7 +1550,7 @@ def edge_attention_pallas(
                 ],
                 axis=0,
             )
-            zd_e = jnp.take(zd_z, jnp.minimum(ids_g, rows_c), axis=0)
+            zd_e = _take(zd_z, jnp.minimum(ids_g, rows_c))
             return _forward_chunk(
                 zs_e,
                 zd_e,
@@ -1647,7 +1672,7 @@ def edge_attention_pallas(
         emit_c1 = g_chunks == 1
 
         def phase1(g, ids_g, other_g, rel_g):
-            zs_e = jnp.take(zs_flat, other_g, axis=0)
+            zs_e = _take(zs_flat, other_g)
             # per-edge [zd | g | sigma_r] stream, row-gathered in XLA: ids
             # are chunk-relative and padding slots carry rows_c — exactly
             # the appended zero row, so padding edges stream zeros
@@ -1662,7 +1687,7 @@ def edge_attention_pallas(
             table = jnp.concatenate(
                 [table, jnp.zeros((1, xg_width), jnp.float32)], axis=0
             )
-            xg_e = jnp.take(table, jnp.minimum(ids_g, rows_c), axis=0)
+            xg_e = _take(table, jnp.minimum(ids_g, rows_c))
             return _bwd_dst_chunk(
                 zs_e,
                 xg_e,
@@ -1680,7 +1705,7 @@ def edge_attention_pallas(
             da = jnp.sum(da_parts, axis=0)
             # phase 2a (fast path): permute packets to src-sorted order,
             # one-hot segment-sum per src tile
-            c1s = jnp.take(c1, et_.gather_perm, axis=0)
+            c1s = _take(c1, et_.gather_perm)
             dzs_pad = _segsum_src(
                 c1s,
                 et_.src_sorted_ids[None, :],
@@ -1714,9 +1739,9 @@ def edge_attention_pallas(
                 g, sids_g, dids_g, rel_g = x
                 xg_e = jnp.concatenate(
                     [
-                        jnp.take(zd_flat, dids_g, axis=0),
-                        jnp.take(g_flat, dids_g, axis=0),
-                        jnp.take(sig_r, dids_g, axis=0),
+                        _take(zd_flat, dids_g),
+                        _take(g_flat, dids_g),
+                        _take(sig_r, dids_g),
                     ],
                     axis=1,
                 )
@@ -1729,9 +1754,7 @@ def edge_attention_pallas(
                     ],
                     axis=0,
                 )
-                zs_e = jnp.take(
-                    zs_z, jnp.minimum(sids_g, rows_c_src), axis=0
-                )
+                zs_e = _take(zs_z, jnp.minimum(sids_g, rows_c_src))
                 dzs_c = _bwd_src_chunk(
                     zs_e, xg_e, sids_g[None, :], rel_g,
                     a_sel, r_mat, a_rep, t_c_src,
@@ -1840,8 +1863,8 @@ def edge_attention_pallas_merge(
         for zs_k, et in zip(zs_t, ets_):
             zs_flat, _ = prep(zs_k, et.padded_src_nodes)
             ids = et.dst_side.ids_grp[0]
-            zs_e = jnp.take(zs_flat, et.dst_side.other_grp[0], axis=0)
-            zd_e = jnp.take(zd_z, jnp.minimum(ids, n_pad), axis=0)
+            zs_e = _take(zs_flat, et.dst_side.other_grp[0])
+            zd_e = _take(zd_z, jnp.minimum(ids, n_pad))
             outs.append(
                 _forward_chunk(
                     zs_e, zd_e, ids[None, :],
@@ -1914,7 +1937,7 @@ def edge_attention_pallas_merge(
         zs_es = []
         for zs_k, et in zip(zs_t, ets_):
             zs_flat, _ = prep(zs_k, et.padded_src_nodes)
-            zs_es.append(jnp.take(zs_flat, et.dst_side.other_grp[0], axis=0))
+            zs_es.append(_take(zs_flat, et.dst_side.other_grp[0]))
 
         # per-pass gradient application with merged stats
         dzd_pad = jnp.zeros((n_pad, hd), jnp.float32)
@@ -1922,7 +1945,7 @@ def edge_attention_pallas_merge(
         dzs_out = []
         for zs_k, zs_e, et in zip(zs_t, zs_es, ets_):
             ids = et.dst_side.ids_grp[0]
-            xg_e = jnp.take(table, jnp.minimum(ids, n_pad), axis=0)
+            xg_e = _take(table, jnp.minimum(ids, n_pad))
             dzd_k, da_k, c1_k = _bwd_dst_chunk(
                 zs_e, xg_e,
                 ids[None, :], et.dst_side.rel_offsets[0],
@@ -1933,7 +1956,7 @@ def edge_attention_pallas_merge(
             )
             dzd_pad = dzd_pad + dzd_k
             da_acc = da_acc + jnp.sum(da_k, axis=0)
-            c1s = jnp.take(c1_k, et.gather_perm, axis=0)
+            c1s = _take(c1_k, et.gather_perm)
             t_src = et.padded_src_nodes // TILE_N
             dzs_pad = _segsum_src(
                 c1s, et.src_sorted_ids[None, :], et.src_tile_offsets, t_src,

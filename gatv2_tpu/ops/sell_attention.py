@@ -76,8 +76,20 @@ from gatv2_tpu.ops.pallas_attention import (
     TILE_N,
     _kdot,
     _prec_for,
+    default_chunk_budget,
 )
 from gatv2_tpu.ops.segment import segment_max, segment_sum
+
+
+def _take(x, ids):
+    """Row gather with mode='clip'. Every index this module streams is
+    in-bounds by construction (padding slots address an appended zero row
+    or are masked in-kernel), but jnp.take's default mode='fill' lowers to
+    gather + a full-width oob-select pass — at arxiv scale that second
+    pass re-streams the whole [E, hd] edge stream through HBM (measured
+    ~14 ms/epoch of the 135 ms round-3 epoch, tools/profile_roofline.py).
+    mode='clip' keeps only the index clamp the gather needs anyway."""
+    return jnp.take(x, ids, axis=0, mode="clip")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,10 +161,14 @@ class SellTiles:
     srcs       — out-degree-sorted slices over source nodes (streams dst
                  ids): backward phase 2 (d_zs).
     ell_perm   [e2_ell] int32 — src-ELL slot -> dst-ELL slot of the same
-                 edge; padding -> e_ell (an appended zero packet row).
-                 Backs the unchunked packet path only (dummy when
-                 num_chunks > 1: the chunked backward recomputes packets
-                 in phase 2b instead of materializing [E, hd] buffers).
+                 edge; padding -> e_ell (clamped onto the last real packet
+                 by the mode='clip' gather; the segsum kernel masks those
+                 slots via the src side's per-column cnt, so no zero row
+                 is appended — that append would copy the whole [E, hd]
+                 packet buffer). Backs the unchunked packet path only
+                 (dummy when num_chunks > 1: the chunked backward
+                 recomputes packets in phase 2b instead of materializing
+                 [E, hd] buffers).
 
     num_chunks=G groups each side's slices into G balanced groups; every
     kernel (and its XLA-side gathers) runs one group at a time under a
@@ -580,7 +596,7 @@ def suggest_chunks_for_graph(
     always measures the same chunking the trainer uses."""
     num_edges = int(np.asarray(row_ptr)[-1])
     if budget_bytes is None:
-        budget_bytes = (2 << 30) if num_edges >= 30_000_000 else (4 << 30)
+        budget_bytes = default_chunk_budget(num_edges)
     max_hd = max(
         -(-min(h, STATS_L) * d // 128) * 128
         for h, d in zip(heads, out_dims)
@@ -1198,6 +1214,7 @@ def _sell_bwd_src(
 def _sell_segsum_kernel(
     # scalar prefetch
     col_off_ref,
+    cnt_ref,  # [total cols] valid-row count per 128-edge column
     # inputs
     c1s_hbm,  # [e2_ell, hd] ANY — packets permuted to src-ELL order
     # outputs
@@ -1208,11 +1225,15 @@ def _sell_segsum_kernel(
 ):
     """d_zs[i] = sum of this src row's packets — a per-row accumulation
     (the SELL permute already placed one edge per row per column). Padding
-    slots stream the appended zero packet row: no masks, no matmuls."""
+    slots are masked by the per-column count (their ell_perm entries clamp
+    onto an arbitrary real packet; zeroing them here costs one VPU select
+    per tile instead of the full [E, hd] zero-row append + re-stream the
+    mask-free variant needed)."""
     i = pl.program_id(0)
     c0 = col_off_ref[i]
     ncols = col_off_ref[i + 1] - c0
     dzs_ref[:] = jnp.zeros(dzs_ref.shape, jnp.float32)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, 1), 0)
 
     def dma(slot, k):
         off = pl.multiple_of((c0 + k) * TILE_N, TILE_N)
@@ -1233,16 +1254,18 @@ def _sell_segsum_kernel(
             dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
         dma(slot, k).wait()
-        dzs_ref[:] = dzs_ref[:] + c1_t[slot]
+        dzs_ref[:] = dzs_ref[:] + jnp.where(
+            rowi < cnt_ref[c0 + k], c1_t[slot], 0.0
+        )
         return 0
 
     jax.lax.fori_loop(0, ncols, body, 0)
 
 
-def _sell_segsum(c1s, col_off, t, *, hd, interpret):
+def _sell_segsum(c1s, col_off, cnt, t, *, hd, interpret):
     e2 = c1s.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -1266,7 +1289,7 @@ def _sell_segsum(c1s, col_off, t, *, hd, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(col_off, c1s)
+    )(col_off, cnt, c1s)
 
 
 # ---------------------------------------------------------------------------
@@ -1372,9 +1395,9 @@ def sell_attention(
         """Row-space grads -> node space: direct inverse take (unsplit) or
         a sorted segment sum over each node's virtual rows (split)."""
         if not side.split:
-            return jnp.take(x_p, side.inv, axis=0)
+            return _take(x_p, side.inv)
         return segment_sum(
-            jnp.take(x_p, side.vsort, axis=0), side.sids, node_pad + 1,
+            _take(x_p, side.vsort), side.sids, node_pad + 1,
             indices_sorted=True,
         )[:node_pad]
 
@@ -1385,9 +1408,9 @@ def sell_attention(
         side = st.dst
         vs = side.vsort
         ids = side.sids  # ascending node ids, pads last
-        m_s = jnp.take(ml_p[:, :STATS_L], vs, axis=0)
-        l_s = jnp.take(ml_p[:, STATS_L : 2 * STATS_L], vs, axis=0)
-        u_s = jnp.take(u_p, vs, axis=0)
+        m_s = _take(ml_p[:, :STATS_L], vs)
+        l_s = _take(ml_p[:, STATS_L : 2 * STATS_L], vs)
+        u_s = _take(u_p, vs)
         m_n = segment_max(m_s, ids, n_pad + 1, indices_sorted=True)[:n_pad]
         # keep finite: -inf (empty nodes) would NaN the 0*inf terms of the
         # backward's structural expansion matmuls
@@ -1395,7 +1418,7 @@ def sell_attention(
         m_z = jnp.concatenate(
             [m_n, jnp.zeros((1, STATS_L), jnp.float32)], axis=0
         )
-        c = jnp.exp(m_s - jnp.take(m_z, ids, axis=0))  # [rows, 16]
+        c = jnp.exp(m_s - _take(m_z, ids))  # [rows, 16]
         u_n = segment_sum(
             u_s * _rep16(c), ids, n_pad + 1, indices_sorted=True
         )[:n_pad]
@@ -1418,10 +1441,10 @@ def sell_attention(
         zd_z = jnp.concatenate(
             [zd_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
         )
-        zd_p = jnp.take(zd_z, st_.dst.perm, axis=0)
+        zd_p = _take(zd_z, st_.dst.perm)
         normalize = not st.dst.split
         if g_chunks == 1:
-            zs_e = jnp.take(zs_z, st_.dst.gather_ids, axis=0)
+            zs_e = _take(zs_z, st_.dst.gather_ids)
             out_p, sig_p = _sell_forward(
                 zs_e, st_.dst.cnt, zd_p, a2, s_sel, st_.dst.col_off,
                 st.num_dst_tiles, normalize=normalize, **kw,
@@ -1431,7 +1454,7 @@ def sell_attention(
             # gather is ever live in HBM
             def body(_, x):
                 ids_g, cnt_g, rel_g, zd_c = x
-                zs_e = jnp.take(zs_z, ids_g, axis=0)
+                zs_e = _take(zs_z, ids_g)
                 return 0, _sell_forward(
                     zs_e, cnt_g, zd_c, a2, s_sel, rel_g, spc_d,
                     normalize=normalize, **kw,
@@ -1447,8 +1470,8 @@ def sell_attention(
             out_p = outs.reshape(-1, hd)
             sig_p = sigs.reshape(-1, 128)
         if normalize:
-            out_n = jnp.take(out_p, st_.dst.inv, axis=0)
-            sigma = jnp.take(sig_p[:, :STATS_L], st_.dst.inv, axis=0)
+            out_n = _take(out_p, st_.dst.inv)
+            sigma = _take(sig_p[:, :STATS_L], st_.dst.inv)
             return out_n, sigma
         return _merge_rows_dst(out_p, sig_p)
 
@@ -1500,31 +1523,35 @@ def sell_attention(
         g_z = jnp.concatenate(
             [g_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
         )
-        zd_p = jnp.take(zd_z, st_.dst.perm, axis=0)
-        g_p = jnp.take(g_z, st_.dst.perm, axis=0)
-        sr_p = jnp.take(sr_z, st_.dst.perm, axis=0)
+        zd_p = _take(zd_z, st_.dst.perm)
+        g_p = _take(g_z, st_.dst.perm)
+        sr_p = _take(sr_z, st_.dst.perm)
         if g_chunks == 1:
-            zs_e = jnp.take(zs_z, st_.dst.gather_ids, axis=0)
+            zs_e = _take(zs_z, st_.dst.gather_ids)
             dzd_p, da_parts, c1 = _sell_bwd_dst(
                 zs_e, st_.dst.cnt, zd_p, g_p, sr_p, a2, bdiag, rsig, rr,
                 a_rep, st_.dst.col_off, st.num_dst_tiles, **kw,
             )
             da = jnp.sum(da_parts, axis=0)
-            # phase 2a: permute packets to src-ELL order (padding -> the
-            # appended zero row), per-row sum, un-permute rows
-            c1z = jnp.concatenate(
-                [c1, jnp.zeros((1, hd), jnp.float32)], axis=0
+            # phase 2a: permute packets to src-ELL order (padding slots
+            # clamp onto an arbitrary real packet and are masked by cnt
+            # inside the segsum kernel — appending a zero row here would
+            # copy the whole [E, hd] packet buffer), per-row sum,
+            # un-permute rows
+            c1s = (
+                _take(c1, st_.ell_perm)
+                if st.e_ell
+                else jnp.zeros((st.e2_ell, hd), jnp.float32)
             )
-            c1s = jnp.take(c1z, st_.ell_perm, axis=0)
             dzs_p = _sell_segsum(
-                c1s, st_.srcs.col_off, st.num_src_tiles, hd=hd,
-                interpret=interpret,
+                c1s, st_.srcs.col_off, st_.srcs.cnt, st.num_src_tiles,
+                hd=hd, interpret=interpret,
             )
         else:
             # phase 1 per dst chunk (no packet buffer)
             def body1(_, x):
                 ids_g, cnt_g, rel_g, zd_c, g_c, sr_c = x
-                zs_e = jnp.take(zs_z, ids_g, axis=0)
+                zs_e = _take(zs_z, ids_g)
                 dzd_c, da_c = _sell_bwd_dst(
                     zs_e, cnt_g, zd_c, g_c, sr_c, a2, bdiag, rsig, rr,
                     a_rep, rel_g, spc_d, emit_c1=False, **kw,
@@ -1551,12 +1578,12 @@ def sell_attention(
                 [xg_tab, jnp.zeros((1, 2 * hd), jnp.float32)], axis=0
             )
             ex = jnp.concatenate([rsig, rr], axis=1)  # [128, 2*hd]
-            zs_perm = jnp.take(zs_z, st_.srcs.perm, axis=0)
+            zs_perm = _take(zs_z, st_.srcs.perm)
 
             def body2(_, x):
                 ids_g, rel_g, zs_c = x
-                xg_e = jnp.take(xg_z, ids_g, axis=0)
-                sr_e = jnp.take(sr_z, ids_g, axis=0)
+                xg_e = _take(xg_z, ids_g)
+                sr_e = _take(sr_z, ids_g)
                 return 0, _sell_bwd_src(
                     xg_e, sr_e, zs_c, a2, bdiag, ex, a_rep, rel_g, spc_s,
                     **kw,
@@ -1672,15 +1699,15 @@ def sell_attention_merge(
             zs_z = jnp.concatenate(
                 [zs_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
             )
-            zs_e = jnp.take(zs_z, st.dst.gather_ids, axis=0)
-            zd_p = jnp.take(zd_flat, st.dst.perm, axis=0)
+            zs_e = _take(zs_z, st.dst.gather_ids)
+            zd_p = _take(zd_flat, st.dst.perm)
             u_p, ml_p = _sell_forward(
                 zs_e, st.dst.cnt, zd_p, a2, s_sel, st.dst.col_off,
                 st.num_dst_tiles, normalize=False, **kw,
             )
             # restore to NODE order (each pass has its own permutation)
-            u_n = jnp.take(u_p, st.dst.inv, axis=0)
-            ml_n = jnp.take(ml_p, st.dst.inv, axis=0)
+            u_n = _take(u_p, st.dst.inv)
+            ml_n = _take(ml_p, st.dst.inv)
             parts.append(
                 (u_n, ml_n[:, :STATS_L], ml_n[:, STATS_L : 2 * STATS_L])
             )
@@ -1740,25 +1767,26 @@ def sell_attention_merge(
             zs_z = jnp.concatenate(
                 [zs_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
             )
-            zs_e = jnp.take(zs_z, st.dst.gather_ids, axis=0)
-            zd_p = jnp.take(zd_flat, st.dst.perm, axis=0)
-            g_p = jnp.take(g_flat, st.dst.perm, axis=0)
-            sr_p = jnp.take(sr_node, st.dst.perm, axis=0)
+            zs_e = _take(zs_z, st.dst.gather_ids)
+            zd_p = _take(zd_flat, st.dst.perm)
+            g_p = _take(g_flat, st.dst.perm)
+            sr_p = _take(sr_node, st.dst.perm)
             dzd_p, da_parts, c1 = _sell_bwd_dst(
                 zs_e, st.dst.cnt, zd_p, g_p, sr_p, a2, bdiag, rsig, rr,
                 a_rep, st.dst.col_off, st.num_dst_tiles, **kw,
             )
-            dzd_acc = dzd_acc + jnp.take(dzd_p, st.dst.inv, axis=0)
+            dzd_acc = dzd_acc + _take(dzd_p, st.dst.inv)
             da_acc = da_acc + jnp.sum(da_parts, axis=0)
-            c1z = jnp.concatenate(
-                [c1, jnp.zeros((1, hd), jnp.float32)], axis=0
+            c1s = (
+                _take(c1, st.ell_perm)
+                if st.e_ell
+                else jnp.zeros((st.e2_ell, hd), jnp.float32)
             )
-            c1s = jnp.take(c1z, st.ell_perm, axis=0)
             dzs_p = _sell_segsum(
-                c1s, st.srcs.col_off, st.num_src_tiles, hd=hd,
-                interpret=interpret,
+                c1s, st.srcs.col_off, st.srcs.cnt, st.num_src_tiles,
+                hd=hd, interpret=interpret,
             )
-            dzs_flat = jnp.take(dzs_p, st.srcs.inv, axis=0)
+            dzs_flat = _take(dzs_p, st.srcs.inv)
             dzs_out.append(
                 dzs_flat[: zs_k.shape[0], :hd_real].reshape(zs_k.shape)
             )

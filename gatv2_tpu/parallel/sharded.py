@@ -65,7 +65,7 @@ def _halo_all_to_all(zs_loc, send_ids_me, axis_name):
     """Boundary-only halo exchange: gather the rows each peer references
     and route them with one all_to_all (autodiff transposes it back)."""
     s_count, m = send_ids_me.shape
-    send = jnp.take(zs_loc, send_ids_me.reshape(-1), axis=0).reshape(
+    send = jnp.take(zs_loc, send_ids_me.reshape(-1), axis=0, mode="clip").reshape(
         s_count, m, *zs_loc.shape[1:]
     )
     return jax.lax.all_to_all(
@@ -182,8 +182,8 @@ def _sharded_layer(
         l_src, l_dst, h_src, h_dst = overlap
 
         def edge_scores(space, src_idx, dst_idx):
-            zs_e = jnp.take(space, src_idx, axis=0)
-            zd_e = jnp.take(zd_loc, jnp.minimum(dst_idx, n_loc - 1), axis=0)
+            zs_e = jnp.take(space, src_idx, axis=0, mode="clip")
+            zd_e = jnp.take(zd_loc, jnp.minimum(dst_idx, n_loc - 1), axis=0, mode="clip")
             s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
             e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)
             return e, zs_e
@@ -196,7 +196,7 @@ def _sharded_layer(
         m_all = jnp.where(jnp.isfinite(m_all), m_all, 0.0)
 
         def pass_sums(e_k, zs_k, dst_k):
-            shifted = e_k - jnp.take(m_all, jnp.minimum(dst_k, n_loc - 1), axis=0)
+            shifted = e_k - jnp.take(m_all, jnp.minimum(dst_k, n_loc - 1), axis=0, mode="clip")
             w = jnp.exp(jnp.maximum(shifted, EXP_CLAMP))
             u = segment_sum(w[:, :, None] * zs_k, dst_k, n_loc)
             l = segment_sum(w, dst_k, n_loc)
@@ -236,8 +236,8 @@ def _sharded_layer(
             edge_tiles=edge_tiles, precision=precision, interpret=interpret,
         )  # [n_loc, H_loc, D]
     else:
-        zs_e = jnp.take(zs_space, src_idx, axis=0)  # [e_loc, H_loc, D]
-        zd_e = jnp.take(zd_loc, jnp.minimum(dst_l, n_loc - 1), axis=0)
+        zs_e = jnp.take(zs_space, src_idx, axis=0, mode="clip")  # [e_loc, H_loc, D]
+        zd_e = jnp.take(zd_loc, jnp.minimum(dst_l, n_loc - 1), axis=0, mode="clip")
         s = jax.nn.leaky_relu(zs_e + zd_e, negative_slope)
         e = jnp.einsum("ehd,hd->eh", s, a, precision=precision)
         alpha = segment_softmax(e, dst_l, n_loc)

@@ -44,7 +44,7 @@ def make_minibatch_step(
              edge_tiles=None):
         if device_gather:
             feat_table, node_ids = features
-            features = jnp.take(feat_table, node_ids, axis=0)
+            features = jnp.take(feat_table, node_ids, axis=0, mode="clip")
         grad_fn = jax.value_and_grad(gatv2.loss_fn, has_aux=True)
         (loss, acc), grads = grad_fn(
             params, features, src, dst, labels, model_config,
@@ -86,7 +86,7 @@ def make_dp_minibatch_step(
         n = num_seeds[0]
         if device_gather:
             feat_table, node_ids = features
-            feats = jnp.take(feat_table, node_ids[0], axis=0)
+            feats = jnp.take(feat_table, node_ids[0], axis=0, mode="clip")
         else:
             feats = features[0]
         loss, acc = gatv2.loss_fn(
@@ -299,7 +299,7 @@ class MinibatchTrainer:
             def ev(params, features, src, dst, labels, num_seeds, et=None):
                 if dg:
                     feat_table, node_ids = features
-                    features = jnp.take(feat_table, node_ids, axis=0)
+                    features = jnp.take(feat_table, node_ids, axis=0, mode="clip")
                 logits = _g.model_forward(
                     params, features, src, dst, mc, impl=tc.impl,
                     edge_tiles=et,

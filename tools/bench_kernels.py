@@ -66,7 +66,9 @@ def main():
     # configs would take the unchunked emit_c1 path and OOM on O(E)-wide
     # edge streams (and the structural-FLOP model below would mislabel the
     # backward pass count)
-    budget = (2 << 30) if e >= 30_000_000 else (4 << 30)
+    from gatv2_tpu.ops.pallas_attention import default_chunk_budget
+
+    budget = default_chunk_budget(e)
     if args.impl == "sell":
         from gatv2_tpu.ops.sell_attention import (
             prepare_sell_tiles,
