@@ -266,7 +266,10 @@ def _rep_plan(e: int, k1, k2, reps):
         return 1, 3, 5
     if e >= 500_000:
         return 8, 40, 5
-    return 10, 90, 5
+    # sub-2ms epochs are dispatch-noise-dominated through the tunnel:
+    # round-3 measured 99.3% spread on cora with a 80-epoch diff body.
+    # 300 epochs of diff amortizes the same absolute jitter ~4x further.
+    return 10, 310, 7
 
 
 def _differenced_timing(run_once, k1, k2, reps):
@@ -289,12 +292,18 @@ def _timing_fields(diffs):
     variance_pct = (
         (max(diffs) - min(diffs)) / epoch_ms * 100.0 if len(diffs) > 1 else 0.0
     )
-    return epoch_ms, {
+    fields = {
         "epoch_ms": epoch_ms,
         "epoch_ms_min": float(min(diffs)),
         "epoch_ms_all": [round(d, 4) for d in diffs],
         "variance_pct": round(variance_pct, 1),
     }
+    if epoch_ms < 3.0:
+        # physics note for readers of the sweep: a sub-3ms program body
+        # rides under the tunnel's dispatch jitter; epoch_ms_min is the
+        # contention-free floor and the honest per-epoch number there
+        fields["dispatch_bound"] = True
+    return epoch_ms, fields
 
 
 def _host_cpus() -> int:

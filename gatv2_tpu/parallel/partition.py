@@ -199,6 +199,20 @@ def partition_graph(
     )
 
 
+def _shard_csr(dst_shard, src_shard, nps):
+    """Filter one shard's padded edge slice down to its real edges and
+    rebuild the local CSR: returns (row_ptr [nps+1], src_s). dst stays
+    sorted (partition slices are dst-sorted; the mask filters in order).
+    Shared by every per-shard layout builder."""
+    real = dst_shard < nps
+    dst_s = dst_shard[real]
+    src_s = src_shard[real]
+    counts = np.bincount(dst_s, minlength=nps)
+    row_ptr = np.zeros(nps + 1, np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    return row_ptr, src_s
+
+
 def prepare_partitioned_tiles(
     pg: PartitionedGraph, tile_e: int | None = 128, num_chunks: int = 1,
     halo_plan: "HaloPlan | None" = None, max_hd: int | None = None,
@@ -229,13 +243,7 @@ def prepare_partitioned_tiles(
 
     per_shard = []
     for s in range(s_count):
-        real = dst_all[s] < nps
-        dst_s = dst_all[s][real]
-        src_s = src_all[s][real]
-        counts = np.bincount(dst_s, minlength=nps)
-        row_ptr = np.zeros(nps + 1, np.int64)
-        np.cumsum(counts, out=row_ptr[1:])
-        # partition slices keep dst sorted, so col_idx aligns with row_ptr
+        row_ptr, src_s = _shard_csr(dst_all[s], src_all[s], nps)
         per_shard.append(
             # max_hd (the widest layer's lane count) VMEM-caps the
             # auto-selected tile size exactly like setup_full_graph does
@@ -274,21 +282,17 @@ def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default",
     cols_d = cols_s = tiles_d = tiles_s = 1
     max_deg_d = max_deg_s = 0
     for s in range(len(dst_all)):
-        real = dst_all[s] < nps
-        dst_s = dst_all[s][real]
-        src_s = src_all[s][real]
-        counts = np.bincount(dst_s, minlength=nps)
-        row_ptr = np.zeros(nps + 1, np.int64)
-        np.cumsum(counts, out=row_ptr[1:])
+        row_ptr, src_s = _shard_csr(dst_all[s], src_all[s], nps)
         shards.append((row_ptr, src_s))
+        deg_d = np.diff(row_ptr)
         deg_s = np.bincount(src_s, minlength=n_glob)
-        t_d, _, e_ell, _ = _side_geometry(counts, 1, split_cap=cap)
+        t_d, _, e_ell, _ = _side_geometry(deg_d, 1, split_cap=cap)
         t_s, _, e2_ell, _ = _side_geometry(deg_s, 1, split_cap=cap)
         cols_d = max(cols_d, e_ell // TILE_N)
         cols_s = max(cols_s, e2_ell // TILE_N)
         tiles_d = max(tiles_d, t_d)
         tiles_s = max(tiles_s, t_s)
-        max_deg_d = max(max_deg_d, int(counts.max(initial=0)))
+        max_deg_d = max(max_deg_d, int(deg_d.max(initial=0)))
         max_deg_s = max(max_deg_s, int(deg_s.max(initial=0)))
 
     if cap is None:
@@ -356,8 +360,12 @@ def prepare_partitioned_sell_tiles(
 
     num_chunks=None auto-picks the chunk count from the model widths
     (heads/out_dims, like setup_full_graph_sell) so per-shard edge-space
-    temporaries fit budget_bytes; chunking is 1-shard-mesh only (see
-    _build_sell_shards)."""
+    temporaries fit budget_bytes. Chunking is 1-shard-mesh only (see
+    _build_sell_shards): on S > 1 meshes the auto path resolves to
+    num_chunks=1 — and WARNS when shard 0's live set would have wanted
+    chunking, because an unchunked over-budget layout surfaces later as
+    an opaque HBM OOM inside the step."""
+    import warnings
     s_count = pg.num_shards
     nps = pg.nodes_per_shard
     if halo_plan is not None:
@@ -371,17 +379,23 @@ def prepare_partitioned_sell_tiles(
         from gatv2_tpu.ops.sell_attention import suggest_chunks_for_graph
 
         num_chunks = 1
-        if heads is not None and s_count == 1:
-            real = dst_all[0] < nps
-            dst_s = dst_all[0][real]
-            src_s = src_all[0][real]
-            counts = np.bincount(dst_s, minlength=nps)
-            row_ptr = np.zeros(nps + 1, np.int64)
-            np.cumsum(counts, out=row_ptr[1:])
-            num_chunks = suggest_chunks_for_graph(
+        if heads is not None:
+            row_ptr, src_s = _shard_csr(dst_all[0], src_all[0], nps)
+            want = suggest_chunks_for_graph(
                 row_ptr, src_s, n_glob, heads, out_dims,
                 budget_bytes=budget_bytes,
             )
+            if s_count == 1:
+                num_chunks = want
+            elif want > 1:
+                warnings.warn(
+                    f"sharded SELL auto-chunking wanted num_chunks={want} "
+                    f"for shard 0's edge set but multi-shard meshes only "
+                    f"support unchunked layouts — expect ~{want}x the "
+                    f"budgeted edge-temporary HBM per shard (grow the mesh "
+                    f"or use impl='pallas', which chunks per shard)",
+                    stacklevel=2,
+                )
     return _build_sell_shards(
         src_all, dst_all, nps, n_glob, num_chunks=num_chunks
     )
@@ -437,7 +451,98 @@ def _stack_tiles(per_shard):
             pad = [(0, m - sz) for sz, m in zip(a.shape, max_shape)]
             padded.append(np.pad(a, pad))
         stacked.append(jnp.asarray(np.stack(padded)))
-    return jax.tree.unflatten(treedef, stacked)
+    out = jax.tree.unflatten(treedef, stacked)
+    return _harden_stacked_pad_ids(out, per_shard)
+
+
+def _harden_stacked_pad_ids(out, per_shard):
+    """Re-fill the regions cross-shard stacking ADDED to the gather-id
+    arrays with each side's pad sentinel instead of np.pad's zeros.
+
+    The kernels never stream those regions (rel_offsets/col_off bound the
+    real columns), so zeros are safe today — but a zero aliases chunk row
+    0, and a future kernel change that read one slot too many would
+    silently accumulate into a real row. The sentinel (the opposite
+    side's padded node count) makes such a bug gather the appended zero
+    row instead."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    def refill(stacked_arr, originals, sentinel):
+        a = np.array(stacked_arr)  # writable copy (device arrays view-only)
+        changed = False
+        for s, orig in enumerate(originals):
+            o = np.asarray(orig)
+            if o.shape == a.shape[1:]:
+                continue
+            mask = np.ones(a.shape[1:], bool)
+            mask[tuple(slice(0, d) for d in o.shape)] = False
+            a[s][mask] = sentinel
+            changed = True
+        return jnp.asarray(a) if changed else stacked_arr
+
+    first = per_shard[0]
+    if hasattr(first, "dst_side") and first.dst_side is not None:
+        # pallas EdgeTiles: ids_grp pads match no row of the chunk grid
+        from gatv2_tpu.ops.pallas_attention import TILE_N as _tn
+
+        d_pad = out.tiles_per_chunk * _tn
+        s_tiles = (
+            out.src_tiles_per_chunk
+            if out.src_tiles_per_chunk >= 0
+            else out.tiles_per_chunk
+        )
+        out = _dc.replace(
+            out,
+            dst_side=_dc.replace(
+                out.dst_side,
+                ids_grp=refill(
+                    out.dst_side.ids_grp,
+                    [t.dst_side.ids_grp for t in per_shard], d_pad,
+                ),
+            ),
+            src_side=_dc.replace(
+                out.src_side,
+                ids_grp=refill(
+                    out.src_side.ids_grp,
+                    [t.src_side.ids_grp for t in per_shard],
+                    s_tiles * _tn,
+                ),
+            ),
+        )
+    elif hasattr(first, "srcs"):
+        # SellTiles: gather ids address the OPPOSITE side's node grid
+        out = _dc.replace(
+            out,
+            dst=_dc.replace(
+                out.dst,
+                gather_ids=refill(
+                    out.dst.gather_ids,
+                    [t.dst.gather_ids for t in per_shard],
+                    out.padded_src_nodes,
+                ),
+                ids_grp=refill(
+                    out.dst.ids_grp,
+                    [t.dst.ids_grp for t in per_shard],
+                    out.padded_src_nodes,
+                ),
+            ),
+            srcs=_dc.replace(
+                out.srcs,
+                gather_ids=refill(
+                    out.srcs.gather_ids,
+                    [t.srcs.gather_ids for t in per_shard],
+                    out.padded_num_nodes,
+                ),
+                ids_grp=refill(
+                    out.srcs.ids_grp,
+                    [t.srcs.ids_grp for t in per_shard],
+                    out.padded_num_nodes,
+                ),
+            ),
+        )
+    return out
 
 
 def prepare_overlap_tiles(
@@ -455,12 +560,7 @@ def prepare_overlap_tiles(
     def build(src_all, dst_all, n_src):
         per = []
         for s in range(s_count):
-            real = dst_all[s] < nps
-            dst_s = dst_all[s][real]  # still dst-sorted (filtered in order)
-            src_s = src_all[s][real]
-            counts = np.bincount(dst_s, minlength=nps)
-            row_ptr = np.zeros(nps + 1, np.int64)
-            np.cumsum(counts, out=row_ptr[1:])
+            row_ptr, src_s = _shard_csr(dst_all[s], src_all[s], nps)
             per.append(
                 prepare_edge_tiles(
                     row_ptr, src_s, nps, tile_e=tile_e, num_src_nodes=n_src

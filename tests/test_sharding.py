@@ -893,3 +893,66 @@ def test_mesh1_chunked_tiles_match_single_device(learnable_graph):
     pg2 = partition_graph(g, 2)
     with pytest.raises(ValueError, match="1-shard"):
         prepare_partitioned_sell_tiles(pg2, num_chunks=2)
+
+def test_mesh2_chunked_pallas_tiles_match_single_device(learnable_graph):
+    """MULTI-shard chunked pallas stacking (bench --mesh N now auto-chunks
+    per-shard edge sets at products scale for every mesh size): a 2-shard
+    mesh with num_chunks=3 must reproduce the unsharded losses, and the
+    regions _stack_tiles ADDS when padding shards' grouped arrays to the
+    cross-shard max must carry the pad sentinel (matches no row of the
+    chunk grid), not 0 — a 0 would alias chunk row 0 if a kernel change
+    ever streamed past rel_offsets (round-3 advisor finding)."""
+    from gatv2_tpu.models.gatv2 import init_params_for_variant
+    from gatv2_tpu.ops.pallas_attention import TILE_N
+    from gatv2_tpu.parallel.partition import prepare_partitioned_tiles
+    from gatv2_tpu.parallel.sharded import (
+        device_put_params,
+        make_sharded_multi_epoch_runner,
+    )
+
+    from gatv2_tpu.data.synthetic import random_graph
+
+    # big enough that each of 2 shards still has >= 3 node tiles (the
+    # requested chunk count clamps to the per-shard tile count)
+    g = random_graph(1024, 6000, 12, 4, seed=5)
+    config = _cfg(g)
+
+    def run(mesh, pg, impl, tiles):
+        feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+        tc = TrainConfig(optimizer="adam", lr=0.01, seed=0, impl=impl)
+        runner = make_sharded_multi_epoch_runner(
+            config, tc, mesh, pg.num_real_nodes, 3,
+            edge_tiles=tiles, halo_plan=None, interpret=True,
+        )
+        params = device_put_params(
+            init_params_for_variant(config, jax.random.PRNGKey(0)),
+            config, mesh,
+        )
+        opt_state = optim.init_opt_state(params, "adam")
+        _, _, losses, _ = runner(
+            params, opt_state, jnp.asarray(0, jnp.int32),
+            feats, src, dst_l, labels,
+        )
+        return np.asarray(losses)
+
+    mesh1, pg1 = make_mesh(1), partition_graph(g, 1)
+    losses_ref = run(mesh1, pg1, "xla", None)
+
+    mesh2, pg2 = make_mesh(2), partition_graph(g, 2)
+    tiles2 = prepare_partitioned_tiles(pg2, tile_e=128, num_chunks=3)
+    assert tiles2.num_chunks == 3
+    np.testing.assert_allclose(
+        run(mesh2, pg2, "pallas", tiles2), losses_ref, rtol=2e-5, atol=2e-6
+    )
+
+    # pad-sentinel hardening: any slot of the stacked ids_grp beyond a
+    # shard's own column count must be the side's pad id, never 0
+    ids = np.asarray(tiles2.dst_side.ids_grp)  # [S, G, cols]
+    pad_id = tiles2.tiles_per_chunk * TILE_N
+    rel = np.asarray(tiles2.dst_side.rel_offsets)  # [S, G, tpc+1]
+    te = tiles2.tile_e
+    for s in range(ids.shape[0]):
+        for ch in range(ids.shape[1]):
+            used = int(rel[s, ch, -1]) * te
+            tail = ids[s, ch, used:]
+            assert tail.size == 0 or (tail == pad_id).all()
