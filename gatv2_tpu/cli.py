@@ -32,13 +32,16 @@ from gatv2_tpu.config import ModelConfig, TrainConfig
 def _resolve_impl(args) -> str:
     """Resolve --impl auto to the measured winner for the selected mode.
 
-    Round-3 A/B on TPU v5e (SWEEP_R3.jsonl): the SELL-layout kernels are
-    ~3x the one-hot pallas kernels on full-graph configs >= arxiv scale
-    and at parity on tiny ones, so full-graph on an accelerator -> sell.
-    Minibatch modes have no SELL host-layout emitter (per-batch layouts
-    would need a native builder) -> pallas. CPU has no Mosaic backend
-    (kernels would run interpret-mode, far slower than XLA's fused
-    scatter path) -> xla."""
+    Round-3/4 A/B on TPU v5e (SWEEP_R3/R4.jsonl): the SELL-layout
+    kernels beat the streamed-operand pallas kernels on every full-graph
+    config from pubmed scale up (1.9x at 44k edges, 1.8x at arxiv
+    105 vs 190 ms, ~2x at products-full) and tie within dispatch noise
+    on the sub-2ms tiny configs — there is no measured crossover below
+    which pallas wins full-graph, so full-graph on an accelerator ->
+    sell. Minibatch modes have no SELL host-layout emitter (per-batch
+    layouts would need a native builder) -> pallas. CPU has no Mosaic
+    backend (kernels would run interpret-mode, far slower than XLA's
+    fused scatter path) -> xla."""
     if args.impl != "auto":
         return args.impl
     if args.batch_size > 0:
@@ -73,13 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-root", type=str, default=None)
     # framework extensions
     p.add_argument("--impl", choices=["xla", "pallas", "sell", "auto"],
-                   default="xla",
+                   default="auto",
                    help="attention/aggregation implementation (sell = the "
                         "degree-sorted sliced-ELLPACK kernels; full-graph "
                         "single-device or --mesh, no minibatch mode). "
-                        "'auto' picks the measured winner: sell for "
-                        "full-graph on an accelerator, pallas for "
-                        "minibatch, xla on CPU")
+                        "The default 'auto' picks the measured winner: "
+                        "sell for full-graph on an accelerator, pallas "
+                        "for minibatch, xla on CPU (A/B tables in "
+                        "BENCH_SWEEP.md)")
     p.add_argument("--variant", choices=["edge", "node"], default="edge",
                    help="reference variant semantics (last-layer activation order)")
     p.add_argument("--precision", choices=["highest", "high", "default"], default="highest",

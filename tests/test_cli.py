@@ -133,10 +133,16 @@ def test_data_root_resolution(monkeypatch):
 
 
 def test_impl_auto_resolution():
-    """--impl auto: pallas for minibatch, xla on the CPU backend (the
-    tests run with JAX_PLATFORMS=cpu; on an accelerator full-graph auto
-    resolves to sell — exercised by the real-chip verify recipe)."""
+    """--impl auto (the DEFAULT since round 4): pallas for minibatch, xla
+    on the CPU backend (the tests run with JAX_PLATFORMS=cpu; on an
+    accelerator full-graph auto resolves to sell — exercised by the
+    real-chip verify recipe)."""
     _, tc, _ = cli.parse_args("--impl auto --batch-size 64".split())
     assert tc.impl == "pallas"
     _, tc, _ = cli.parse_args(["--impl", "auto"])
     assert tc.impl == "xla"
+    # auto is the default: omitting --impl resolves identically
+    _, tc, _ = cli.parse_args([])
+    assert tc.impl == "xla"
+    _, tc, _ = cli.parse_args(["--batch-size", "64"])
+    assert tc.impl == "pallas"
