@@ -439,9 +439,9 @@ def bench_mesh_config(
 
         tiles = prepare_partitioned_sell_tiles(
             pg, halo_plan=plan,
-            # auto-chunked on a 1-shard mesh (the --mesh 1 overhead row);
-            # multi-shard meshes stay unchunked (fixed-mode stacking)
-            num_chunks=None if n_devices == 1 else 1,
+            # auto-chunked for every mesh size (worst shard decides; the
+            # chunk grid is uniform across shards)
+            num_chunks=None,
             heads=heads, out_dims=outdims,
         )
     feats, src, dst_l, labels = device_put_partitioned(pg, mesh)

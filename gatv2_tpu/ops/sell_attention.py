@@ -324,8 +324,12 @@ def _build_sell_side(
     t_real = max(1, -(-max(nvr, 1) // TILE_N))
     g = max(1, num_chunks)
     if fixed is not None:
-        if g > 1:
-            raise ValueError("fixed layouts require num_chunks == 1")
+        # fixed + chunked composes: t_real is forced BEFORE the chunk
+        # rounding, so t2 = g * ceil(fixed_tiles / g) is uniform across
+        # graphs sharing the fixed tuple; the grouped arrays' per-chunk
+        # widths stay data-dependent and are padded to the cross-shard
+        # max by _stack_tiles (pad slots carry sentinels, see
+        # partition._harden_stacked_pad_ids)
         fixed_cols, fixed_tiles = fixed
         if t_real > fixed_tiles:
             raise ValueError(

@@ -286,8 +286,11 @@ def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default",
         shards.append((row_ptr, src_s))
         deg_d = np.diff(row_ptr)
         deg_s = np.bincount(src_s, minlength=n_glob)
-        t_d, _, e_ell, _ = _side_geometry(deg_d, 1, split_cap=cap)
-        t_s, _, e2_ell, _ = _side_geometry(deg_s, 1, split_cap=cap)
+        # geometry under the ACTUAL chunk count: t2 is rounded to
+        # num_chunks * slices-per-chunk, so the cross-shard max stays a
+        # valid fixed tile count for every shard's chunk grid
+        t_d, _, e_ell, _ = _side_geometry(deg_d, num_chunks, split_cap=cap)
+        t_s, _, e2_ell, _ = _side_geometry(deg_s, num_chunks, split_cap=cap)
         cols_d = max(cols_d, e_ell // TILE_N)
         cols_s = max(cols_s, e2_ell // TILE_N)
         tiles_d = max(tiles_d, t_d)
@@ -313,20 +316,9 @@ def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default",
     any_split_d = cap is not None and max_deg_d > cap
     any_split_s = cap is not None and max_deg_s > cap
 
-    if num_chunks > 1:
-        # chunked SELL layouts cannot use fixed mode (grouped arrays have
-        # data-dependent group shapes), so cross-shard stacking is only
-        # well-defined for a single shard. Multi-shard meshes divide the
-        # per-shard edge set by S anyway, so the unchunked live set
-        # shrinks with the mesh; a 1-shard mesh (the --mesh 1 overhead
-        # row) is the case that genuinely needs chunking on one chip.
-        if len(shards) > 1:
-            raise ValueError(
-                "chunked sharded SELL layouts (num_chunks > 1) are only "
-                "supported on a 1-shard mesh; with S > 1 shards the "
-                "per-shard edge set is E/S — pick S large enough that "
-                "the unchunked live set fits, or use impl='pallas'."
-            )
+    if len(shards) == 1:
+        # single shard: no stacking constraints — build the tight layout
+        # (chunked or not) without fixed-mode padding
         row_ptr, src_s = shards[0]
         return _stack_tiles([
             prepare_sell_tiles(
@@ -334,11 +326,16 @@ def _build_sell_shards(src_all, dst_all, nps, n_glob, split_cap="default",
                 num_chunks=num_chunks, split_cap=cap,
             )
         ])
+    # multi-shard (chunked or not): fixed mode forces both sides' column
+    # and row-slice counts to the cross-shard max so every stacked leaf
+    # has identical shape; for chunked layouts the per-chunk grouped
+    # arrays are additionally padded to the cross-shard max by
+    # _stack_tiles (pad slots re-filled with the side's sentinel)
     per_shard = [
         prepare_sell_tiles(
             row_ptr, src_s, nps, num_src_nodes=n_glob,
             fixed=(cols_d, cols_s, tiles_d, tiles_s),
-            split_cap=cap,
+            split_cap=cap, num_chunks=num_chunks,
             force_split=(any_split_d, any_split_s),
         )
         for row_ptr, src_s in shards
@@ -360,12 +357,9 @@ def prepare_partitioned_sell_tiles(
 
     num_chunks=None auto-picks the chunk count from the model widths
     (heads/out_dims, like setup_full_graph_sell) so per-shard edge-space
-    temporaries fit budget_bytes. Chunking is 1-shard-mesh only (see
-    _build_sell_shards): on S > 1 meshes the auto path resolves to
-    num_chunks=1 — and WARNS when shard 0's live set would have wanted
-    chunking, because an unchunked over-budget layout surfaces later as
-    an opaque HBM OOM inside the step."""
-    import warnings
+    temporaries fit budget_bytes: the WORST shard's edge set decides (all
+    shards must share one chunk grid — static aux), evaluated on every
+    shard's real CSR."""
     s_count = pg.num_shards
     nps = pg.nodes_per_shard
     if halo_plan is not None:
@@ -380,22 +374,12 @@ def prepare_partitioned_sell_tiles(
 
         num_chunks = 1
         if heads is not None:
-            row_ptr, src_s = _shard_csr(dst_all[0], src_all[0], nps)
-            want = suggest_chunks_for_graph(
-                row_ptr, src_s, n_glob, heads, out_dims,
-                budget_bytes=budget_bytes,
-            )
-            if s_count == 1:
-                num_chunks = want
-            elif want > 1:
-                warnings.warn(
-                    f"sharded SELL auto-chunking wanted num_chunks={want} "
-                    f"for shard 0's edge set but multi-shard meshes only "
-                    f"support unchunked layouts — expect ~{want}x the "
-                    f"budgeted edge-temporary HBM per shard (grow the mesh "
-                    f"or use impl='pallas', which chunks per shard)",
-                    stacklevel=2,
-                )
+            for s in range(s_count):
+                row_ptr, src_s = _shard_csr(dst_all[s], src_all[s], nps)
+                num_chunks = max(num_chunks, suggest_chunks_for_graph(
+                    row_ptr, src_s, n_glob, heads, out_dims,
+                    budget_bytes=budget_bytes,
+                ))
     return _build_sell_shards(
         src_all, dst_all, nps, n_glob, num_chunks=num_chunks
     )

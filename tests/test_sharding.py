@@ -890,9 +890,49 @@ def test_mesh1_chunked_tiles_match_single_device(learnable_graph):
         run("sell", tiles_s), losses_ref, rtol=2e-5, atol=2e-6
     )
 
-    pg2 = partition_graph(g, 2)
-    with pytest.raises(ValueError, match="1-shard"):
-        prepare_partitioned_sell_tiles(pg2, num_chunks=2)
+
+def test_mesh2_chunked_sell_tiles_match_single_device(learnable_graph):
+    """MULTI-shard CHUNKED SELL stacking (new in round 4: fixed mode now
+    composes with num_chunks > 1, closing the round-3 gap where S > 1
+    meshes raised): a 2-shard mesh with num_chunks=2 must reproduce the
+    unsharded losses."""
+    from gatv2_tpu.models.gatv2 import init_params_for_variant
+    from gatv2_tpu.parallel.partition import prepare_partitioned_sell_tiles
+    from gatv2_tpu.parallel.sharded import (
+        device_put_params,
+        make_sharded_multi_epoch_runner,
+    )
+
+    g = learnable_graph
+    config = _cfg(g)
+
+    def run(mesh, pg, impl, tiles):
+        feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+        tc = TrainConfig(optimizer="adam", lr=0.01, seed=0, impl=impl)
+        runner = make_sharded_multi_epoch_runner(
+            config, tc, mesh, pg.num_real_nodes, 3,
+            edge_tiles=tiles, halo_plan=None, interpret=True,
+        )
+        params = device_put_params(
+            init_params_for_variant(config, jax.random.PRNGKey(0)),
+            config, mesh,
+        )
+        opt_state = optim.init_opt_state(params, "adam")
+        _, _, losses, _ = runner(
+            params, opt_state, jnp.asarray(0, jnp.int32),
+            feats, src, dst_l, labels,
+        )
+        return np.asarray(losses)
+
+    losses_ref = run(make_mesh(1), partition_graph(g, 1), "xla", None)
+    mesh2, pg2 = make_mesh(2), partition_graph(g, 2)
+    tiles2 = prepare_partitioned_sell_tiles(pg2, num_chunks=2)
+    assert tiles2.num_chunks == 2
+    # stacked grouped arrays: uniform shapes, per-shard chunk grids
+    assert np.asarray(tiles2.dst.ids_grp).shape[:2] == (2, 2)
+    np.testing.assert_allclose(
+        run(mesh2, pg2, "sell", tiles2), losses_ref, rtol=2e-5, atol=2e-6
+    )
 
 def test_mesh2_chunked_pallas_tiles_match_single_device(learnable_graph):
     """MULTI-shard chunked pallas stacking (bench --mesh N now auto-chunks
