@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Turn SWEEP_R3.jsonl (tools/run_sweep.py output) into the round-3
+"""Turn a sweep JSONL (tools/run_sweep.py output) into the round
 analysis: the pallas-vs-SELL A/B table, round-over-round deltas against
-the recorded round-2 numbers, and a verdict against the round-3 targets
-(arxiv >= 30 M edges/s, products-full >= 14 M edges/s). Markdown to
-stdout, ready to paste into BENCH_SWEEP.md.
+the recorded round-2 AND round-3 medians, and a verdict against the
+standing targets (arxiv >= 30 M edges/s, products-full >= 14 M
+edges/s). Markdown to stdout, ready to paste into BENCH_SWEEP.md.
 
-Usage: python tools/sweep_report.py [--in SWEEP_R3.jsonl]
+Usage: python tools/sweep_report.py [--in SWEEP_R4.jsonl]
 """
 
 from __future__ import annotations
@@ -25,6 +25,15 @@ ROUND2_MS = {
     "products-sub": 3151.0,
     "products-full": 26528.0,
 }
+# round-3 medians (SWEEP_R3.jsonl, best of pallas/sell per config)
+ROUND3_MS = {
+    "citeseer3": 1.737,
+    "cora": 1.513,
+    "pubmed": 4.839,
+    "arxiv": 135.214,
+    "products-sub": 1247.795,
+    "products-full": 9293.225,
+}
 TARGETS_EDGES_PER_S = {"arxiv": 30e6, "products-full": 14e6}
 
 
@@ -43,14 +52,14 @@ def fmt(v, nd=2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--in", dest="inp", default=str(REPO / "SWEEP_R3.jsonl"))
+    ap.add_argument("--in", dest="inp", default=str(REPO / "SWEEP_R4.jsonl"))
     args = ap.parse_args()
     recs = load(pathlib.Path(args.inp))
 
-    print("## Round-3 A/B: streamed-operand (pallas) vs SELL\n")
+    print("## A/B: streamed-operand (pallas) vs SELL\n")
     print("| config | pallas ms | sell ms | sell speedup | pallas Medges/s"
-          " | sell Medges/s | r2 ms | best vs r2 |")
-    print("|---|---|---|---|---|---|---|---|")
+          " | sell Medges/s | r2 ms | best vs r2 | r3 best ms | vs r3 |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     verdict = []
     for cfg in ("citeseer3", "cora", "pubmed", "arxiv", "products-sub",
                 "products-full"):
@@ -61,13 +70,15 @@ def main():
         speed = (p_ms / s_ms) if (p_ms and s_ms) else None
         best = min(x for x in (p_ms, s_ms) if x) if (p_ms or s_ms) else None
         r2 = ROUND2_MS.get(cfg)
+        r3 = ROUND3_MS.get(cfg)
         gain = (r2 / best) if (best and r2) else None
+        gain3 = (r3 / best) if (best and r3) else None
         print(
             f"| {cfg} | {fmt(p_ms)} | {fmt(s_ms)} | "
             f"{fmt(speed)}x | "
             f"{fmt(p and p.get('edges_per_s', 0) / 1e6)} | "
             f"{fmt(s and s.get('edges_per_s', 0) / 1e6)} | "
-            f"{fmt(r2)} | {fmt(gain)}x |"
+            f"{fmt(r2)} | {fmt(gain)}x | {fmt(r3)} | {fmt(gain3)}x |"
         )
         tgt = TARGETS_EDGES_PER_S.get(cfg)
         if tgt:
@@ -81,7 +92,7 @@ def main():
                 + ("MET" if got >= tgt else "NOT MET")
             )
 
-    print("\n## Round-3 targets (VERDICT round 2, item 1)\n")
+    print("\n## Standing targets\n")
     print("\n".join(verdict) if verdict else "- (no target rows measured)")
 
     hi = [t for t in recs if t.endswith("-high")]
