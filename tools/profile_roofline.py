@@ -79,25 +79,55 @@ def capture(config, impl, precision, epochs, out_dir, tile_e=None):
     jax.profiler.stop_trace()
 
 
-# XLA op-name prefixes -> roofline category. Fusion names concatenate the
-# hlo ops they contain, so substring tests on the full name are used for
-# gather/scatter (the SELL/pallas streams are fed by XLA-side takes).
+_OPCODE_RE = None
+
+
+def _opcode_and_lhs(name: str) -> tuple[str, str]:
+    """Split an HLO instruction text into (opcode, lhs-name). The full
+    text embeds OPERAND names ('%copy-done.26' as a fusion input), so
+    categorizing on raw substrings misfiles ops; the opcode is the token
+    right before the first '(' after '=' (skipping the output type,
+    which may itself be a parenthesized tuple)."""
+    global _OPCODE_RE
+    import re
+
+    if _OPCODE_RE is None:
+        _OPCODE_RE = re.compile(
+            r"=\s*(?:\([^=]*?\)|\S+)\s+([a-z][a-z0-9-]*)\("
+        )
+    lhs = name.split(" = ", 1)[0].lstrip("%")
+    m = _OPCODE_RE.search(name)
+    return (m.group(1) if m else ""), lhs
+
+
 def categorize(name: str) -> str:
-    n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
+    op, lhs = _opcode_and_lhs(name)
+    lhs_l = lhs.lower()
+    if op == "custom-call" or "pallas" in lhs_l:
         return "pallas_kernel"
-    if "all-reduce" in n or "all-gather" in n or "collective" in n:
+    if op in ("all-reduce", "all-gather", "all-to-all", "reduce-scatter",
+              "collective-permute"):
         return "collective"
-    if "gather" in n or "take" in n or "dynamic-slice" in n:
+    if op in ("gather", "dynamic-slice"):
         return "gather_slice"
-    if "scatter" in n or "dynamic-update-slice" in n:
+    if op in ("scatter", "dynamic-update-slice"):
         return "scatter_update"
-    if ("dot" in n or "conv" in n) and "fusion" not in n:
+    if op in ("dot", "convolution"):
         return "dense_matmul"
-    if "copy" in n or "transpose" in n or "reshape" in n or "bitcast" in n:
+    if op in ("copy", "copy-start", "copy-done", "transpose", "reshape",
+              "bitcast", "pad", "slice", "concatenate"):
         return "layout_copy"
-    if "fusion" in n:
+    if op == "fusion":
+        # gather fusions (XLA row-gathers feeding the kernels) carry a
+        # clamped s32 index operand — detect via the operand text; the
+        # lhs name itself is anonymous (%fusion.N)
+        if "gather" in lhs_l or "pad_clamp_fusion" in name.lower():
+            return "gather_slice"
+        if "scatter" in lhs_l:
+            return "scatter_update"
         return "fusion_elementwise"
+    if op in ("while", "conditional", "call"):
+        return "control_flow"
     return "other"
 
 
