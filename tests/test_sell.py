@@ -382,3 +382,29 @@ def test_sell_via_edge_attention():
     )
     ref = _ref(zs, zd, a, src_all, dst_all, n)
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_sell_zero_edge_graph():
+    """A graph with NO edges (all-isolated nodes): the minimum-size ELL
+    layout (one empty TILE_N slice per side) must produce exactly-zero
+    output and gradients — regression for the round-4 phase-2a rework
+    (padding slots clamp onto real packets and are cnt-masked; with zero
+    real edges every slot is a pad)."""
+    n = 10
+    row_ptr = np.zeros(n + 1, np.int64)
+    col_idx = np.zeros(0, np.int32)
+    st = prepare_sell_tiles(row_ptr, col_idx, n)
+    zs, zd, a = _rand_zza(n, 2, 8, 0)
+
+    def loss(zs, zd, a):
+        return jnp.sum(jnp.sin(sell_attention(
+            zs, zd, a, None, None, n, negative_slope=0.2, sell_tiles=st,
+            interpret=True,
+        )))
+
+    v, grads = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
+        zs, zd, a
+    )
+    assert float(v) == 0.0
+    for g_ in grads:
+        np.testing.assert_array_equal(np.asarray(g_), 0.0)
