@@ -1445,9 +1445,9 @@ def sell_attention(
         zd_z = jnp.concatenate(
             [zd_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
         )
-        zd_p = _take(zd_z, st_.dst.perm)
         normalize = not st.dst.split
         if g_chunks == 1:
+            zd_p = _take(zd_z, st_.dst.perm)
             zs_e = _take(zs_z, st_.dst.gather_ids)
             out_p, sig_p = _sell_forward(
                 zs_e, st_.dst.cnt, zd_p, a2, s_sel, st_.dst.col_off,
@@ -1455,20 +1455,24 @@ def sell_attention(
             )
         else:
             # chunk-sequential (lax.scan): only one chunk's [E/G, hd]
-            # gather is ever live in HBM
+            # gather is ever live in HBM; zd rows gather per chunk too
+            # (a full-row-space permuted copy would sit next to zd_z for
+            # the whole scan)
+            perm_grp = st_.dst.perm.reshape(g_chunks, spc_d * TILE_N)
+
             def body(_, x):
-                ids_g, cnt_g, rel_g, zd_c = x
+                ids_g, cnt_g, rel_g, perm_g = x
                 zs_e = _take(zs_z, ids_g)
                 return 0, _sell_forward(
-                    zs_e, cnt_g, zd_c, a2, s_sel, rel_g, spc_d,
-                    normalize=normalize, **kw,
+                    zs_e, cnt_g, _take(zd_z, perm_g), a2, s_sel, rel_g,
+                    spc_d, normalize=normalize, **kw,
                 )
 
             _, (outs, sigs) = jax.lax.scan(
                 body, 0,
                 (
                     st_.dst.ids_grp, st_.dst.cnt_grp, st_.dst.rel_off,
-                    zd_p.reshape(g_chunks, spc_d * TILE_N, hd),
+                    perm_grp,
                 ),
             )
             out_p = outs.reshape(-1, hd)
@@ -1527,10 +1531,10 @@ def sell_attention(
         g_z = jnp.concatenate(
             [g_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
         )
-        zd_p = _take(zd_z, st_.dst.perm)
-        g_p = _take(g_z, st_.dst.perm)
-        sr_p = _take(sr_z, st_.dst.perm)
         if g_chunks == 1:
+            zd_p = _take(zd_z, st_.dst.perm)
+            g_p = _take(g_z, st_.dst.perm)
+            sr_p = _take(sr_z, st_.dst.perm)
             zs_e = _take(zs_z, st_.dst.gather_ids)
             dzd_p, da_parts, c1 = _sell_bwd_dst(
                 zs_e, st_.dst.cnt, zd_p, g_p, sr_p, a2, bdiag, rsig, rr,
@@ -1552,12 +1556,21 @@ def sell_attention(
                 hd=hd, interpret=interpret,
             )
         else:
-            # phase 1 per dst chunk (no packet buffer)
+            # phase 1 per dst chunk (no packet buffer). The dst-row
+            # operands (zd, g, sigma_r) gather PER CHUNK inside the scan
+            # body from each chunk's slice of the row permutation —
+            # full-row-space permuted copies held across the whole scan
+            # would cost 3 x [n_pad, hd] HBM concurrently with the
+            # appended tables (measured: the products-full-sell OOM,
+            # SWEEP_R4); per-chunk gathers keep O(rows/G) live instead.
+            perm_grp = st_.dst.perm.reshape(g_chunks, spc_d * TILE_N)
+
             def body1(_, x):
-                ids_g, cnt_g, rel_g, zd_c, g_c, sr_c = x
+                ids_g, cnt_g, rel_g, perm_g = x
                 zs_e = _take(zs_z, ids_g)
                 dzd_c, da_c = _sell_bwd_dst(
-                    zs_e, cnt_g, zd_c, g_c, sr_c, a2, bdiag, rsig, rr,
+                    zs_e, cnt_g, _take(zd_z, perm_g), _take(g_z, perm_g),
+                    _take(sr_z, perm_g), a2, bdiag, rsig, rr,
                     a_rep, rel_g, spc_d, emit_c1=False, **kw,
                 )
                 return 0, (dzd_c, jnp.sum(da_c, axis=0))
@@ -1566,28 +1579,29 @@ def sell_attention(
                 body1, 0,
                 (
                     st_.dst.ids_grp, st_.dst.cnt_grp, st_.dst.rel_off,
-                    zd_p.reshape(g_chunks, spc_d * TILE_N, hd),
-                    g_p.reshape(g_chunks, spc_d * TILE_N, hd),
-                    sr_p.reshape(g_chunks, spc_d * TILE_N, 128),
+                    perm_grp,
                 ),
             )
             dzd_p = dzd_s.reshape(-1, hd)
             da = jnp.sum(da_s, axis=0)
 
             # phase 2b per src chunk: recompute packets from [zd | g] and
-            # [sigma | r] streams gathered by GLOBAL dst id from node-order
-            # tables (appended zero row serves the padding sentinel)
-            xg_tab = jnp.concatenate([zd_flat, g_flat], axis=1)
-            xg_z = jnp.concatenate(
-                [xg_tab, jnp.zeros((1, 2 * hd), jnp.float32)], axis=0
-            )
+            # [sigma | r] streams gathered by GLOBAL dst id from the
+            # node-order tables (appended zero row serves the padding
+            # sentinel). zd and g gather separately and concatenate in
+            # EDGE space — a node-space [n_pad, 2hd] concat table would
+            # hold ~2.3 GB across the whole scan at Products scale (the
+            # same lesson pallas_attention's phase 2b already encodes).
             ex = jnp.concatenate([rsig, rr], axis=1)  # [128, 2*hd]
-            zs_perm = _take(zs_z, st_.srcs.perm)
+            perm_s_grp = st_.srcs.perm.reshape(g_chunks, spc_s * TILE_N)
 
             def body2(_, x):
-                ids_g, rel_g, zs_c = x
-                xg_e = _take(xg_z, ids_g)
+                ids_g, rel_g, perm_g = x
+                xg_e = jnp.concatenate(
+                    [_take(zd_z, ids_g), _take(g_z, ids_g)], axis=1
+                )
                 sr_e = _take(sr_z, ids_g)
+                zs_c = _take(zs_z, perm_g)
                 return 0, _sell_bwd_src(
                     xg_e, sr_e, zs_c, a2, bdiag, ex, a_rep, rel_g, spc_s,
                     **kw,
@@ -1595,10 +1609,7 @@ def sell_attention(
 
             _, dzs_s = jax.lax.scan(
                 body2, 0,
-                (
-                    st_.srcs.ids_grp, st_.srcs.rel_off,
-                    zs_perm.reshape(g_chunks, spc_s * TILE_N, hd),
-                ),
+                (st_.srcs.ids_grp, st_.srcs.rel_off, perm_s_grp),
             )
             dzs_p = dzs_s.reshape(-1, hd)
 
