@@ -1301,6 +1301,28 @@ def _sell_segsum(c1s, col_off, cnt, t, *, hd, interpret):
 # ---------------------------------------------------------------------------
 
 
+def _chunk_rows_low_mem_for(st: "SellTiles", hd: int) -> bool:
+    """Row-operand strategy for the CHUNKED paths — a measured
+    memory/speed tradeoff:
+
+    False (fast): pre-permute full-row-space copies of the dst-row
+    operands (zd, g, sigma_r) and the src-side zs before the chunk scan
+    — one big gather each, reshaped per chunk. Measured 979 vs 1122 ms
+    at products-sub (SWEEP_R4).
+    True (low-mem): gather each operand per chunk inside the scan body
+    (O(rows/G) live). Required at products-full scale, where the four
+    full-row copies (~5 GB at hd=128) pushed peak HBM to 15.82 GB of
+    15.75 GB (the SWEEP_R4 products-full-sell OOM).
+
+    Condition: the pre-permuted set (2 hd-wide + one 128-wide dst-side
+    tables + 1 hd-wide src-side) must fit the same edge-temporary budget
+    the chunk count was chosen under."""
+    rows_d = st.num_dst_tiles * TILE_N
+    rows_s = st.num_src_tiles * TILE_N
+    need = (rows_d * (2 * hd + 128) + rows_s * hd) * 4
+    return need > default_chunk_budget(max(st.num_edges, st.e_ell))
+
+
 def sell_attention(
     zs: jax.Array,  # [N, H, D] or flat [N, H*D]
     zd: jax.Array,  # same shape family as zs
@@ -1455,16 +1477,20 @@ def sell_attention(
             )
         else:
             # chunk-sequential (lax.scan): only one chunk's [E/G, hd]
-            # gather is ever live in HBM; zd rows gather per chunk too
-            # (a full-row-space permuted copy would sit next to zd_z for
-            # the whole scan)
+            # gather is ever live in HBM. Row-operand strategy is a
+            # measured memory/speed tradeoff (_chunk_rows_low_mem): the
+            # pre-permuted full-row copies are faster when they fit.
             perm_grp = st_.dst.perm.reshape(g_chunks, spc_d * TILE_N)
+            low_mem = _chunk_rows_low_mem_for(st, hd)
+            zd_rows = None if low_mem else _take(zd_z, st_.dst.perm)
 
             def body(_, x):
-                ids_g, cnt_g, rel_g, perm_g = x
+                ids_g, cnt_g, rel_g, perm_g, zd_c = x
                 zs_e = _take(zs_z, ids_g)
+                if low_mem:
+                    zd_c = _take(zd_z, perm_g)
                 return 0, _sell_forward(
-                    zs_e, cnt_g, _take(zd_z, perm_g), a2, s_sel, rel_g,
+                    zs_e, cnt_g, zd_c, a2, s_sel, rel_g,
                     spc_d, normalize=normalize, **kw,
                 )
 
@@ -1473,6 +1499,8 @@ def sell_attention(
                 (
                     st_.dst.ids_grp, st_.dst.cnt_grp, st_.dst.rel_off,
                     perm_grp,
+                    jnp.zeros((g_chunks, 1, 1), jnp.float32) if low_mem
+                    else zd_rows.reshape(g_chunks, spc_d * TILE_N, hd),
                 ),
             )
             out_p = outs.reshape(-1, hd)
@@ -1556,21 +1584,36 @@ def sell_attention(
                 hd=hd, interpret=interpret,
             )
         else:
-            # phase 1 per dst chunk (no packet buffer). The dst-row
-            # operands (zd, g, sigma_r) gather PER CHUNK inside the scan
-            # body from each chunk's slice of the row permutation —
-            # full-row-space permuted copies held across the whole scan
-            # would cost 3 x [n_pad, hd] HBM concurrently with the
-            # appended tables (measured: the products-full-sell OOM,
-            # SWEEP_R4); per-chunk gathers keep O(rows/G) live instead.
+            # phase 1 per dst chunk (no packet buffer). Row-operand
+            # strategy per _chunk_rows_low_mem_for: pre-permuted
+            # full-row copies when they fit (faster), per-chunk gathers
+            # from the row permutation otherwise (the full copies +
+            # appended tables OOMed products-full in SWEEP_R4).
+            low_mem = _chunk_rows_low_mem_for(st, hd)
             perm_grp = st_.dst.perm.reshape(g_chunks, spc_d * TILE_N)
+            if low_mem:
+                rows_x = (
+                    jnp.zeros((g_chunks, 1, 1), jnp.float32),
+                ) * 3
+            else:
+                rows_x = (
+                    _take(zd_z, st_.dst.perm).reshape(
+                        g_chunks, spc_d * TILE_N, hd),
+                    _take(g_z, st_.dst.perm).reshape(
+                        g_chunks, spc_d * TILE_N, hd),
+                    _take(sr_z, st_.dst.perm).reshape(
+                        g_chunks, spc_d * TILE_N, 128),
+                )
 
             def body1(_, x):
-                ids_g, cnt_g, rel_g, perm_g = x
+                ids_g, cnt_g, rel_g, perm_g, zd_c, g_c, sr_c = x
                 zs_e = _take(zs_z, ids_g)
+                if low_mem:
+                    zd_c = _take(zd_z, perm_g)
+                    g_c = _take(g_z, perm_g)
+                    sr_c = _take(sr_z, perm_g)
                 dzd_c, da_c = _sell_bwd_dst(
-                    zs_e, cnt_g, _take(zd_z, perm_g), _take(g_z, perm_g),
-                    _take(sr_z, perm_g), a2, bdiag, rsig, rr,
+                    zs_e, cnt_g, zd_c, g_c, sr_c, a2, bdiag, rsig, rr,
                     a_rep, rel_g, spc_d, emit_c1=False, **kw,
                 )
                 return 0, (dzd_c, jnp.sum(da_c, axis=0))
@@ -1579,7 +1622,7 @@ def sell_attention(
                 body1, 0,
                 (
                     st_.dst.ids_grp, st_.dst.cnt_grp, st_.dst.rel_off,
-                    perm_grp,
+                    perm_grp, *rows_x,
                 ),
             )
             dzd_p = dzd_s.reshape(-1, hd)
@@ -1588,20 +1631,28 @@ def sell_attention(
             # phase 2b per src chunk: recompute packets from [zd | g] and
             # [sigma | r] streams gathered by GLOBAL dst id from the
             # node-order tables (appended zero row serves the padding
-            # sentinel). zd and g gather separately and concatenate in
-            # EDGE space — a node-space [n_pad, 2hd] concat table would
-            # hold ~2.3 GB across the whole scan at Products scale (the
-            # same lesson pallas_attention's phase 2b already encodes).
+            # sentinel). In low-mem mode zd and g gather separately per
+            # chunk and concatenate in EDGE space — a node-space
+            # [n_pad, 2hd] concat table would hold ~2.3 GB across the
+            # whole scan at Products scale (the same lesson
+            # pallas_attention's phase 2b already encodes).
             ex = jnp.concatenate([rsig, rr], axis=1)  # [128, 2*hd]
             perm_s_grp = st_.srcs.perm.reshape(g_chunks, spc_s * TILE_N)
+            if low_mem:
+                zs_rows = jnp.zeros((g_chunks, 1, 1), jnp.float32)
+            else:
+                zs_rows = _take(zs_z, st_.srcs.perm).reshape(
+                    g_chunks, spc_s * TILE_N, hd
+                )
 
             def body2(_, x):
-                ids_g, rel_g, perm_g = x
+                ids_g, rel_g, perm_g, zs_c = x
                 xg_e = jnp.concatenate(
                     [_take(zd_z, ids_g), _take(g_z, ids_g)], axis=1
                 )
                 sr_e = _take(sr_z, ids_g)
-                zs_c = _take(zs_z, perm_g)
+                if low_mem:
+                    zs_c = _take(zs_z, perm_g)
                 return 0, _sell_bwd_src(
                     xg_e, sr_e, zs_c, a2, bdiag, ex, a_rep, rel_g, spc_s,
                     **kw,
@@ -1609,7 +1660,7 @@ def sell_attention(
 
             _, dzs_s = jax.lax.scan(
                 body2, 0,
-                (st_.srcs.ids_grp, st_.srcs.rel_off, perm_s_grp),
+                (st_.srcs.ids_grp, st_.srcs.rel_off, perm_s_grp, zs_rows),
             )
             dzs_p = dzs_s.reshape(-1, hd)
 

@@ -408,3 +408,40 @@ def test_sell_zero_edge_graph():
     assert float(v) == 0.0
     for g_ in grads:
         np.testing.assert_array_equal(np.asarray(g_), 0.0)
+
+
+def test_sell_chunked_low_mem_parity(monkeypatch):
+    """The LOW-MEM chunked row-operand strategy (per-chunk gathers inside
+    the scan body — what products-full scale selects) matches the fast
+    pre-permuted strategy and the oracle. Small graphs pick the fast
+    path by the memory condition, so force low-mem here."""
+    import gatv2_tpu.ops.sell_attention as sa
+
+    g = random_graph(
+        num_nodes=700, num_edges=3200, feature_dim=8, num_classes=3, seed=13
+    )
+    n = g.num_nodes
+    src_all, dst_all = _coo(g)
+    zs, zd, a = _rand_zza(n, 2, 32, 8)
+    st3 = prepare_sell_tiles(g.row_ptr, g.col_idx, n, num_chunks=3)
+
+    def loss(zs, zd, a):
+        o = sell_attention(
+            zs, zd, a, None, None, n, negative_slope=0.2,
+            sell_tiles=st3, interpret=True,
+        )
+        return jnp.sum(jnp.sin(o)), o
+
+    (v_fast, o_fast), g_fast = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True
+    )(zs, zd, a)
+    assert not sa._chunk_rows_low_mem_for(st3, 64)
+    monkeypatch.setattr(sa, "_chunk_rows_low_mem_for", lambda st, hd: True)
+    (v_lm, o_lm), g_lm = jax.value_and_grad(
+        loss, argnums=(0, 1, 2), has_aux=True
+    )(zs, zd, a)
+    np.testing.assert_allclose(o_lm, o_fast, rtol=1e-6, atol=1e-6)
+    ref = _ref(zs, zd, a, src_all, dst_all, n)
+    np.testing.assert_allclose(o_lm, ref, rtol=2e-5, atol=2e-5)
+    for xl, xf in zip(g_lm, g_fast):
+        np.testing.assert_allclose(xl, xf, rtol=1e-5, atol=1e-6)
