@@ -537,6 +537,9 @@ def main():
             "comm_volume": r["comm_volume"],
             "impl": args.impl,
         }
+        if r.get("dispatch_bound"):
+            result["dispatch_bound"] = True
+            result["epoch_ms_min"] = round(r["epoch_ms_min"], 4)
         print(json.dumps(result))
         return
 
@@ -573,6 +576,13 @@ def main():
         "impl": args.impl,
         "precision": args.precision,
     }
+    # physics flag from _timing_fields: sub-3ms bodies ride under the
+    # tunnel's dispatch jitter, epoch_ms_min is the honest floor there.
+    # (round-4 sweep rows lost this because the headline dict rebuilt
+    # fields by hand — pass it through explicitly.)
+    if r.get("dispatch_bound"):
+        result["dispatch_bound"] = True
+        result["epoch_ms_min"] = round(r["epoch_ms_min"], 4)
     print(json.dumps(result))
 
 

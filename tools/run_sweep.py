@@ -93,6 +93,7 @@ TILE_LEGS = [
 def run_leg(tag: str, args: list[str], timeout_s: int) -> dict:
     cmd = [sys.executable, str(REPO / "bench.py"), *args]
     attempts = 0
+    retry_signatures: list[str] = []
     while True:
         attempts += 1
         print(f"[sweep] {tag} (attempt {attempts}): {' '.join(args)}",
@@ -107,13 +108,16 @@ def run_leg(tag: str, args: list[str], timeout_s: int) -> dict:
                     "attempts": attempts}
         if out.returncode != 0:
             err = out.stderr.strip()
-            if (attempts <= 2
-                    and any(s in err for s in TRANSIENT_SIGNATURES)):
+            sig = next((s for s in TRANSIENT_SIGNATURES if s in err), None)
+            if attempts <= 2 and sig is not None:
+                retry_signatures.append(sig)
                 print(f"[sweep] {tag}: transient worker error, retrying "
                       f"in {RETRY_SETTLE_S}s", file=sys.stderr, flush=True)
                 time.sleep(RETRY_SETTLE_S)
                 continue
-            return {"tag": tag, "error": err[-2000:], "attempts": attempts}
+            return {"tag": tag, "error": err[-2000:], "attempts": attempts,
+                    **({"retry_signatures": retry_signatures}
+                       if retry_signatures else {})}
         lines = out.stdout.strip().splitlines()
         if not lines:
             return {
@@ -130,6 +134,14 @@ def run_leg(tag: str, args: list[str], timeout_s: int) -> dict:
         rec["tag"] = tag
         if attempts > 1:
             rec["attempts"] = attempts
+            rec["retry_signatures"] = retry_signatures
+            if attempts > 2:
+                # Both retries consumed: the "transient" adjudication no
+                # longer holds for this leg — mark it red so it cannot be
+                # silently absorbed (round-4 VERDICT weak #5). The
+                # measurement is kept for inspection but red legs must not
+                # be quoted as green numbers.
+                rec["red"] = "both retries consumed in one sweep"
         return rec
 
 
@@ -138,7 +150,7 @@ def markdown_table(records: list[dict]) -> str:
         ("tag", "config"), ("value", "epoch ms"), ("edges_per_s", "edges/s"),
         ("achieved_model_tflops", "model TFLOP/s"),
         ("achieved_device_tflops", "device TFLOP/s"), ("mfu", "MFU %"),
-        ("variance_pct", "variance %"),
+        ("variance_pct", "variance %"), ("_flags", "flags"),
     ]
     lines = [
         "| " + " | ".join(h for _, h in cols) + " |",
@@ -154,6 +166,18 @@ def markdown_table(records: list[dict]) -> str:
             continue
         cells = []
         for k, _ in cols:
+            if k == "_flags":
+                flags = []
+                if r.get("red"):
+                    flags.append(f"RED: {r['red']}")
+                if r.get("attempts", 1) > 1:
+                    flags.append(f"attempts={r['attempts']}")
+                if r.get("dispatch_bound"):
+                    flags.append(
+                        f"dispatch_bound (min {r.get('epoch_ms_min')} ms)"
+                    )
+                cells.append("; ".join(flags) or "—")
+                continue
             v = r.get(k)
             if v is None:
                 v = "—"  # mesh legs don't report tflops/MFU
@@ -166,12 +190,27 @@ def markdown_table(records: list[dict]) -> str:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=str(REPO / "SWEEP_R4.jsonl"))
+    ap.add_argument("--out", default=str(REPO / "SWEEP_R5.jsonl"))
     ap.add_argument("--tile-study", action="store_true")
     ap.add_argument("--no-sell", action="store_true",
                     help="skip the *-sell legs (e.g. when tpu_smoke's "
                          "sell checks failed on this chip)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated leg tags to run (subset sweep, "
+                         "e.g. a HEAD re-baseline of the products legs)")
+    ap.add_argument("--prev", default=str(REPO / "SWEEP_R4.jsonl"),
+                    help="previous round's sweep JSONL: a leg that needed "
+                         "a retry there AND here is marked red (recurring "
+                         "fault, not a transient)")
     args = ap.parse_args()
+
+    prev_retried = set()
+    prev_path = pathlib.Path(args.prev)
+    if prev_path.exists():
+        for line in prev_path.read_text().splitlines():
+            rec = json.loads(line)
+            if rec.get("attempts", 1) > 1:
+                prev_retried.add(rec["tag"])
 
     out_path = pathlib.Path(args.out)
     done = set()
@@ -186,6 +225,12 @@ def main():
     legs = LEGS + (TILE_LEGS if args.tile_study else [])
     if args.no_sell:
         legs = [leg for leg in legs if "-sell" not in leg[0]]
+    if args.only:
+        want = {t.strip() for t in args.only.split(",")}
+        legs = [leg for leg in legs if leg[0] in want]
+        missing = want - {leg[0] for leg in legs}
+        if missing:
+            ap.error(f"unknown --only tags: {sorted(missing)}")
     with out_path.open("a") as f:
         for tag, leg_args, timeout_s in legs:
             if tag in done:
@@ -193,6 +238,12 @@ def main():
                       file=sys.stderr)
                 continue
             rec = run_leg(tag, leg_args, timeout_s)
+            if (rec.get("attempts", 1) > 1 and tag in prev_retried
+                    and "red" not in rec):
+                rec["red"] = (
+                    "retried in two consecutive sweeps "
+                    f"(see {prev_path.name}) — recurring, not transient"
+                )
             f.write(json.dumps(rec) + "\n")
             f.flush()
             if "error" not in rec:
