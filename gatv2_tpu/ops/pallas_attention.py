@@ -1256,7 +1256,9 @@ def _bwd_src_kernel(
     tile_offsets_ref,  # [T_c+1] int32 (chunk-relative edge-tile units)
     # inputs
     zs_e_hbm,  # [E_chunk, HD] ANY — zs[src_e] (0 on padding edges)
-    xg_hbm,  # [E_chunk, 2*HD+128] ANY — per-edge [zd | g | sigma_r] by dst
+    zd_e_hbm,  # [E_chunk, HD] ANY — zd[dst_e]
+    g_e_hbm,  # [E_chunk, HD] ANY — g[dst_e]
+    sr_e_hbm,  # [E_chunk, 128] ANY — sigma_r[dst_e]
     sid_hbm,  # [1, E_chunk] int32 ANY — chunk-relative src ids (pad == rows)
     a_sel_ref,  # [HD, 128] VMEM
     r_ref,  # [128, HD] VMEM
@@ -1265,9 +1267,11 @@ def _bwd_src_kernel(
     dzs_ref,  # [TILE_N, HD] VMEM blocked
     # scratch
     zs_t,  # [2, tile_e, HD]
-    xg_t,  # [2, tile_e, 2*HD+128]
+    zd_t,  # [2, tile_e, HD]
+    g_t,  # [2, tile_e, HD]
+    sr_t,  # [2, tile_e, 128]
     sid_t,  # [2, 1, tile_e] int32
-    sems,  # DMA semaphores (2, 3)
+    sems,  # DMA semaphores (2, 5)
     *,
     num_heads: int,
     negative_slope: float,
@@ -1277,21 +1281,29 @@ def _bwd_src_kernel(
 ):
     """src-tiled backward phase 2: recomputes each edge's packet
         c1_e = alpha_e * g[dst_e] + ds_e
-    from fully pre-gathered per-edge streams (zs by src, [zd | g | sigma_r]
-    by dst, both in src-sorted order) and one-hot-matmuls it into
+    from fully pre-gathered per-edge streams (zs by src; zd, g, sigma_r by
+    dst — three SEPARATE streams, all in src-sorted order) and
+    one-hot-matmuls it into
         d_zs[i] = sum_{e: src_e == i} c1_e
     — 4 MXU products per edge tile (score SDDMM, dalpha, fused de/alpha
     expansion, dzs reduction), mirroring phase 1's stream design.
+
+    The dst-side operands arrive as separate streams rather than one fused
+    [E, 2*HD+128] buffer: the dst ids are GLOBAL node ids, so a fused
+    stream needs either a node-space concat table held across the chunk
+    scan (~4 GB at Products scale) or an edge-space concatenate that
+    re-streams the widest per-edge buffer through HBM once more per chunk.
+    Separate DMAs move the same bytes with zero extra copies.
 
     The deterministic TPU replacement for the reference's atomicAdd scatter
     in compute_features_input_gradients (GATv2_edge_based.cu:801-874) —
     with NO per-edge packet buffer in HBM (it is consumed as produced).
     Padding slots: zs streams exact zeros (the caller's table appends a
-    zero row), but the xg stream carries node 0's REAL [zd | g | sigma_r]
-    (dst ids are zero-filled on padding) — the resulting finite-garbage
-    packets are annihilated ONLY by the reduction mask (padding sid ==
-    chunk row count, outside every tile), so nothing may consume c1
-    before that mask.
+    zero row), but the dst-side streams carry node 0's REAL [zd | g |
+    sigma_r] (dst ids are zero-filled on padding) — the resulting
+    finite-garbage packets are annihilated ONLY by the reduction mask
+    (padding sid == chunk row count, outside every tile), so nothing may
+    consume c1 before that mask.
     """
     i = pl.program_id(0)
     t0 = tile_offsets_ref[i]
@@ -1308,11 +1320,17 @@ def _bwd_src_kernel(
                 zs_e_hbm.at[pl.ds(off, tile_e), :], zs_t.at[slot], sems.at[slot, 0]
             ),
             pltpu.make_async_copy(
-                xg_hbm.at[pl.ds(off, tile_e), :], xg_t.at[slot], sems.at[slot, 1]
+                zd_e_hbm.at[pl.ds(off, tile_e), :], zd_t.at[slot], sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                g_e_hbm.at[pl.ds(off, tile_e), :], g_t.at[slot], sems.at[slot, 2]
+            ),
+            pltpu.make_async_copy(
+                sr_e_hbm.at[pl.ds(off, tile_e), :], sr_t.at[slot], sems.at[slot, 3]
             ),
             pltpu.make_async_copy(
                 sid_hbm.at[:, pl.ds(off, tile_e)], sid_t.at[slot],
-                sems.at[slot, 2],
+                sems.at[slot, 4],
             ),
         )
 
@@ -1331,14 +1349,14 @@ def _bwd_src_kernel(
 
         for cp in dmas(slot, k):
             cp.wait()
-        xg = xg_t[slot]
+        g_c = g_t[slot]
         de_rep, alpha_rep, s_raw, _ = _edge_backward_core(
-            zs_t[slot], xg[:, :hd], xg[:, hd : 2 * hd], xg[:, 2 * hd :],
+            zs_t[slot], zd_t[slot], g_c, sr_t[slot],
             a_sel_ref[:], r_ref[:],
             precision, negative_slope, tile_e, want_c1=True,
         )
         ds = de_rep * a_rep_ref[:] * jnp.where(s_raw > 0, 1.0, negative_slope)
-        c1 = alpha_rep * xg[:, hd : 2 * hd] + ds
+        c1 = alpha_rep * g_c + ds
         mask_f = (sid_t[slot] == node_ids).astype(jnp.float32)
         dzs_ref[:] = dzs_ref[:] + _kdot(
             mask_f, c1, (((1,), (0,)), ((), ())), precision, exact_arg=0
@@ -1349,7 +1367,7 @@ def _bwd_src_kernel(
 
 
 def _bwd_src_chunk(
-    zs_e, xg_e, sid_flat, rel_offsets, a_sel, r_mat, a_rep, t_c,
+    zs_e, zd_e, g_e, sr_e, sid_flat, rel_offsets, a_sel, r_mat, a_rep, t_c,
     *, num_heads, negative_slope, te, precision, interpret,
 ):
     hd = zs_e.shape[1]
@@ -1359,7 +1377,9 @@ def _bwd_src_chunk(
         grid=(t_c,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zs_e
-            pl.BlockSpec(memory_space=pl.ANY),  # xg_e  [zd | g | sigma_r]
+            pl.BlockSpec(memory_space=pl.ANY),  # zd_e
+            pl.BlockSpec(memory_space=pl.ANY),  # g_e
+            pl.BlockSpec(memory_space=pl.ANY),  # sr_e
             pl.BlockSpec(memory_space=pl.ANY),  # sid
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_mat
@@ -1370,9 +1390,11 @@ def _bwd_src_chunk(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, te, hd), jnp.float32),
-            pltpu.VMEM((2, te, 2 * hd + 128), jnp.float32),
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, te, hd), jnp.float32),
+            pltpu.VMEM((2, te, 128), jnp.float32),
             pltpu.VMEM((2, 1, te), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 5)),
         ],
     )
     kernel = functools.partial(
@@ -1392,7 +1414,7 @@ def _bwd_src_chunk(
             transcendentals=e_chunk * 128,
         ),
         interpret=interpret,
-    )(rel_offsets, zs_e, xg_e, sid_flat, a_sel, r_mat, a_rep)
+    )(rel_offsets, zs_e, zd_e, g_e, sr_e, sid_flat, a_sel, r_mat, a_rep)
 
 
 # ---------------------------------------------------------------------------
@@ -1726,25 +1748,22 @@ def edge_attention_pallas(
             da = jnp.sum(da_s, axis=0)
 
             # phase 2b (chunked): per-edge recompute, O(E/G) temporaries.
-            # All operands stream pre-gathered: the dst-side [zd|g|sigma_r]
-            # operands gather PER CHUNK from their separate node-space
-            # tables and concatenate in edge space — never materializing
-            # the [n_pad, 2hd+128] node-space concat, which at Products
-            # scale would hold ~4 GB across the whole phase-2b scan
-            # (src-sorted dids always index real rows; padding edges carry
-            # dst 0 — finite garbage the src-id reduction mask
-            # annihilates). zs gathers chunk-locally with an appended zero
-            # row (padding sids == rows_c_src exactly).
+            # All operands stream pre-gathered: the dst-side zd / g /
+            # sigma_r operands gather PER CHUNK from their separate
+            # node-space tables and stay SEPARATE streams into the kernel
+            # (three DMAs) — neither the [n_pad, 2hd+128] node-space
+            # concat (~4 GB held across the whole phase-2b scan at
+            # Products scale) nor an edge-space concatenate (an extra
+            # full write+read of the widest per-edge stream per chunk)
+            # is ever materialized. (src-sorted dids always index real
+            # rows; padding edges carry dst 0 — finite garbage the src-id
+            # reduction mask annihilates.) zs gathers chunk-locally with
+            # an appended zero row (padding sids == rows_c_src exactly).
             def body2(_, x):
                 g, sids_g, dids_g, rel_g = x
-                xg_e = jnp.concatenate(
-                    [
-                        _take(zd_flat, dids_g),
-                        _take(g_flat, dids_g),
-                        _take(sig_r, dids_g),
-                    ],
-                    axis=1,
-                )
+                zd_e = _take(zd_flat, dids_g)
+                ge_e = _take(g_flat, dids_g)
+                sr_e = _take(sig_r, dids_g)
                 zs_z = jnp.concatenate(
                     [
                         jax.lax.dynamic_slice_in_dim(
@@ -1756,7 +1775,7 @@ def edge_attention_pallas(
                 )
                 zs_e = _take(zs_z, jnp.minimum(sids_g, rows_c_src))
                 dzs_c = _bwd_src_chunk(
-                    zs_e, xg_e, sids_g[None, :], rel_g,
+                    zs_e, zd_e, ge_e, sr_e, sids_g[None, :], rel_g,
                     a_sel, r_mat, a_rep, t_c_src,
                     **kw,
                 )

@@ -297,7 +297,7 @@ def _side_geometry(deg: np.ndarray, num_chunks: int, split_cap=None):
 
 def _build_sell_side(
     ptr, opp_ids, num_rows, opp_pad_rows, num_chunks, fixed=None,
-    split_cap=None, force_split=False,
+    split_cap=None, force_split=False, wrap=None,
 ):
     """One side's SELL layout from its CSR view.
 
@@ -454,17 +454,18 @@ def _build_sell_side(
         cnt_grp = cnt[None]
         rel = col_off[None].astype(np.int32)
         col_flat = col_off.astype(np.int32)
+    wrap = jnp.asarray if wrap is None else wrap
     side = _SellSide(
-        perm=jnp.asarray(perm),
-        inv=jnp.asarray(inv),
-        vsort=jnp.asarray(vsort),
-        sids=jnp.asarray(sids),
-        gather_ids=jnp.asarray(gather),
-        cnt=jnp.asarray(cnt),
-        col_off=jnp.asarray(col_flat),
-        ids_grp=jnp.asarray(ids_grp),
-        cnt_grp=jnp.asarray(cnt_grp),
-        rel_off=jnp.asarray(rel),
+        perm=wrap(np.asarray(perm, np.int32)),
+        inv=wrap(np.asarray(inv, np.int32)),
+        vsort=wrap(np.asarray(vsort, np.int32)),
+        sids=wrap(np.asarray(sids, np.int32)),
+        gather_ids=wrap(gather),
+        cnt=wrap(cnt),
+        col_off=wrap(np.asarray(col_flat, np.int32)),
+        ids_grp=wrap(ids_grp),
+        cnt_grp=wrap(cnt_grp),
+        rel_off=wrap(rel),
         split=split,
     )
     return side, slot, e_ell, t2, spc, node_pad
@@ -497,6 +498,7 @@ def prepare_sell_tiles(
     fixed: tuple | None = None,
     split_cap: int | None = DEFAULT_SPLIT_CAP,
     force_split: tuple[bool, bool] = (False, False),
+    as_numpy: bool = False,
 ) -> SellTiles:
     """Build the two-sided SELL-128 layout from CSR (host-side, once per
     graph). num_src_nodes: bipartite edge sets (col_idx holds global source
@@ -507,7 +509,11 @@ def prepare_sell_tiles(
     fixed=(dst_cols, src_cols, dst_tiles, src_tiles): force both sides'
     total column AND row-slice counts so per-shard layouts stack to
     identical shapes (num_chunks=1 only); the diagnostic aux (num_edges,
-    pad_overhead) is uniformed too."""
+    pad_overhead) is uniformed too.
+    as_numpy=True: leave every leaf a numpy array (no device transfer) —
+    per-batch minibatch layouts cross to the device once inside the jit
+    call, like the pallas sampler path (data/sampling.py)."""
+    wrap = (lambda x: np.asarray(x)) if as_numpy else jnp.asarray
     row_ptr = np.asarray(row_ptr, np.int64)
     col_idx = np.asarray(col_idx, np.int32)
     ns = num_nodes if num_src_nodes is None else num_src_nodes
@@ -546,6 +552,7 @@ def prepare_sell_tiles(
     dst_side, slot_d, e_ell, t2_d, spc_d, node_pad_d = _build_sell_side(
         row_ptr, col_idx, num_nodes, node_pad_s, num_chunks,
         fixed=fx_d, split_cap=split_cap, force_split=force_split[0],
+        wrap=wrap,
     )
 
     # CSC view: edges stably re-sorted by src
@@ -558,6 +565,7 @@ def prepare_sell_tiles(
     src_side, slot_s, e2_ell, t2_s, spc_s, node_pad_s = _build_sell_side(
         sptr, dst_all[order], ns, node_pad_d, num_chunks,
         fixed=fx_s, split_cap=split_cap, force_split=force_split[1],
+        wrap=wrap,
     )
     g = max(1, num_chunks)
     if g > 1:
@@ -570,7 +578,7 @@ def prepare_sell_tiles(
     return SellTiles(
         dst=dst_side,
         srcs=src_side,
-        ell_perm=jnp.asarray(ell_perm),
+        ell_perm=wrap(ell_perm),
         num_nodes=num_nodes,
         num_src_nodes=ns,
         num_dst_tiles=t2_d,
@@ -648,6 +656,49 @@ def setup_full_graph_sell(
         l_pad[:n] = labels
         feats, labels, num_valid = f_pad, l_pad, n
     return st, feats, labels, num_valid
+
+
+def sell_minibatch_geometry(
+    max_nodes: int, max_edges: int, split_cap: int = DEFAULT_SPLIT_CAP
+) -> tuple[int, int, int, int]:
+    """Fixed (dst_cols, src_cols, dst_tiles, src_tiles) covering ANY
+    subgraph with <= max_nodes nodes / <= max_edges edges under forced
+    virtual-row splitting — so per-batch prepare_sell_tiles(fixed=...)
+    is shape-static across a sampler's whole batch stream (one compiled
+    step) and can never raise for an in-budget batch.
+
+    cols bound: e_ell = sum_s 128*w_s with slice widths w_s taken from
+    length-descending rows, so for s >= 1 every row of slice s-1 has
+    vlen >= w_s and 128*w_s <= slice s-1's edge total; summing,
+    sum_{s>=1} 128*w_s <= E. Forced splitting caps w_0 <= split_cap.
+    Hence cols <= ceil(E/128) + split_cap.
+
+    tiles bound: virtual rows = sum over nonempty nodes of ceil(deg/cap)
+    <= #nonempty + E/cap <= min(max_nodes, E) + E/cap.
+    """
+    cols = -(-max_edges // TILE_N) + split_cap
+    nvr = min(max_nodes, max_edges) + max_edges // split_cap
+    tiles = -(-max(nvr, 1) // TILE_N)
+    return (cols, cols, tiles, tiles)
+
+
+def prepare_minibatch_sell_tiles(
+    src: np.ndarray, dst: np.ndarray, num_edges: int, max_nodes: int,
+    fixed: tuple[int, int, int, int],
+) -> SellTiles:
+    """Per-batch SELL layout for sampled subgraphs (impl='sell' minibatch
+    training): local-id edge list (dst pad = max_nodes, only the first
+    num_edges entries are real), static `fixed` geometry from
+    sell_minibatch_geometry. Numpy leaves — the tiles cross to the device
+    once inside the jit step, like the pallas sampler path."""
+    real = np.asarray(dst[:num_edges])
+    row_ptr = np.zeros(max_nodes + 1, np.int64)
+    np.cumsum(np.bincount(real, minlength=max_nodes), out=row_ptr[1:])
+    return prepare_sell_tiles(
+        row_ptr, np.asarray(src[:num_edges]), max_nodes,
+        num_chunks=1, fixed=fixed, split_cap=DEFAULT_SPLIT_CAP,
+        force_split=(True, True), as_numpy=True,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1074,7 +1125,8 @@ def _sell_bwd_src_kernel(
     # scalar prefetch
     col_off_ref,
     # inputs
-    xg_hbm,  # [e2c, 2*hd] ANY — per-edge [zd | g], gathered by dst
+    zd_hbm,  # [e2c, hd] ANY — per-edge zd rows, gathered by dst
+    g_hbm,  # [e2c, hd] ANY — per-edge g rows, gathered by dst
     sr_hbm,  # [e2c, 128] ANY — per-edge packed [sigma | r], by dst
     zs_ref,  # [TILE_N, hd] VMEM blocked — RESIDENT src rows (permuted)
     a2_ref,  # [hd, hd]
@@ -1084,9 +1136,10 @@ def _sell_bwd_src_kernel(
     # outputs
     dzs_ref,  # [TILE_N, hd] VMEM blocked
     # scratch
-    xg_t,  # [2, TILE_N, 2*hd]
+    zd_t,  # [2, TILE_N, hd]
+    g_t,  # [2, TILE_N, hd]
     sr_t,  # [2, TILE_N, 128]
-    sems,  # DMA semaphores (2, 2)
+    sems,  # DMA semaphores (2, 3)
     *,
     negative_slope: float,
     precision,
@@ -1098,7 +1151,15 @@ def _sell_bwd_src_kernel(
     per edge) and accumulates d_zs per row — THREE MXU products per
     128-edge column (score, fused stat expansion, dalpha), zero packet
     buffers. Padding slots gather the tables' appended zero row: g = 0 and
-    r = 0 make de = 0 and c1 exactly 0, so no mask stream is needed."""
+    r = 0 make de = 0 and c1 exactly 0, so no mask stream is needed.
+
+    zd and g arrive as SEPARATE streams: a single fused [e2c, 2*hd] input
+    forces the XLA side to either hold a node-space [n_pad, 2hd] concat
+    table across the whole chunk scan (the SWEEP_R4 products-full OOM) or
+    concatenate the two gathers in edge space per chunk — an extra full
+    write+read of the widest stream (measured: the 979 -> 1122 ms
+    products-sub regression, SWEEP_R5_BASE). Two DMAs cost the same HBM
+    bytes with zero copies."""
     i = pl.program_id(0)
     c0 = col_off_ref[i]
     ncols = col_off_ref[i + 1] - c0
@@ -1108,12 +1169,16 @@ def _sell_bwd_src_kernel(
         off = pl.multiple_of((c0 + k) * TILE_N, TILE_N)
         return (
             pltpu.make_async_copy(
-                xg_hbm.at[pl.ds(off, TILE_N), :], xg_t.at[slot],
+                zd_hbm.at[pl.ds(off, TILE_N), :], zd_t.at[slot],
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                sr_hbm.at[pl.ds(off, TILE_N), :], sr_t.at[slot],
+                g_hbm.at[pl.ds(off, TILE_N), :], g_t.at[slot],
                 sems.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                sr_hbm.at[pl.ds(off, TILE_N), :], sr_t.at[slot],
+                sems.at[slot, 2],
             ),
         )
 
@@ -1133,9 +1198,8 @@ def _sell_bwd_src_kernel(
         for cp in dmas(slot, k):
             cp.wait()
 
-        xg = xg_t[slot]
-        zd_c = xg[:, :hd]
-        g_c = xg[:, hd:]
+        zd_c = zd_t[slot]
+        g_c = g_t[slot]
         both = _kdot(
             sr_t[slot], ex_ref[:], (((1,), (0,)), ((), ())), precision,
             exact_arg=1,
@@ -1161,15 +1225,16 @@ def _sell_bwd_src_kernel(
 
 
 def _sell_bwd_src(
-    xg_e, sr_e, zs_p, a2, bdiag, ex, a_rep, col_off, t,
+    zd_e, g_e, sr_e, zs_p, a2, bdiag, ex, a_rep, col_off, t,
     *, negative_slope, hd, precision, interpret,
 ):
-    e2 = xg_e.shape[0]
+    e2 = zd_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # xg
+            pl.BlockSpec(memory_space=pl.ANY),  # zd
+            pl.BlockSpec(memory_space=pl.ANY),  # g
             pl.BlockSpec(memory_space=pl.ANY),  # sr
             pl.BlockSpec(
                 (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -1183,9 +1248,10 @@ def _sell_bwd_src(
             (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_N, 2 * hd), jnp.float32),
+            pltpu.VMEM((2, TILE_N, hd), jnp.float32),
+            pltpu.VMEM((2, TILE_N, hd), jnp.float32),
             pltpu.VMEM((2, TILE_N, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     kernel = functools.partial(
@@ -1207,7 +1273,7 @@ def _sell_bwd_src(
             transcendentals=e2 * hd,
         ),
         interpret=interpret,
-    )(col_off, xg_e, sr_e, zs_p, a2, bdiag, ex, a_rep)
+    )(col_off, zd_e, g_e, sr_e, zs_p, a2, bdiag, ex, a_rep)
 
 
 # ---------------------------------------------------------------------------
@@ -1628,14 +1694,15 @@ def sell_attention(
             dzd_p = dzd_s.reshape(-1, hd)
             da = jnp.sum(da_s, axis=0)
 
-            # phase 2b per src chunk: recompute packets from [zd | g] and
+            # phase 2b per src chunk: recompute packets from zd, g and
             # [sigma | r] streams gathered by GLOBAL dst id from the
             # node-order tables (appended zero row serves the padding
-            # sentinel). In low-mem mode zd and g gather separately per
-            # chunk and concatenate in EDGE space — a node-space
-            # [n_pad, 2hd] concat table would hold ~2.3 GB across the
-            # whole scan at Products scale (the same lesson
-            # pallas_attention's phase 2b already encodes).
+            # sentinel). zd and g stay SEPARATE edge streams all the way
+            # into the kernel (two DMAs): a node-space [n_pad, 2hd]
+            # concat table held across the scan OOMed products-full
+            # (SWEEP_R4) and an edge-space concat re-streams the widest
+            # buffer (the 979 -> 1122 ms products-sub regression,
+            # SWEEP_R5_BASE).
             ex = jnp.concatenate([rsig, rr], axis=1)  # [128, 2*hd]
             perm_s_grp = st_.srcs.perm.reshape(g_chunks, spc_s * TILE_N)
             if low_mem:
@@ -1647,15 +1714,14 @@ def sell_attention(
 
             def body2(_, x):
                 ids_g, rel_g, perm_g, zs_c = x
-                xg_e = jnp.concatenate(
-                    [_take(zd_z, ids_g), _take(g_z, ids_g)], axis=1
-                )
+                zd_e = _take(zd_z, ids_g)
+                g_e = _take(g_z, ids_g)
                 sr_e = _take(sr_z, ids_g)
                 if low_mem:
                     zs_c = _take(zs_z, perm_g)
                 return 0, _sell_bwd_src(
-                    xg_e, sr_e, zs_c, a2, bdiag, ex, a_rep, rel_g, spc_s,
-                    **kw,
+                    zd_e, g_e, sr_e, zs_c, a2, bdiag, ex, a_rep, rel_g,
+                    spc_s, **kw,
                 )
 
             _, dzs_s = jax.lax.scan(
