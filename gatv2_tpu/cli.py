@@ -38,8 +38,10 @@ def _resolve_impl(args) -> str:
     105 vs 190 ms, ~2x at products-full) and tie within dispatch noise
     on the sub-2ms tiny configs — there is no measured crossover below
     which pallas wins full-graph, so full-graph on an accelerator ->
-    sell. Minibatch modes have no SELL host-layout emitter (per-batch
-    layouts would need a native builder) -> pallas. CPU has no Mosaic
+    sell. Minibatch SELL exists (--impl sell --batch-size; per-batch
+    fixed-geometry layouts, ops/sell_attention.sell_minibatch_geometry)
+    but auto stays on the measured winner pallas until an A/B says
+    otherwise (tools/bench_minibatch.py --impl sell). CPU has no Mosaic
     backend (kernels would run interpret-mode, far slower than XLA's
     fused scatter path) -> xla."""
     if args.impl != "auto":
@@ -78,8 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--impl", choices=["xla", "pallas", "sell", "auto"],
                    default="auto",
                    help="attention/aggregation implementation (sell = the "
-                        "degree-sorted sliced-ELLPACK kernels; full-graph "
-                        "single-device or --mesh, no minibatch mode). "
+                        "degree-sorted sliced-ELLPACK kernels; full-graph, "
+                        "--mesh, or --batch-size minibatch). "
                         "The default 'auto' picks the measured winner: "
                         "sell for full-graph on an accelerator, pallas "
                         "for minibatch, xla on CPU (A/B tables in "

@@ -67,8 +67,10 @@ class NeighborSampler:
         engine: str = "auto",  # 'auto' | 'native' | 'python'
         seed_nodes: np.ndarray | None = None,  # restrict seeds (e.g. a
         #   train split); default: every node once per epoch
-        emit_tiles: bool = False,  # attach a fixed-shape Pallas EdgeTiles
-        #   per batch (impl='pallas' minibatch training)
+        emit_tiles: bool | str = False,  # attach fixed-shape kernel tiles
+        #   per batch: True/'pallas' -> EdgeTiles (impl='pallas'),
+        #   'sell' -> SellTiles (impl='sell'); shapes are identical across
+        #   batches so every mode reuses one compiled step
         gather_features: bool = False,  # True: gather feature rows on HOST
         #   into each batch (round-1 behavior). False (default): batches
         #   carry node_ids only and the trainer gathers from a
@@ -133,7 +135,14 @@ class NeighborSampler:
             # at most once, so edges are distinct graph edges (<= E)
             max_nodes = min(max_nodes, graph.num_nodes)
             max_edges = min(max_edges, graph.num_edges)
-        self.emit_tiles = emit_tiles
+        if emit_tiles is True:
+            emit_tiles = "pallas"
+        if emit_tiles not in (False, None, "pallas", "sell"):
+            raise ValueError(
+                f"emit_tiles must be False, True/'pallas' or 'sell', "
+                f"got {emit_tiles!r}"
+            )
+        self.emit_tiles = emit_tiles or False
         self.gather_features = gather_features
         self._set_budgets(max_nodes, max_edges, edge_multiple)
         if budget == "probe":
@@ -149,6 +158,12 @@ class NeighborSampler:
             edge_multiple, -(-max_edges // edge_multiple) * edge_multiple
         )
         self._tile_budget = self.max_edges // 128 + self.max_nodes // 128
+        if self.emit_tiles == "sell":
+            from gatv2_tpu.ops.sell_attention import sell_minibatch_geometry
+
+            self._sell_fixed = sell_minibatch_geometry(
+                self.max_nodes, self.max_edges
+            )
 
     def _probe_budgets(
         self, edge_multiple: int, *, rounds: int = 4, margin: float = 1.35
@@ -208,6 +223,22 @@ class NeighborSampler:
         if not self.emit_tiles:
             return b
         import dataclasses as _dc
+
+        if self.emit_tiles == "sell":
+            # per-batch SELL layout with a batch-stream-static fixed
+            # geometry (sell_minibatch_geometry) — numpy build, numpy
+            # leaves; one compiled step serves every batch
+            from gatv2_tpu.ops.sell_attention import (
+                prepare_minibatch_sell_tiles,
+            )
+
+            return _dc.replace(
+                b,
+                tiles=prepare_minibatch_sell_tiles(
+                    b.src, b.dst, b.num_edges, self.max_nodes,
+                    self._sell_fixed,
+                ),
+            )
 
         if self.engine == "native":
             # tile emission in C++ (native/sampler.cpp emit_tiles): the

@@ -238,7 +238,11 @@ class MinibatchTrainer:
             seed=seed,
             engine=train_config.sampler_engine,
             seed_nodes=seed_nodes,
-            emit_tiles=(train_config.impl == "pallas"),
+            emit_tiles=(
+                train_config.impl
+                if train_config.impl in ("pallas", "sell")
+                else False
+            ),
             budget=train_config.sample_budget,
             gather_features=(train_config.feature_residency == "host"),
         )
@@ -285,7 +289,11 @@ class MinibatchTrainer:
                 seed=self._seed + 1,
                 engine=self.train_config.sampler_engine,
                 seed_nodes=nodes,
-                emit_tiles=(self.train_config.impl == "pallas"),
+                emit_tiles=(
+                    self.train_config.impl
+                    if self.train_config.impl in ("pallas", "sell")
+                    else False
+                ),
                 budget=self.train_config.sample_budget,
                 gather_features=(
                     self.train_config.feature_residency == "host"
@@ -351,6 +359,14 @@ class MinibatchTrainer:
                 edge_tiles, feats, _, _ = setup_full_graph(
                     graph, mc.heads, mc.out_dims
                 )
+            elif tc.impl == "sell":
+                from gatv2_tpu.ops.sell_attention import (
+                    setup_full_graph_sell,
+                )
+
+                edge_tiles, feats, _, _ = setup_full_graph_sell(
+                    graph, mc.heads, mc.out_dims
+                )
             n_all = feats.shape[0]
 
             def padmask(m):
@@ -360,7 +376,7 @@ class MinibatchTrainer:
 
             full = np.full(n_all, -1, np.int32)
             full[: graph.num_nodes] = graph.labels
-            if tc.impl == "pallas":
+            if tc.impl in ("pallas", "sell"):
                 src = dst = jnp.zeros(1, jnp.int32)
             else:
                 pe = graph.padded_edges(128)

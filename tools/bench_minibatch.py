@@ -35,7 +35,8 @@ def main(argv=None) -> int:
     ap.add_argument("--classes", type=int, default=47)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--fanouts", default="10,10,10")
-    ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--impl", default="pallas",
+                    choices=["xla", "pallas", "sell"])
     ap.add_argument("--budget", default="auto",
                     choices=["auto", "worst", "probe"])
     ap.add_argument("--batches", type=int, default=30,
@@ -63,7 +64,8 @@ def main(argv=None) -> int:
                      batch_size=args.batch, fanouts=fanouts)
     sampler = NeighborSampler(
         g, args.batch, fanouts, seed=0, engine="native",
-        emit_tiles=(args.impl == "pallas"), budget=args.budget,
+        emit_tiles=(args.impl if args.impl in ("pallas", "sell") else False),
+        budget=args.budget,
     )
     params = init_params(mc, jax.random.PRNGKey(0))
     opt_state = optim.init_opt_state(params, "adam")

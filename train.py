@@ -65,11 +65,6 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Split: {tr} train / {va} val / {te} test nodes")
 
     sink = JsonlSink(train_config.log_file) if train_config.log_file else None
-    if train_config.impl == "sell" and train_config.batch_size > 0:
-        raise SystemExit(
-            "--impl sell supports full-graph training only "
-            "(use --impl pallas or xla for --batch-size minibatch modes)"
-        )
     if args.mesh > 0 and train_config.batch_size > 0:
         from gatv2_tpu.train.minibatch import DataParallelMinibatchTrainer
 
