@@ -226,11 +226,31 @@ class NeighborSampler:
 
         if self.emit_tiles == "sell":
             # per-batch SELL layout with a batch-stream-static fixed
-            # geometry (sell_minibatch_geometry) — numpy build, numpy
-            # leaves; one compiled step serves every batch
+            # geometry (sell_minibatch_geometry) — numpy leaves; one
+            # compiled step serves every batch. C++ build when available
+            # (native/sampler.cpp emit_sell_tiles, byte-identical): the
+            # numpy path costs ~700 ms/batch at Products scale (argsorts
+            # + per-slice loops that C++ counting sorts collapse to ~ms)
             from gatv2_tpu.ops.sell_attention import (
+                DEFAULT_SPLIT_CAP,
                 prepare_minibatch_sell_tiles,
+                sell_tiles_from_native,
             )
+
+            if self.engine == "native":
+                from gatv2_tpu.utils import native_loader
+
+                raw = native_loader.emit_sell_tiles(
+                    b.src, b.dst, b.num_edges, self.max_nodes,
+                    DEFAULT_SPLIT_CAP, self._sell_fixed,
+                )
+                if raw is not None:
+                    return _dc.replace(
+                        b,
+                        tiles=sell_tiles_from_native(
+                            raw, self.max_nodes, self._sell_fixed
+                        ),
+                    )
 
             return _dc.replace(
                 b,

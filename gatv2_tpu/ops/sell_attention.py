@@ -701,6 +701,52 @@ def prepare_minibatch_sell_tiles(
     )
 
 
+def sell_tiles_from_native(
+    raw: dict, max_nodes: int, fixed: tuple[int, int, int, int]
+) -> SellTiles:
+    """Assemble a SellTiles from native/sampler.cpp emit_sell_tiles output
+    (byte-identical to prepare_minibatch_sell_tiles; numpy leaves — the
+    per-batch C++ build replaces the ~700 ms/batch numpy path at Products
+    scale, like emit_tiles did for the pallas pipeline)."""
+    cols_d, cols_s, tiles_d, tiles_s = fixed
+    node_pad = max(TILE_N, -(-max_nodes // TILE_N) * TILE_N)
+    dummy = np.zeros(1, np.int32)
+
+    def side(tag, cols, tiles):
+        return _SellSide(
+            perm=raw[f"perm_{tag}"],
+            inv=dummy,
+            vsort=raw[f"vsort_{tag}"],
+            sids=raw[f"sids_{tag}"],
+            gather_ids=raw[f"gather_{tag}"],
+            cnt=raw[f"cnt_{tag}"],
+            col_off=raw[f"col_off_{tag}"],
+            ids_grp=raw[f"gather_{tag}"][None],
+            cnt_grp=raw[f"cnt_{tag}"][None],
+            rel_off=raw[f"col_off_{tag}"][None],
+            split=True,
+        )
+
+    return SellTiles(
+        dst=side("d", cols_d, tiles_d),
+        srcs=side("s", cols_s, tiles_s),
+        ell_perm=raw["ell_perm"],
+        num_nodes=max_nodes,
+        num_src_nodes=max_nodes,
+        num_dst_tiles=tiles_d,
+        num_src_tiles=tiles_s,
+        e_ell=cols_d * TILE_N,
+        e2_ell=cols_s * TILE_N,
+        num_edges=-1,  # fixed-mode uniform aux (prepare_sell_tiles)
+        pad_overhead=0.0,
+        num_chunks=1,
+        spc_dst=tiles_d,
+        spc_src=tiles_s,
+        node_pad_dst=node_pad,
+        node_pad_src=node_pad,
+    )
+
+
 # ---------------------------------------------------------------------------
 # lane-layout matrices (head-replicated representation)
 # ---------------------------------------------------------------------------

@@ -84,6 +84,15 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int32),  # out_dst_of_src
             ctypes.POINTER(ctypes.c_int32),  # out_src_tile_offsets
         ]
+        lib.emit_sell_tiles.restype = ctypes.c_longlong
+        lib.emit_sell_tiles.argtypes = (
+            [
+                ctypes.POINTER(ctypes.c_int32),  # src
+                ctypes.POINTER(ctypes.c_int32),  # dst
+            ]
+            + [ctypes.c_longlong] * 7  # num_edges..tiles_s
+            + [ctypes.POINTER(ctypes.c_int32)] * 13  # per-side + ell_perm
+        )
         lib.gather_rows_f32.restype = None
         lib.gather_rows_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float),  # src
@@ -254,6 +263,58 @@ def emit_tiles(
             f"native emit_tiles: fixed budget {fixed_edge_tiles} tiles x "
             f"te={te} does not fit (or bad inputs: {num_edges} edges, "
             f"{max_nodes} nodes)"
+        )
+    return out
+
+
+def emit_sell_tiles(
+    src: np.ndarray,  # [>=num_edges] int32, local ids
+    dst: np.ndarray,  # [>=num_edges] int32, dst-sorted
+    num_edges: int,
+    max_nodes: int,
+    split_cap: int,
+    fixed: tuple[int, int, int, int],  # (cols_d, cols_s, tiles_d, tiles_s)
+):
+    """Native fixed-geometry SELL layout emission (native/sampler.cpp
+    emit_sell_tiles) — byte-identical to
+    ops.sell_attention.prepare_minibatch_sell_tiles. Returns a dict of
+    numpy arrays or None if the library is unavailable (or predates the
+    symbol). Raises ValueError when the fixed geometry does not fit."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "emit_sell_tiles"):
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    cols_d, cols_s, tiles_d, tiles_s = fixed
+    out = {
+        "perm_d": np.empty(tiles_d * 128, np.int32),
+        "vsort_d": np.empty(tiles_d * 128, np.int32),
+        "sids_d": np.empty(tiles_d * 128, np.int32),
+        "gather_d": np.empty(cols_d * 128, np.int32),
+        "cnt_d": np.empty(cols_d, np.int32),
+        "col_off_d": np.empty(tiles_d + 1, np.int32),
+        "perm_s": np.empty(tiles_s * 128, np.int32),
+        "vsort_s": np.empty(tiles_s * 128, np.int32),
+        "sids_s": np.empty(tiles_s * 128, np.int32),
+        "gather_s": np.empty(cols_s * 128, np.int32),
+        "cnt_s": np.empty(cols_s, np.int32),
+        "col_off_s": np.empty(tiles_s + 1, np.int32),
+        "ell_perm": np.empty(cols_s * 128, np.int32),
+    }
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = lib.emit_sell_tiles(
+        i32p(src), i32p(dst), num_edges, max_nodes, split_cap,
+        cols_d, cols_s, tiles_d, tiles_s,
+        *(i32p(out[k]) for k in (
+            "perm_d", "vsort_d", "sids_d", "gather_d", "cnt_d", "col_off_d",
+            "perm_s", "vsort_s", "sids_s", "gather_s", "cnt_s", "col_off_s",
+            "ell_perm",
+        )),
+    )
+    if rc != 0:
+        raise ValueError(
+            f"native emit_sell_tiles: fixed geometry {fixed} does not fit "
+            f"(or bad inputs: {num_edges} edges, {max_nodes} nodes)"
         )
     return out
 

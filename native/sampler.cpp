@@ -18,6 +18,7 @@
 //
 // Build: make -C native  ->  libgatv2_loader.so (shared with loader.cpp)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <sched.h>
@@ -355,6 +356,257 @@ long long emit_tiles(
         out_dst_of_src[o] = out_dst_flat[srt_flat[e]];
       }
     }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SELL-128 minibatch layout emission (impl='sell' minibatch training)
+// ---------------------------------------------------------------------------
+//
+// Native counterpart of ops.sell_attention.prepare_minibatch_sell_tiles —
+// byte-identical output for the forced-split, num_chunks=1, fixed-geometry
+// configuration that per-batch layouts use (the numpy build costs ~700 ms
+// per Products-scale batch, dominated by argsorts the small value ranges
+// here replace with counting sorts).
+
+namespace {
+
+// One SELL side (forced virtual-row splitting, one chunk). Mirrors
+// _build_sell_side(ptr, opp, num_rows, opp_pad_rows, 1, fixed=(cols,tiles),
+// split_cap=cap, force_split=True) exactly. `ptr`/`opp`: this side's CSR
+// view (edges sorted by this side's node id, stable). `slot[e]` receives
+// each edge's ELL slot in this side's edge order. Returns 0, or -1 when
+// the fixed geometry does not fit.
+int build_sell_side(
+    const int64_t* ptr, const int32_t* opp, int64_t num_rows,
+    int64_t num_edges, int64_t opp_pad_rows, int64_t cap,
+    int64_t fixed_cols, int64_t fixed_tiles,
+    int32_t* out_perm, int32_t* out_vsort, int32_t* out_sids,
+    int32_t* out_gather, int32_t* out_cnt, int32_t* out_col_off,
+    int64_t* slot) {
+  constexpr int64_t kTileN = 128;
+  // virtual-row decomposition: nonempty nodes get ceil(deg/cap) rows
+  std::vector<int64_t> vbase(num_rows + 1, 0);
+  for (int64_t i = 0; i < num_rows; ++i) {
+    const int64_t deg = ptr[i + 1] - ptr[i];
+    vbase[i + 1] = vbase[i] + (deg > 0 ? (deg + cap - 1) / cap : 0);
+  }
+  const int64_t nvr = vbase[num_rows];
+  const int64_t t_real =
+      ((nvr > 1 ? nvr : 1) + kTileN - 1) / kTileN;
+  if (t_real > fixed_tiles) return -1;
+  const int64_t t2 = fixed_tiles;
+  const int64_t rows_pad = t2 * kTileN;
+  const int64_t node_pad =
+      num_rows > kTileN ? ((num_rows + kTileN - 1) / kTileN) * kTileN
+                        : kTileN;
+
+  // vnode / vlen per virtual row (node order)
+  std::vector<int32_t> vnode(nvr);
+  std::vector<int32_t> vlen(nvr);
+  for (int64_t i = 0; i < num_rows; ++i) {
+    const int64_t deg = ptr[i + 1] - ptr[i];
+    for (int64_t k = vbase[i]; k < vbase[i + 1]; ++k) {
+      vnode[k] = static_cast<int32_t>(i);
+      const int64_t rem = deg - (k - vbase[i]) * cap;
+      vlen[k] = static_cast<int32_t>(rem < cap ? rem : cap);
+    }
+  }
+
+  // descending stable sort by length == counting sort over [0, cap]
+  // (padding rows vlen 0 sort last, in index order — matches
+  // np.argsort(-vlen_pad, kind='stable'))
+  std::vector<int64_t> bucket(cap + 2, 0);
+  for (int64_t r = 0; r < nvr; ++r) bucket[vlen[r]]++;
+  bucket[0] += rows_pad - nvr;  // padding rows
+  std::vector<int64_t> start(cap + 1, 0);
+  {
+    int64_t acc = 0;
+    for (int64_t L = cap; L >= 0; --L) {
+      start[L] = acc;
+      acc += bucket[L];
+    }
+  }
+  std::vector<int32_t> vorder(rows_pad);
+  {
+    std::vector<int64_t> pos(start);
+    for (int64_t r = 0; r < rows_pad; ++r) {
+      const int32_t L = r < nvr ? vlen[r] : 0;
+      vorder[pos[L]++] = static_cast<int32_t>(r);
+    }
+  }
+  std::vector<int32_t> vpos(rows_pad);
+  for (int64_t p = 0; p < rows_pad; ++p) vpos[vorder[p]] = p;
+
+  // perm + slice widths + col_off + per-column counts
+  std::vector<int64_t> colw(t2);
+  out_col_off[0] = 0;
+  for (int64_t s = 0; s < t2; ++s) {
+    const int32_t first = vorder[s * kTileN];
+    colw[s] = first < nvr ? vlen[first] : 0;  // rows descend within slices
+    out_col_off[s + 1] = out_col_off[s] + static_cast<int32_t>(colw[s]);
+  }
+  if (static_cast<int64_t>(out_col_off[t2]) > fixed_cols) return -1;
+  const int64_t e_ell = fixed_cols * kTileN;
+  for (int64_t i = 0; i < e_ell; ++i) {
+    out_gather[i] = static_cast<int32_t>(opp_pad_rows);
+  }
+  for (int64_t i = 0; i < fixed_cols; ++i) out_cnt[i] = 0;
+  std::vector<int64_t> hist(cap + 2);
+  for (int64_t s = 0; s < t2; ++s) {
+    const int64_t w = colw[s];
+    if (!w) continue;
+    std::fill(hist.begin(), hist.end(), 0);
+    for (int64_t j = 0; j < kTileN; ++j) {
+      const int32_t r = vorder[s * kTileN + j];
+      hist[r < nvr ? vlen[r] : 0]++;
+    }
+    // cnt[c] = #rows in slice with vlen > c (suffix sums of the histogram)
+    int64_t gt = 0;
+    std::vector<int64_t> suff(cap + 2, 0);
+    for (int64_t L = cap; L >= 0; --L) {
+      suff[L] = gt;
+      gt += hist[L];
+    }
+    const int64_t c0 = out_col_off[s];
+    for (int64_t c = 0; c < w; ++c) {
+      out_cnt[c0 + c] = static_cast<int32_t>(suff[c]);
+    }
+  }
+  for (int64_t p = 0; p < rows_pad; ++p) {
+    const int32_t r = vorder[p];
+    out_perm[p] =
+        r < nvr ? vnode[r] : static_cast<int32_t>(node_pad);
+  }
+
+  // edge slots: edge e of node i at rank r -> virtual row vbase[i] + r/cap,
+  // column (within-row offset), final position via vpos
+  for (int64_t i = 0; i < num_rows; ++i) {
+    for (int64_t e = ptr[i]; e < ptr[i + 1]; ++e) {
+      const int64_t r = e - ptr[i];
+      const int64_t vr0 = vbase[i] + r / cap;
+      const int64_t within = r % cap;
+      const int64_t p = vpos[vr0];
+      const int64_t sl =
+          (static_cast<int64_t>(out_col_off[p / kTileN]) + within) * kTileN +
+          p % kTileN;
+      out_gather[sl] = opp[e];
+      slot[e] = sl;
+    }
+  }
+  (void)num_edges;
+
+  // vsort: ascending stable sort of perm values (0..node_pad) — counting
+  // sort again (matches np.argsort(perm, kind='stable')); sids = perm[vsort]
+  std::vector<int64_t> vcnt(node_pad + 2, 0);
+  for (int64_t p = 0; p < rows_pad; ++p) vcnt[out_perm[p] + 1]++;
+  for (int64_t v = 0; v <= node_pad; ++v) vcnt[v + 1] += vcnt[v];
+  for (int64_t p = 0; p < rows_pad; ++p) {
+    const int64_t q = vcnt[out_perm[p]]++;
+    out_vsort[q] = static_cast<int32_t>(p);
+  }
+  for (int64_t p = 0; p < rows_pad; ++p) {
+    out_sids[p] = out_perm[out_vsort[p]];
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Emits the fixed-geometry two-sided SELL-128 layout for one sampled batch
+// (ops.sell_attention.prepare_minibatch_sell_tiles, byte-identical). Edge
+// list: local ids, dst-SORTED (sample_batch output), only the first
+// num_edges entries real. Geometry from sell_minibatch_geometry:
+// (cols_d, cols_s, tiles_d, tiles_s) with split_cap-forced virtual rows.
+// Outputs per side: perm/vsort/sids [tiles*128], gather [cols*128],
+// cnt [cols], col_off [tiles+1]; plus ell_perm [cols_s*128] (src-ELL slot
+// -> dst-ELL slot; padding = cols_d*128). Returns 0, or -1 when the fixed
+// geometry does not fit / bad inputs.
+long long emit_sell_tiles(
+    const int32_t* src, const int32_t* dst, long long num_edges,
+    long long max_nodes, long long split_cap,
+    long long cols_d, long long cols_s, long long tiles_d, long long tiles_s,
+    int32_t* out_perm_d, int32_t* out_vsort_d, int32_t* out_sids_d,
+    int32_t* out_gather_d, int32_t* out_cnt_d, int32_t* out_col_off_d,
+    int32_t* out_perm_s, int32_t* out_vsort_s, int32_t* out_sids_s,
+    int32_t* out_gather_s, int32_t* out_cnt_s, int32_t* out_col_off_s,
+    int32_t* out_ell_perm) {
+  constexpr int64_t kTileN = 128;
+  if (max_nodes <= 0 || split_cap <= 0 || num_edges < 0) return -1;
+  const int64_t node_pad =
+      max_nodes > kTileN ? ((max_nodes + kTileN - 1) / kTileN) * kTileN
+                         : kTileN;
+
+  // dst-side CSR view (edges arrive dst-sorted)
+  std::vector<int64_t> dptr(max_nodes + 1, 0);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    const int32_t d = dst[e];
+    if (d < 0 || d >= max_nodes) return -1;
+    if (e > 0 && dst[e - 1] > d) return -1;  // must be dst-sorted
+    dptr[d + 1]++;
+  }
+  for (int64_t i = 0; i < max_nodes; ++i) dptr[i + 1] += dptr[i];
+
+  // the two sides are independent — build them in parallel (each includes
+  // its own counting sorts and output fills; src additionally CSC-sorts)
+  std::vector<int64_t> slot_d(num_edges);
+  std::vector<int64_t> slot_s(num_edges);
+  std::vector<int64_t> order(num_edges);  // src-sorted -> dst-sorted index
+  int rc_d = 0, rc_s = 0;
+  auto work_d = [&]() {
+    rc_d = build_sell_side(dptr.data(), src, max_nodes, num_edges, node_pad,
+                           split_cap, cols_d, tiles_d, out_perm_d,
+                           out_vsort_d, out_sids_d, out_gather_d, out_cnt_d,
+                           out_col_off_d, slot_d.data());
+  };
+  auto work_s = [&]() {
+    // src-side CSC view: stable counting sort by src
+    std::vector<int64_t> sptr(max_nodes + 2, 0);
+    for (int64_t e = 0; e < num_edges; ++e) {
+      const int32_t s = src[e];
+      if (s < 0 || s >= max_nodes) {
+        rc_s = -1;
+        return;
+      }
+      sptr[s + 1]++;
+    }
+    for (int64_t i = 0; i <= max_nodes; ++i) sptr[i + 1] += sptr[i];
+    std::vector<int32_t> opp_s(num_edges);
+    {
+      std::vector<int64_t> pos(sptr.begin(), sptr.begin() + max_nodes + 1);
+      for (int64_t e = 0; e < num_edges; ++e) {
+        const int64_t p = pos[src[e]]++;
+        opp_s[p] = dst[e];
+        order[p] = e;
+      }
+    }
+    rc_s = build_sell_side(sptr.data(), opp_s.data(), max_nodes, num_edges,
+                           node_pad, split_cap, cols_s, tiles_s, out_perm_s,
+                           out_vsort_s, out_sids_s, out_gather_s, out_cnt_s,
+                           out_col_off_s, slot_s.data());
+  };
+  if (gatv2_usable_cpus() >= 2 && num_edges >= 65536) {
+    std::thread td(work_d);
+    work_s();
+    td.join();
+  } else {
+    work_d();
+    work_s();
+  }
+  if (rc_d != 0 || rc_s != 0) return -1;
+
+  const int64_t e_ell = cols_d * kTileN;
+  const int64_t e2_ell = cols_s * kTileN;
+  for (int64_t i = 0; i < e2_ell; ++i) {
+    out_ell_perm[i] = static_cast<int32_t>(e_ell);
+  }
+  for (int64_t p = 0; p < num_edges; ++p) {
+    out_ell_perm[slot_s[p]] = static_cast<int32_t>(slot_d[order[p]]);
   }
   return 0;
 }

@@ -143,6 +143,60 @@ def test_sell_geometry_bounds_hub_batch():
     assert _tile_signature(t_empty) == _tile_signature(t_hub)
 
 
+def test_native_sell_emission_matches_python(learnable_graph):
+    """C++ emit_sell_tiles (native/sampler.cpp) is byte-identical to the
+    numpy prepare_minibatch_sell_tiles fixed-geometry path — same contract
+    the pallas pipeline's emit_tiles has."""
+    from gatv2_tpu.utils import native_loader
+
+    if not native_loader.available() and not native_loader.build():
+        pytest.skip("native library unavailable")
+
+    g = learnable_graph
+    s = NeighborSampler(
+        g, batch_size=16, fanouts=(4, 4), seed=1, engine="native",
+        emit_tiles="sell",
+    )
+    b = s.sample(np.arange(16))
+    assert b.tiles is not None  # native path produced them
+
+    py = prepare_minibatch_sell_tiles(
+        b.src, b.dst, b.num_edges, s.max_nodes, s._sell_fixed
+    )
+    nat_leaves, nat_def = jax.tree.flatten(b.tiles)
+    py_leaves, py_def = jax.tree.flatten(py)
+    assert nat_def == py_def  # identical static aux
+    for pl_, nl in zip(py_leaves, nat_leaves):
+        a_, b_ = np.asarray(pl_), np.asarray(nl)
+        assert a_.shape == b_.shape and a_.dtype == b_.dtype
+        assert (a_ == b_).all()
+
+    # the hub/zero-edge adversarial profiles agree too
+    max_nodes, max_edges = 256, 512
+    fixed = sell_minibatch_geometry(max_nodes, max_edges)
+    from gatv2_tpu.ops.sell_attention import (
+        DEFAULT_SPLIT_CAP,
+        sell_tiles_from_native,
+    )
+
+    for num_edges, mk in (
+        (512, lambda: (np.arange(512, dtype=np.int32) % 256,
+                       np.zeros(512, np.int32))),
+        (0, lambda: (np.zeros(512, np.int32),
+                     np.full(512, 256, np.int32))),
+    ):
+        src, dst = mk()
+        raw = native_loader.emit_sell_tiles(
+            src, dst, num_edges, max_nodes, DEFAULT_SPLIT_CAP, fixed
+        )
+        nat = sell_tiles_from_native(raw, max_nodes, fixed)
+        ref = prepare_minibatch_sell_tiles(
+            src, dst, num_edges, max_nodes, fixed
+        )
+        for pl_, nl in zip(jax.tree.leaves(ref), jax.tree.leaves(nat)):
+            assert (np.asarray(pl_) == np.asarray(nl)).all()
+
+
 def test_sell_dp_minibatch_stack_and_step(learnable_graph):
     """Data-parallel sell minibatch: stacked per-device SellTiles shard
     over the mesh and one super-step runs (2 virtual CPU devices)."""
