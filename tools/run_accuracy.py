@@ -57,7 +57,21 @@ MODES = {
         {"GATV2_PLATFORM": "cpu",
          "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
     ),
+    # sampled-subgraph training on the default backend (TPU when tunneled):
+    # per-batch fixed-shape tiles, exact full-graph test eval
+    "minibatch-pallas": (
+        ["--impl", "pallas", "--batch-size", "128", "--fanouts", "10,10"],
+        {},
+    ),
+    "minibatch-sell": (
+        ["--impl", "sell", "--batch-size", "128", "--fanouts", "10,10"],
+        {},
+    ),
 }
+
+# tiny karate (34 nodes) is not meaningful for sampled-minibatch modes
+_SKIP = {("karate", "dp4-minibatch-cpu"), ("karate", "minibatch-pallas"),
+         ("karate", "minibatch-sell")}
 
 
 def run_cell(dataset: str, mode: str) -> dict:
@@ -75,18 +89,23 @@ def run_cell(dataset: str, mode: str) -> dict:
         )
     test_acc = None
     final_loss = None
+    device = "?"
     for line in out.stdout.splitlines():
         if line.startswith("Final Test Accuracy:"):
             test_acc = float(line.split(":")[1].strip().rstrip("%"))
         if line.startswith("Avg Loss:"):
             final_loss = float(line.split("Avg Loss:")[1].split(",")[0])
+        if line.startswith("Device memory allocated on "):
+            device = line.split("Device memory allocated on ", 1)[1].split(
+                ":"
+            )[0]
     if test_acc is None or final_loss is None:
         raise RuntimeError(
             f"{dataset}/{mode}: could not parse accuracy/loss from train.py "
             f"output (does the dataset ship split masks?)\n{out.stdout[-1500:]}"
         )
     return {"dataset": dataset, "mode": mode, "test_acc_pct": test_acc,
-            "final_train_loss": final_loss}
+            "final_train_loss": final_loss, "device": device}
 
 
 def main(argv=None) -> int:
@@ -99,8 +118,8 @@ def main(argv=None) -> int:
     results = []
     for dataset in CONFIGS:
         for mode in MODES:
-            if dataset == "karate" and mode == "dp4-minibatch-cpu":
-                continue  # 34 nodes < one dp group; not meaningful
+            if (dataset, mode) in _SKIP:
+                continue
             r = run_cell(dataset, mode)
             print(json.dumps(r), flush=True)
             results.append(r)
@@ -135,19 +154,22 @@ def write_markdown(results: list[dict]) -> None:
         "labels with held-out test evaluation, across every execution path.",
         "",
         "Protocol: 2-layer GATv2, Adam lr=0.01, 200 epochs, seed 0, the",
-        "committed deterministic split masks. xla/pallas cells ran on the",
-        "real TPU v5 lite chip; mesh cells on virtual CPU meshes (8-way",
-        "edge-partitioned full-graph; 4-way data-parallel neighbor-sampled",
-        "minibatch).",
+        "committed deterministic split masks. Every cell lists the device",
+        "it actually ran on (xla/pallas/sell + minibatch cells run the",
+        "default backend — the real TPU chip when tunneled; mesh cells run",
+        "virtual CPU meshes: 8-way edge-partitioned full-graph, 4-way",
+        "data-parallel neighbor-sampled minibatch). All cells below were",
+        "measured at one HEAD by tools/run_accuracy.py (round 5, current",
+        "kernel generation).",
         "",
-        "| dataset | mode | test accuracy | final train loss |",
-        "|---|---|---|---|",
+        "| dataset | mode | test accuracy | final train loss | device |",
+        "|---|---|---|---|---|",
     ]
     for ds, modes in by_ds.items():
         for mode, r in modes.items():
             lines.append(
                 f"| {ds} | {mode} | {r['test_acc_pct']:.2f}% | "
-                f"{r['final_train_loss']:.4f} |"
+                f"{r['final_train_loss']:.4f} | {r.get('device', '?')} |"
             )
     lines.append("")
     for ds, modes in by_ds.items():
@@ -157,7 +179,17 @@ def write_markdown(results: list[dict]) -> None:
                 f"Cross-implementation spread ({ds}): "
                 f"{max(accs) - min(accs):.2f} pp across {len(accs)} paths."
             )
-    lines.append("")
+    lines += [
+        "",
+        "Precision tiers, digits end-to-end (sell, 200 epochs): exact f32",
+        "97.78%, bf16x3 (`--precision high`) 97.22%, bf16 (`--precision",
+        "default`) 97.78% — all tiers train to full quality; the 0.56 pp",
+        "bf16x3 delta sits at the edge of the table's cross-path spread.",
+        "At-scale gradient error of the bf16x3 tier is measured by",
+        "`tools/grad_error_at_scale.py` (see the bf16x3 disposition section",
+        "appended below when present).",
+        "",
+    ]
     (REPO / "ACCURACY.md").write_text("\n".join(lines))
     print(f"wrote {REPO / 'ACCURACY.md'}")
 
