@@ -34,7 +34,18 @@ ROUND3_MS = {
     "products-sub": 1247.795,
     "products-full": 9293.225,
 }
-TARGETS_EDGES_PER_S = {"arxiv": 30e6, "products-full": 14e6}
+# round-4 medians (SWEEP_R4.jsonl, best of pallas/sell per config)
+ROUND4_MS = {
+    "citeseer3": 1.503,
+    "cora": 1.349,
+    "pubmed": 4.356,
+    "arxiv": 105.416,
+    "products-sub": 1121.883,
+    "products-full": 8336.024,
+}
+# arxiv target met in round 4 (33.2 M); round-5 target from VERDICT #2:
+# products-full at arxiv parity (>= 30 M) or a measured >= 70%-of-roof proof
+TARGETS_EDGES_PER_S = {"arxiv": 30e6, "products-full": 30e6}
 
 
 def load(path: pathlib.Path) -> dict:
@@ -52,13 +63,32 @@ def fmt(v, nd=2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--in", dest="inp", default=str(REPO / "SWEEP_R4.jsonl"))
+    ap.add_argument("--in", dest="inp", default=str(REPO / "SWEEP_R5.jsonl"))
     args = ap.parse_args()
     recs = load(pathlib.Path(args.inp))
 
+    flagged = [
+        t for t, r in recs.items()
+        if r.get("red") or r.get("attempts", 1) > 1
+    ]
+    if flagged:
+        print("## Flagged legs (retries / red)\n")
+        for t in sorted(flagged):
+            r = recs[t]
+            bits = []
+            if r.get("red"):
+                bits.append(f"RED: {r['red']}")
+            if r.get("attempts", 1) > 1:
+                bits.append(
+                    f"attempts={r['attempts']} "
+                    f"({', '.join(r.get('retry_signatures', []))})"
+                )
+            print(f"- {t}: {'; '.join(bits)}")
+        print()
+
     print("## A/B: streamed-operand (pallas) vs SELL\n")
     print("| config | pallas ms | sell ms | sell speedup | pallas Medges/s"
-          " | sell Medges/s | r2 ms | best vs r2 | r3 best ms | vs r3 |")
+          " | sell Medges/s | r2 ms | best vs r2 | r4 best ms | vs r4 |")
     print("|---|---|---|---|---|---|---|---|---|---|")
     verdict = []
     for cfg in ("citeseer3", "cora", "pubmed", "arxiv", "products-sub",
@@ -70,15 +100,15 @@ def main():
         speed = (p_ms / s_ms) if (p_ms and s_ms) else None
         best = min(x for x in (p_ms, s_ms) if x) if (p_ms or s_ms) else None
         r2 = ROUND2_MS.get(cfg)
-        r3 = ROUND3_MS.get(cfg)
+        r4 = ROUND4_MS.get(cfg)
         gain = (r2 / best) if (best and r2) else None
-        gain3 = (r3 / best) if (best and r3) else None
+        gain4 = (r4 / best) if (best and r4) else None
         print(
             f"| {cfg} | {fmt(p_ms)} | {fmt(s_ms)} | "
             f"{fmt(speed)}x | "
             f"{fmt(p and p.get('edges_per_s', 0) / 1e6)} | "
             f"{fmt(s and s.get('edges_per_s', 0) / 1e6)} | "
-            f"{fmt(r2)} | {fmt(gain)}x | {fmt(r3)} | {fmt(gain3)}x |"
+            f"{fmt(r2)} | {fmt(gain)}x | {fmt(r4)} | {fmt(gain4)}x |"
         )
         tgt = TARGETS_EDGES_PER_S.get(cfg)
         if tgt:
