@@ -151,7 +151,7 @@ def _peak_tflops(device_str: str) -> float | None:
 
 def bench_config(
     name, *, k1=None, k2=None, reps=None, impl="pallas", seed=0,
-    precision="highest", tile_e=None
+    precision="highest", tile_e=None, streams="f32"
 ):
     import jax
     import jax.numpy as jnp
@@ -168,6 +168,7 @@ def bench_config(
         num_layers=layers, heads=heads, out_dims=outdims,
         num_classes=c, in_dim=f, matmul_precision=precision,
         remat=(e >= 30_000_000),  # fit 60M+-edge full-graph in HBM
+        streams=streams,
     )
     tc = TrainConfig(optimizer="adam", lr=0.01, seed=seed, impl=impl)
     edge_tiles = None
@@ -348,6 +349,7 @@ def comm_volume_table(pg, plan, heads, outdims) -> list[dict]:
 def bench_mesh_config(
     name, n_devices, *, halo=True, overlap=False, k1=None, k2=None,
     reps=None, impl="pallas", seed=0, precision="highest", tile_e=None,
+    streams="f32",
 ):
     """Sharded (edge-partitioned) scaling bench: the full multi-chip train
     step — halo exchange / all_gather collectives included — timed with the
@@ -386,6 +388,7 @@ def bench_mesh_config(
         # same policy as the unsharded bench, evaluated on PER-SHARD edges,
         # so remat never differs between the rows a scaling table compares
         remat=(e // n_devices >= 30_000_000),
+        streams=streams,
     )
     tc = TrainConfig(optimizer="adam", lr=0.01, seed=seed, impl=impl)
     mesh = make_mesh(n_devices)
@@ -497,6 +500,9 @@ def main():
     )
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
+    ap.add_argument("--streams", default="f32", choices=["f32", "bf16"],
+                    help="SELL edge-stream dtype tier (bf16 halves per-edge "
+                         "HBM traffic; sell impl, full-graph paths)")
     ap.add_argument("--all", action="store_true", help="bench every config (stderr)")
     ap.add_argument("--tile-e", type=int, default=None,
                     help="override the Pallas edge-tile size (default: auto)")
@@ -523,7 +529,7 @@ def main():
         r = bench_mesh_config(
             args.config, args.mesh, halo=not args.no_halo,
             overlap=args.overlap, impl=args.impl, precision=args.precision,
-            tile_e=args.tile_e,
+            tile_e=args.tile_e, streams=args.streams,
         )
         result = {
             "metric": f"sharded_epoch_time_{args.config}_mesh{args.mesh}",
@@ -548,13 +554,13 @@ def main():
         for name in CONFIGS:
             if name == "products-full-4h":
                 continue  # multi-chip only (per-shard HBM plan: SCALING.md)
-            rr = bench_config(name, impl=args.impl, precision=args.precision, tile_e=args.tile_e)
+            rr = bench_config(name, impl=args.impl, precision=args.precision, tile_e=args.tile_e, streams=args.streams)
             print(json.dumps(rr), file=sys.stderr)
             if name == args.config:
                 r = rr  # reuse for the headline line (no duplicate run)
 
     if r is None:
-        r = bench_config(args.config, impl=args.impl, precision=args.precision, tile_e=args.tile_e)
+        r = bench_config(args.config, impl=args.impl, precision=args.precision, tile_e=args.tile_e, streams=args.streams)
     nodes, edges = CONFIGS[args.config][0], CONFIGS[args.config][1]
     result = {
         "metric": f"epoch_time_{args.config}_{nodes}N_{edges}E_fwd_bwd_update",

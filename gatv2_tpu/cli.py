@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", choices=["highest", "high", "default"], default="highest",
                    help="MXU matmul precision: true-f32 (parity), bf16x3 "
                         "(near-f32, ~2x faster), or bf16 (fastest)")
+    p.add_argument("--streams", choices=["f32", "bf16"], default="f32",
+                   help="SELL edge-stream dtype: f32 (exact, default) or "
+                        "bf16 — per-edge HBM streams + attention residuals "
+                        "in bfloat16 (projections rounded once; all math "
+                        "f32), halving the traffic that binds large "
+                        "full-graph training. sell impl only; --overlap's "
+                        "merge path stays f32")
     p.add_argument("--seed", type=int, default=None,
                    help="PRNG seed (default: time-based, like the reference)")
     p.add_argument("--log-file", type=str, default=None,
@@ -195,7 +202,13 @@ def _finish(args: argparse.Namespace) -> tuple[ModelConfig, TrainConfig, argpars
         variant=args.variant,
         matmul_precision=args.precision,
         remat=args.remat,
+        streams=args.streams,
     )
+    if args.streams == "bf16" and impl != "sell":
+        print(
+            "Warning: --streams bf16 applies to the SELL kernels only; "
+            f"impl={impl!r} runs exact f32 streams.", file=sys.stderr,
+        )
     train_config = TrainConfig(
         epochs=args.epochs,
         optimizer=args.optimizer,

@@ -40,6 +40,16 @@ class ModelConfig:
     # activation/projection residuals — the knob that fits 60M+-edge
     # full-graph training in one chip's HBM.
     remat: bool = False
+    # Edge-stream dtype for the SELL kernels: 'f32' (exact, the default) or
+    # 'bf16' — the per-edge HBM streams (gathered zs/zd/g operands, the
+    # phase-2a packet buffer) and the attention custom-VJP residuals are
+    # stored bfloat16, halving the traffic of the HBM-bound large-graph
+    # regime. Math is unchanged: the projections are ROUNDED ONCE to bf16
+    # and every kernel computes in f32 from the same rounded values, so the
+    # forward/backward recomputes stay mutually consistent (equivalent to
+    # training with bf16-rounded projections). Softmax stats (sigma, r)
+    # stay f32. Orthogonal to matmul_precision (which controls MXU passes).
+    streams: str = "f32"
 
     def __post_init__(self):
         if len(self.heads) != self.num_layers or len(self.out_dims) != self.num_layers:
@@ -53,6 +63,10 @@ class ModelConfig:
             raise ValueError(
                 f"matmul_precision must be 'highest', 'high' or 'default', "
                 f"got {self.matmul_precision!r}"
+            )
+        if self.streams not in ("f32", "bf16"):
+            raise ValueError(
+                f"streams must be 'f32' or 'bf16', got {self.streams!r}"
             )
 
     @property

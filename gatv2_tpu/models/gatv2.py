@@ -109,6 +109,7 @@ def layer_forward(
     impl: str = "xla",
     edge_tiles: Any = None,  # precomputed tiling metadata for the pallas impl
     precision=None,  # jax.lax.Precision for the MXU matmuls
+    streams: str = "f32",  # SELL edge-stream dtype tier (config.streams)
 ) -> jax.Array:
     """One GATv2 layer. Returns [N, H*D] (hidden) or [N, D] (last layer)."""
     w_src, w_dst, a = layer_params["w_src"], layer_params["w_dst"], layer_params["a"]
@@ -138,6 +139,7 @@ def layer_forward(
         impl=impl,
         edge_tiles=edge_tiles,
         precision=precision,
+        streams=streams,
     )  # [N, H, D] (or flat [N, H*D] on the pallas path)
 
     if not is_last:
@@ -180,6 +182,7 @@ def model_forward(
                 impl=impl,
                 edge_tiles=edge_tiles,
                 precision=config.precision,
+                streams=config.streams,
             )
 
         if config.remat:

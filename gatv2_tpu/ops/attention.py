@@ -77,6 +77,7 @@ def edge_attention(
     edge_tiles: Any = None,
     precision=None,
     interpret: bool = False,
+    streams: str = "f32",  # SELL edge-stream dtype ('f32' exact | 'bf16')
 ) -> jax.Array:
     """Returns per-head aggregated features h [N, H, D]:
 
@@ -119,6 +120,7 @@ def edge_attention(
             sell_tiles=edge_tiles,
             precision=precision_name(precision),
             interpret=interpret,
+            streams=streams,
         )
     raise ValueError(
         f"unknown impl {impl!r}; expected 'xla', 'pallas' or 'sell'"

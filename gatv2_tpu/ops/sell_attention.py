@@ -858,8 +858,9 @@ def _sell_fwd_kernel(
 
         dma(slot, k).wait()
 
-        zs_c = zs_t[slot]
-        s = zs_c + zd_ref[:]
+        # upcast once after the DMA: bf16-tier streams/rows compute in f32
+        zs_c = zs_t[slot].astype(jnp.float32)
+        s = zs_c + zd_ref[:].astype(jnp.float32)
         s_act = jnp.where(s > 0, s, negative_slope * s)
         # head-replicated score + additive pad mask: this column's real
         # edges occupy rows [0, cnt) (length-descending slices), so the
@@ -904,7 +905,7 @@ def _sell_fwd_kernel(
 
 def _sell_forward(
     zs_e, cnt, zd_p, a2, s_sel, col_off, t, *, negative_slope, hd,
-    precision, interpret, normalize=True,
+    precision, interpret, normalize=True, sdt=jnp.float32,
 ):
     e_ell = zs_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -927,7 +928,7 @@ def _sell_forward(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_N, hd), jnp.float32),
+            pltpu.VMEM((2, TILE_N, hd), sdt),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
@@ -1049,9 +1050,10 @@ def _sell_bwd_dst_kernel(
             def _():
                 c1_dma(slot, k - 2).wait()
 
-        zs_c = zs_t[slot]
-        g = g_ref[:]
-        s = zs_c + zd_ref[:]
+        # upcast once after the DMA: bf16-tier streams/rows compute in f32
+        zs_c = zs_t[slot].astype(jnp.float32)
+        g = g_ref[:].astype(jnp.float32)
+        s = zs_c + zd_ref[:].astype(jnp.float32)
         s_act = jnp.where(s > 0, s, negative_slope * s)
         rowi = jax.lax.broadcasted_iota(jnp.int32, zs_c.shape, 0)
         sc = (
@@ -1069,7 +1071,7 @@ def _sell_bwd_dst_kernel(
         dzd_ref[:] = dzd_ref[:] + ds
         da_scr[:] = da_scr[:] + de * s_act
         if emit_c1:
-            c1_t[slot] = alpha * g + ds
+            c1_t[slot] = (alpha * g + ds).astype(c1_t.dtype)
             c1_dma(slot, k).start()
         return 0
 
@@ -1093,6 +1095,7 @@ def _sell_bwd_dst_kernel(
 def _sell_bwd_dst(
     zs_e, cnt, zd_p, g_p, sr_p, a2, bdiag, rsig, rr, a_rep, col_off, t,
     *, negative_slope, hd, precision, interpret, emit_c1=True,
+    sdt=jnp.float32,
 ):
     e_ell = zs_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1124,8 +1127,8 @@ def _sell_bwd_dst(
             ),
         ] + ([pl.BlockSpec(memory_space=pl.ANY)] if emit_c1 else []),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_N, hd), jnp.float32),
-        ] + ([pltpu.VMEM((2, TILE_N, hd), jnp.float32)] if emit_c1 else [])
+            pltpu.VMEM((2, TILE_N, hd), sdt),
+        ] + ([pltpu.VMEM((2, TILE_N, hd), sdt)] if emit_c1 else [])
         + [
             pltpu.VMEM((TILE_N, hd), jnp.float32),
             pltpu.VMEM((TILE_N, hd), jnp.float32),
@@ -1146,7 +1149,7 @@ def _sell_bwd_dst(
             jax.ShapeDtypeStruct((t * TILE_N, hd), jnp.float32),
             jax.ShapeDtypeStruct((t * 8, hd), jnp.float32),
         ] + (
-            [jax.ShapeDtypeStruct((e_ell, hd), jnp.float32)]
+            [jax.ShapeDtypeStruct((e_ell, hd), sdt)]
             if emit_c1 else []
         ),
         compiler_params=pltpu.CompilerParams(
@@ -1244,13 +1247,14 @@ def _sell_bwd_src_kernel(
         for cp in dmas(slot, k):
             cp.wait()
 
-        zd_c = zd_t[slot]
-        g_c = g_t[slot]
+        # upcast once after the DMA: bf16-tier streams/rows compute in f32
+        zd_c = zd_t[slot].astype(jnp.float32)
+        g_c = g_t[slot].astype(jnp.float32)
         both = _kdot(
             sr_t[slot], ex_ref[:], (((1,), (0,)), ((), ())), precision,
             exact_arg=1,
         )  # [TILE_N, 2*hd]: [sigma_rep | r_rep]
-        zs = zs_ref[:]
+        zs = zs_ref[:].astype(jnp.float32)
         s = zs + zd_c
         s_act = jnp.where(s > 0, s, negative_slope * s)
         sc = _kdot(
@@ -1272,7 +1276,7 @@ def _sell_bwd_src_kernel(
 
 def _sell_bwd_src(
     zd_e, g_e, sr_e, zs_p, a2, bdiag, ex, a_rep, col_off, t,
-    *, negative_slope, hd, precision, interpret,
+    *, negative_slope, hd, precision, interpret, sdt=jnp.float32,
 ):
     e2 = zd_e.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1294,8 +1298,8 @@ def _sell_bwd_src(
             (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_N, hd), jnp.float32),
-            pltpu.VMEM((2, TILE_N, hd), jnp.float32),
+            pltpu.VMEM((2, TILE_N, hd), sdt),
+            pltpu.VMEM((2, TILE_N, hd), sdt),
             pltpu.VMEM((2, TILE_N, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
@@ -1371,7 +1375,7 @@ def _sell_segsum_kernel(
 
         dma(slot, k).wait()
         dzs_ref[:] = dzs_ref[:] + jnp.where(
-            rowi < cnt_ref[c0 + k], c1_t[slot], 0.0
+            rowi < cnt_ref[c0 + k], c1_t[slot].astype(jnp.float32), 0.0
         )
         return 0
 
@@ -1388,7 +1392,7 @@ def _sell_segsum(c1s, col_off, cnt, t, *, hd, interpret):
             (TILE_N, hd), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_N, hd), jnp.float32),
+            pltpu.VMEM((2, TILE_N, hd), c1s.dtype),
             pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )
@@ -1447,10 +1451,21 @@ def sell_attention(
     sell_tiles: SellTiles | None = None,
     interpret: bool = False,
     precision: str = "highest",
+    streams: str = "f32",
 ) -> jax.Array:
     """Drop-in replacement for ops.attention._edge_attention_xla on the
     SELL layout (see module docstring). Forward + custom-VJP backward run
-    the SELL Pallas kernels; parity is tested against the XLA oracle."""
+    the SELL Pallas kernels; parity is tested against the XLA oracle.
+
+    streams='bf16': the projections are rounded ONCE to bfloat16 and every
+    per-edge HBM stream (gathered zs/zd/g operands, phase-2a packets) plus
+    the zs/zd custom-VJP residuals are stored bf16 — halving the traffic
+    that binds the large-graph regime. All kernel arithmetic stays f32 on
+    the upcast values and the forward/backward recomputations see the SAME
+    rounded inputs, so the result equals running the exact kernels on
+    bf16-rounded projections (tested against the oracle on rounded
+    inputs); softmax stats (sigma, r) stay f32. 'f32' (default) is the
+    bit-exact path."""
     if sell_tiles is None:
         raise ValueError(
             "impl='sell' requires sell_tiles "
@@ -1494,10 +1509,14 @@ def sell_attention(
                     zs_g, zd_g, a[h0:h1], src, dst, num_nodes,
                     negative_slope=negative_slope, sell_tiles=sell_tiles,
                     interpret=interpret, precision=precision,
+                    streams=streams,
                 )
             )
         return jnp.concatenate(outs, axis=-1 if zs.ndim == 2 else 1)
 
+    if streams not in ("f32", "bf16"):
+        raise ValueError(f"streams must be 'f32' or 'bf16', got {streams!r}")
+    sdt = jnp.bfloat16 if streams == "bf16" else jnp.float32
     num_heads, head_dim = int(a.shape[0]), int(a.shape[1])
     hd_real = num_heads * head_dim
     hd = -(-hd_real // 128) * 128
@@ -1506,7 +1525,7 @@ def sell_attention(
     ns_pad = st.padded_src_nodes
     kw = dict(
         negative_slope=negative_slope, hd=hd, precision=precision,
-        interpret=interpret,
+        interpret=interpret, sdt=sdt,
     )
 
     def _prep(z, rows):
@@ -1573,11 +1592,13 @@ def sell_attention(
         zs_flat = _prep(zs_, ns_pad)
         zd_flat = _prep(zd_, n_pad)
         a2, _, _, _, s_sel, _ = _sell_matrices(a_, hd)
+        # stream tables in the stream dtype (bf16 tier: rounded once here;
+        # every downstream gather/kernel sees the same rounded values)
         zs_z = jnp.concatenate(
-            [zs_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+            [zs_flat.astype(sdt), jnp.zeros((1, hd), sdt)], axis=0
         )
         zd_z = jnp.concatenate(
-            [zd_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+            [zd_flat.astype(sdt), jnp.zeros((1, hd), sdt)], axis=0
         )
         normalize = not st.dst.split
         if g_chunks == 1:
@@ -1637,8 +1658,13 @@ def sell_attention(
     def fwd(zs_, zd_, a_, st_):
         out_n, sigma = _forward_all(zs_, zd_, a_, st_)
         out_r = _restore(out_n)
-        # sigma rides in NODE order (both phases gather it per row/edge)
-        return out_r, (zs_, zd_, a_, sigma, out_r, st_)
+        # sigma rides in NODE order (both phases gather it per row/edge).
+        # zs/zd residuals ride in the stream dtype (the backward rounds
+        # them to sdt anyway — bf16 tier halves the residual HBM); sigma
+        # and out stay f32.
+        return out_r, (
+            zs_.astype(sdt), zd_.astype(sdt), a_, sigma, out_r, st_
+        )
 
     def bwd(res, gout):
         zs_, zd_, a_, sigma_n, out_r, st_ = res
@@ -1662,14 +1688,16 @@ def sell_attention(
         sr_z = jnp.concatenate(
             [sr_node, jnp.zeros((1, 128), jnp.float32)], axis=0
         )
+        # zs/zd arrive as sdt residuals; g rounds to sdt for its streams
+        # (the f32 g_flat above already fed the exact r computation)
         zs_z = jnp.concatenate(
-            [zs_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+            [zs_flat.astype(sdt), jnp.zeros((1, hd), sdt)], axis=0
         )
         zd_z = jnp.concatenate(
-            [zd_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+            [zd_flat.astype(sdt), jnp.zeros((1, hd), sdt)], axis=0
         )
         g_z = jnp.concatenate(
-            [g_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
+            [g_flat.astype(sdt), jnp.zeros((1, hd), sdt)], axis=0
         )
         if g_chunks == 1:
             zd_p = _take(zd_z, st_.dst.perm)

@@ -118,6 +118,7 @@ def _sharded_layer(
     overlap_tiles=None,  # (local_tiles, halo_tiles) EdgeTiles pair ->
     #             Pallas two-pass merged-softmax kernels (partition.
     #             prepare_overlap_tiles); requires halo
+    streams: str = "f32",  # SELL edge-stream dtype tier (non-overlap path)
 ) -> jax.Array:
     w_src, w_dst, a = layer_params["w_src"], layer_params["w_dst"], layer_params["a"]
     n_loc = x_loc.shape[0]
@@ -234,6 +235,7 @@ def _sharded_layer(
             zs_space, zd_loc, a, None, None, n_loc,
             negative_slope=negative_slope, impl=impl,
             edge_tiles=edge_tiles, precision=precision, interpret=interpret,
+            streams=streams,
         )  # [n_loc, H_loc, D]
     else:
         zs_e = jnp.take(zs_space, src_idx, axis=0, mode="clip")  # [e_loc, H_loc, D]
@@ -369,6 +371,7 @@ def make_sharded_loss_fn(
                     halo=halo_loc,
                     overlap=ov_loc,
                     overlap_tiles=ovt_loc,
+                    streams=model_config.streams,
                 )
 
             if model_config.remat:

@@ -445,3 +445,75 @@ def test_sell_chunked_low_mem_parity(monkeypatch):
     np.testing.assert_allclose(o_lm, ref, rtol=2e-5, atol=2e-5)
     for xl, xf in zip(g_lm, g_fast):
         np.testing.assert_allclose(xl, xf, rtol=1e-5, atol=1e-6)
+
+
+def test_sell_bf16_streams_parity():
+    """streams='bf16' equals THE EXACT KERNELS RUN ON bf16-ROUNDED
+    PROJECTIONS — the tier's contract: zs/zd round once, every kernel
+    computes f32 from the same rounded values. The forward additionally
+    matches the rounded-input ORACLE tightly; gradients are compared
+    against the exact-path-at-rounded-inputs reference (the oracle's
+    autodiff differs there on ties: bf16 rounding makes exact zs = -zd
+    cancellations likely, and at s == 0 jax.nn.leaky_relu's derivative
+    takes 1.0 where the kernels' s > 0 branch takes the slope — a
+    measure-zero boundary in f32 that rounding exposes, not a defect).
+    Residual deltas come from gout's streamed bf16 copy and (unchunked)
+    the bf16 c1 packets. Both chunk modes are covered."""
+    g = random_graph(
+        num_nodes=700, num_edges=3200, feature_dim=8, num_classes=3, seed=13
+    )
+    n = g.num_nodes
+    src_all, dst_all = _coo(g)
+    zs, zd, a = _rand_zza(n, 2, 32, 8)
+    zs_r = zs.astype(jnp.bfloat16).astype(jnp.float32)
+    zd_r = zd.astype(jnp.bfloat16).astype(jnp.float32)
+    ref_out = _ref(zs_r, zd_r, a, src_all, dst_all, n)
+
+    for chunks in (1, 3):
+        st = prepare_sell_tiles(g.row_ptr, g.col_idx, n, num_chunks=chunks)
+
+        def mk(streams):
+            def loss(zs_, zd_, a_):
+                o = sell_attention(
+                    zs_, zd_, a_, None, None, n, negative_slope=0.2,
+                    sell_tiles=st, interpret=True, streams=streams,
+                )
+                return jnp.sum(jnp.sin(o)), o
+
+            return loss
+
+        (_, o), gr = jax.value_and_grad(
+            mk("bf16"), argnums=(0, 1, 2), has_aux=True
+        )(zs, zd, a)
+        (_, o_ex), gr_ex = jax.value_and_grad(
+            mk("f32"), argnums=(0, 1, 2), has_aux=True
+        )(zs_r, zd_r, a)
+        np.testing.assert_allclose(o, ref_out, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(o, o_ex, rtol=1e-5, atol=1e-6)
+        for x, y in zip(gr, gr_ex):
+            # scale-relative (near-zero elements make per-element rtol
+            # meaningless for bf16-rounded gradients)
+            err = np.abs(np.asarray(x) - np.asarray(y)).max()
+            scale = np.abs(np.asarray(y)).max() + 1e-12
+            # bound ~2 compounded bf16 roundings (2 * 2^-8 ~ 0.8%)
+            assert err <= 1e-2 * scale, (err, scale)
+
+
+def test_sell_f32_streams_unchanged():
+    """streams='f32' (the default) is bit-identical to not passing the
+    knob at all — the exact path carries zero cost for the tier."""
+    g = random_graph(
+        num_nodes=400, num_edges=1600, feature_dim=8, num_classes=3, seed=3
+    )
+    n = g.num_nodes
+    zs, zd, a = _rand_zza(n, 2, 16, 5)
+    st = prepare_sell_tiles(g.row_ptr, g.col_idx, n)
+    o1 = sell_attention(
+        zs, zd, a, None, None, n, negative_slope=0.2, sell_tiles=st,
+        interpret=True,
+    )
+    o2 = sell_attention(
+        zs, zd, a, None, None, n, negative_slope=0.2, sell_tiles=st,
+        interpret=True, streams="f32",
+    )
+    assert (np.asarray(o1) == np.asarray(o2)).all()

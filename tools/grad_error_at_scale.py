@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--impl", default="sell", choices=["sell", "pallas"])
+    ap.add_argument("--streams", default=None, choices=["bf16"],
+                    help="measure the bf16-stream tier instead of the "
+                         "bf16x3 matmul tier (sell only): error of "
+                         "streams='bf16' vs exact f32, both at "
+                         "precision='highest'")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -51,11 +56,11 @@ def main():
 
         tiles = prepare_sell_tiles(g.row_ptr, g.col_idx, g.num_nodes)
 
-        def make_loss(precision):
+        def make_loss(precision, streams="f32"):
             def loss(zs, zd, a):
                 return jnp.sum(jnp.sin(sell_attention(
                     zs, zd, a, None, None, g.num_nodes, negative_slope=0.2,
-                    sell_tiles=tiles, precision=precision,
+                    sell_tiles=tiles, precision=precision, streams=streams,
                 )))
             return loss
     else:
@@ -76,13 +81,23 @@ def main():
 
     out = {"impl": args.impl, "nodes": g.num_nodes,
            "edges": int(g.num_edges), "heads": h, "dim": d}
+    if args.streams == "bf16":
+        if args.impl != "sell":
+            raise SystemExit("--streams bf16 is a sell-only tier")
+        out["tier"] = "streams_bf16_vs_f32"
+        variants = [("highest", {"precision": "highest"}),
+                    ("high", {"precision": "highest", "streams": "bf16"})]
+    else:
+        out["tier"] = "precision_high_vs_highest"
+        variants = [("highest", {"precision": "highest"}),
+                    ("high", {"precision": "high"})]
     grads = {}
-    for prec in ("highest", "high"):
+    for key, kw in variants:
         v, gr = jax.jit(
-            jax.value_and_grad(make_loss(prec), argnums=(0, 1, 2))
+            jax.value_and_grad(make_loss(**kw), argnums=(0, 1, 2))
         )(zs, zd, a)
-        grads[prec] = [np.asarray(x) for x in gr]
-        out[f"loss_{prec}"] = float(v)
+        grads[key] = [np.asarray(x) for x in gr]
+        out[f"loss_{key}"] = float(v)
     names = ("d_zs", "d_zd", "d_a")
     for name, ge, gx in zip(names, grads["high"], grads["highest"]):
         err = np.abs(ge - gx)

@@ -16,6 +16,8 @@ Covers, in ~a minute of chip time:
      head-replicated representation only prove out on real Mosaic lowering
   7. SELL merge path (sell_attention_merge, 2 parts — the halo-overlap
      building block: unnormalized forward + packed [m | l] stats)
+  8. SELL streams='bf16' (bf16 stream DMAs + in-kernel upcasts), both
+     chunk modes, against exact-kernels-at-rounded-inputs
 
 Prints one JSON line per check and 'SMOKE OK' at the end; exits nonzero on
 the first failure.
@@ -158,6 +160,58 @@ def main():
     check_sell("sell_h4d64", 4, 64)
     check_sell("sell_lanepad_h2d60", 2, 60)
     check_sell("sell_high_precision", 4, 64, precision="high", tol=3e-4)
+
+    # streams='bf16' (bf16 DMA tiles + upcasts on real Mosaic): contract is
+    # exact-kernels-at-bf16-rounded-inputs (tests/test_sell.py), checked for
+    # both chunk modes
+    def check_sell_bf16(tag, *, num_chunks=1):
+        nonlocal failures
+        rng = np.random.default_rng(37)
+        h, d = 4, 64
+        zs = jnp.asarray(rng.standard_normal((g.num_nodes, h, d)), jnp.float32)
+        zd = jnp.asarray(rng.standard_normal((g.num_nodes, h, d)), jnp.float32)
+        a = jnp.asarray(rng.standard_normal((h, d)), jnp.float32)
+        zs_r = zs.astype(jnp.bfloat16).astype(jnp.float32)
+        zd_r = zd.astype(jnp.bfloat16).astype(jnp.float32)
+        st = prepare_sell_tiles(
+            g.row_ptr, g.col_idx, g.num_nodes, num_chunks=num_chunks
+        )
+
+        def mk(streams):
+            def loss(zs_, zd_, a_):
+                return jnp.sum(jnp.sin(sell_attention(
+                    zs_, zd_, a_, None, None, g.num_nodes,
+                    negative_slope=0.2, sell_tiles=st, streams=streams,
+                )))
+            return loss
+
+        try:
+            v_b, g_b = jax.jit(jax.value_and_grad(
+                mk("bf16"), argnums=(0, 1, 2)))(zs, zd, a)
+            v_e, g_e = jax.jit(jax.value_and_grad(
+                mk("f32"), argnums=(0, 1, 2)))(zs_r, zd_r, a)
+            errs = []
+            for p, x in zip(g_b, g_e):
+                p, x = np.asarray(p), np.asarray(x)
+                errs.append(float(np.abs(p - x).max() /
+                                  (np.abs(x).max() + 1e-12)))
+            verr = abs(float(v_b) - float(v_e)) / (abs(float(v_e)) + 1e-12)
+            ok = verr < 1e-4 and all(e < 1e-2 for e in errs)
+            print(json.dumps({
+                "check": tag, "ok": bool(ok), "val_rel_err": verr,
+                "grad_rel_errs": errs,
+            }), flush=True)
+            if not ok:
+                failures += 1
+        except Exception as e:
+            print(json.dumps({
+                "check": tag, "ok": False,
+                "error": f"{type(e).__name__}: {str(e)[:400]}",
+            }), flush=True)
+            failures += 1
+
+    check_sell_bf16("sell_bf16_streams_unchunked")
+    check_sell_bf16("sell_bf16_streams_chunked3", num_chunks=3)
 
     # SELL merge path (the halo-overlap building block): 2 edge subsets
     try:
