@@ -151,7 +151,7 @@ def _peak_tflops(device_str: str) -> float | None:
 
 def bench_config(
     name, *, k1=None, k2=None, reps=None, impl="pallas", seed=0,
-    precision="highest", tile_e=None, streams="f32"
+    precision="highest", tile_e=None, streams="f32", chunk_budget=None,
 ):
     import jax
     import jax.numpy as jnp
@@ -167,7 +167,11 @@ def bench_config(
     config = ModelConfig(
         num_layers=layers, heads=heads, out_dims=outdims,
         num_classes=c, in_dim=f, matmul_precision=precision,
-        remat=(e >= 30_000_000),  # fit 60M+-edge full-graph in HBM
+        # fit 60M+-edge full-graph in HBM. (Measured, round 5: even with
+        # the bf16-residual tier, remat-off at products-full exceeds HBM
+        # by 2.6 GB — the backward's node-space f32 tables dominate, not
+        # the residuals — so remat stays on for every tier.)
+        remat=(e >= 30_000_000),
         streams=streams,
     )
     tc = TrainConfig(optimizer="adam", lr=0.01, seed=seed, impl=impl)
@@ -185,7 +189,7 @@ def bench_config(
         from gatv2_tpu.ops.sell_attention import setup_full_graph_sell
 
         edge_tiles, feats_np, labels_np, num_valid = setup_full_graph_sell(
-            g, heads, outdims
+            g, heads, outdims, budget_bytes=chunk_budget
         )
         sell_overhead = edge_tiles.pad_overhead
     feats = jnp.asarray(feats_np)
@@ -501,8 +505,13 @@ def main():
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
     ap.add_argument("--streams", default="f32", choices=["f32", "bf16"],
-                    help="SELL edge-stream dtype tier (bf16 halves per-edge "
-                         "HBM traffic; sell impl, full-graph paths)")
+                    help="SELL stream tier (bf16 = rounded projections + "
+                         "bf16 residual storage; transport stays f32)")
+    ap.add_argument("--chunk-budget-gb", type=float, default=None,
+                    help="override the SELL edge-temporary chunking budget "
+                         "(default: ops.pallas_attention.default_chunk_budget"
+                         "; fewer/bigger chunks cut scan-stacking copies at "
+                         "more transient HBM)")
     ap.add_argument("--all", action="store_true", help="bench every config (stderr)")
     ap.add_argument("--tile-e", type=int, default=None,
                     help="override the Pallas edge-tile size (default: auto)")
@@ -560,7 +569,7 @@ def main():
                 r = rr  # reuse for the headline line (no duplicate run)
 
     if r is None:
-        r = bench_config(args.config, impl=args.impl, precision=args.precision, tile_e=args.tile_e, streams=args.streams)
+        r = bench_config(args.config, impl=args.impl, precision=args.precision, tile_e=args.tile_e, streams=args.streams, chunk_budget=(int(args.chunk_budget_gb * (1 << 30)) if args.chunk_budget_gb else None))
     nodes, edges = CONFIGS[args.config][0], CONFIGS[args.config][1]
     result = {
         "metric": f"epoch_time_{args.config}_{nodes}N_{edges}E_fwd_bwd_update",

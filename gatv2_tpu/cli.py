@@ -92,12 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MXU matmul precision: true-f32 (parity), bf16x3 "
                         "(near-f32, ~2x faster), or bf16 (fastest)")
     p.add_argument("--streams", choices=["f32", "bf16"], default="f32",
-                   help="SELL edge-stream dtype: f32 (exact, default) or "
-                        "bf16 — per-edge HBM streams + attention residuals "
-                        "in bfloat16 (projections rounded once; all math "
-                        "f32), halving the traffic that binds large "
-                        "full-graph training. sell impl only; --overlap's "
-                        "merge path stays f32")
+                   help="SELL stream tier: f32 (exact, default) or bf16 — "
+                        "projections rounded once + attention residuals "
+                        "stored bfloat16 (all math and transport stay "
+                        "f32; halved residual footprint). sell impl only; "
+                        "--overlap's merge path stays f32")
     p.add_argument("--seed", type=int, default=None,
                    help="PRNG seed (default: time-based, like the reference)")
     p.add_argument("--log-file", type=str, default=None,

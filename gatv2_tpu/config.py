@@ -40,15 +40,17 @@ class ModelConfig:
     # activation/projection residuals — the knob that fits 60M+-edge
     # full-graph training in one chip's HBM.
     remat: bool = False
-    # Edge-stream dtype for the SELL kernels: 'f32' (exact, the default) or
-    # 'bf16' — the per-edge HBM streams (gathered zs/zd/g operands, the
-    # phase-2a packet buffer) and the attention custom-VJP residuals are
-    # stored bfloat16, halving the traffic of the HBM-bound large-graph
-    # regime. Math is unchanged: the projections are ROUNDED ONCE to bf16
-    # and every kernel computes in f32 from the same rounded values, so the
-    # forward/backward recomputes stay mutually consistent (equivalent to
-    # training with bf16-rounded projections). Softmax stats (sigma, r)
-    # stay f32. Orthogonal to matmul_precision (which controls MXU passes).
+    # SELL-kernel stream tier: 'f32' (exact, the default) or 'bf16' — the
+    # projections are ROUNDED ONCE to bfloat16 and the attention custom-VJP
+    # residuals are STORED bf16 (halved residual footprint). Transport and
+    # all arithmetic stay f32 on the rounded values (bf16 HBM transport
+    # measured 18% SLOWER on chip: gathers read 16-row bf16 tiles per row —
+    # the same physical bytes as 8-row f32 tiles — plus convert passes; and
+    # remat-off-via-smaller-residuals still exceeds HBM at products-full,
+    # the backward's node-space f32 tables dominate). Forward/backward
+    # recomputes see the same rounded inputs, so the tier equals running
+    # the exact kernels on bf16-rounded projections; g/sigma/r stay exact
+    # f32. Orthogonal to matmul_precision (which controls MXU passes).
     streams: str = "f32"
 
     def __post_init__(self):

@@ -1457,15 +1457,13 @@ def sell_attention(
     SELL layout (see module docstring). Forward + custom-VJP backward run
     the SELL Pallas kernels; parity is tested against the XLA oracle.
 
-    streams='bf16': the projections are rounded ONCE to bfloat16 and every
-    per-edge HBM stream (gathered zs/zd/g operands, phase-2a packets) plus
-    the zs/zd custom-VJP residuals are stored bf16 — halving the traffic
-    that binds the large-graph regime. All kernel arithmetic stays f32 on
-    the upcast values and the forward/backward recomputations see the SAME
-    rounded inputs, so the result equals running the exact kernels on
-    bf16-rounded projections (tested against the oracle on rounded
-    inputs); softmax stats (sigma, r) stay f32. 'f32' (default) is the
-    bit-exact path."""
+    streams='bf16': the projections are rounded ONCE to bfloat16 and the
+    zs/zd custom-VJP residuals are STORED bf16 (halved residual
+    footprint). Transport and all arithmetic stay f32 on the rounded
+    values (bf16 HBM transport measured 18% slower — see _round), and
+    forward/backward recomputes see the SAME rounded inputs, so the
+    result equals running the exact kernels on bf16-rounded projections;
+    g/sigma/r stay exact f32. 'f32' (default) is the bit-exact path."""
     if sell_tiles is None:
         raise ValueError(
             "impl='sell' requires sell_tiles "
@@ -1525,8 +1523,18 @@ def sell_attention(
     ns_pad = st.padded_src_nodes
     kw = dict(
         negative_slope=negative_slope, hd=hd, precision=precision,
-        interpret=interpret, sdt=sdt,
+        interpret=interpret,
     )
+
+    def _round(z):
+        """bf16 tier: round once, TRANSPORT f32. Measured on chip
+        (products-full, SWEEP round 5): moving the per-edge streams
+        themselves in bf16 is 18% SLOWER than f32 — XLA row-gathers read
+        (16,128) bf16 tiles per row (same physical bytes as (8,128) f32)
+        and add convert passes. The tier's wins are bf16 custom-VJP
+        residuals (halved footprint) and exactly-consistent fwd/bwd
+        recomputes on the rounded values."""
+        return z.astype(sdt).astype(jnp.float32)
 
     def _prep(z, rows):
         n = z.shape[0]
@@ -1592,13 +1600,13 @@ def sell_attention(
         zs_flat = _prep(zs_, ns_pad)
         zd_flat = _prep(zd_, n_pad)
         a2, _, _, _, s_sel, _ = _sell_matrices(a_, hd)
-        # stream tables in the stream dtype (bf16 tier: rounded once here;
-        # every downstream gather/kernel sees the same rounded values)
+        # bf16 tier: projections rounded once (f32 transport, see _round);
+        # every downstream gather/kernel sees the same rounded values
         zs_z = jnp.concatenate(
-            [zs_flat.astype(sdt), jnp.zeros((1, hd), sdt)], axis=0
+            [_round(zs_flat), jnp.zeros((1, hd), jnp.float32)], axis=0
         )
         zd_z = jnp.concatenate(
-            [zd_flat.astype(sdt), jnp.zeros((1, hd), sdt)], axis=0
+            [_round(zd_flat), jnp.zeros((1, hd), jnp.float32)], axis=0
         )
         normalize = not st.dst.split
         if g_chunks == 1:
@@ -1688,16 +1696,18 @@ def sell_attention(
         sr_z = jnp.concatenate(
             [sr_node, jnp.zeros((1, 128), jnp.float32)], axis=0
         )
-        # zs/zd arrive as sdt residuals; g rounds to sdt for its streams
-        # (the f32 g_flat above already fed the exact r computation)
+        # zs/zd arrive as sdt residuals — upcast once (f32 transport); the
+        # upstream grad g stays exact f32 end to end
         zs_z = jnp.concatenate(
-            [zs_flat.astype(sdt), jnp.zeros((1, hd), sdt)], axis=0
+            [zs_flat.astype(jnp.float32), jnp.zeros((1, hd), jnp.float32)],
+            axis=0,
         )
         zd_z = jnp.concatenate(
-            [zd_flat.astype(sdt), jnp.zeros((1, hd), sdt)], axis=0
+            [zd_flat.astype(jnp.float32), jnp.zeros((1, hd), jnp.float32)],
+            axis=0,
         )
         g_z = jnp.concatenate(
-            [g_flat.astype(sdt), jnp.zeros((1, hd), sdt)], axis=0
+            [g_flat, jnp.zeros((1, hd), jnp.float32)], axis=0
         )
         if g_chunks == 1:
             zd_p = _take(zd_z, st_.dst.perm)
