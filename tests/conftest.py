@@ -102,6 +102,8 @@ _FAST_TESTS = {
         "test_sampler_shapes_and_validity[python]",
         "test_budget_modes",
     },
+    "test_minibatch_sell.py": {"test_sell_geometry_bounds_hub_batch"},
+    "test_sell.py": {"test_sell_f32_streams_unchanged"},
     "test_splits.py": {"test_trainer_split_evaluation"},
 }
 
