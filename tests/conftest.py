@@ -103,6 +103,7 @@ _FAST_TESTS = {
         "test_budget_modes",
     },
     "test_minibatch_sell.py": {"test_sell_geometry_bounds_hub_batch"},
+    "test_sweep_tools.py": None,  # whole file (~1s, no jax compile)
     "test_sell.py": {"test_sell_f32_streams_unchanged"},
     "test_splits.py": {"test_trainer_split_evaluation"},
 }
