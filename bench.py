@@ -500,7 +500,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="citeseer3", choices=list(CONFIGS))
     ap.add_argument(
-        "--impl", default="pallas", choices=["xla", "pallas", "sell"]
+        # TEMP: default flips to 'auto' after the in-flight round-5 sweep
+        # (whose legs predate the explicit --impl flags) completes
+        "--impl", default="pallas", choices=["auto", "xla", "pallas", "sell"],
+        help="attention kernel family; 'auto' resolves like the "
+             "CLI: sell on an accelerator, xla on CPU — so the headline "
+             "measures the framework's actual default path",
     )
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
@@ -531,6 +536,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    if args.impl == "auto":
+        import jax
+
+        args.impl = "sell" if jax.default_backend() != "cpu" else "xla"
 
     if args.mesh > 0:
         if args.all:

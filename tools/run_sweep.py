@@ -48,20 +48,23 @@ TRANSIENT_SIGNATURES = (
 RETRY_SETTLE_S = 30
 
 LEGS: list[tuple[str, list[str], int]] = [
-    # (tag, bench.py args, timeout seconds)
+    # (tag, bench.py args, timeout seconds). Every leg names its --impl
+    # explicitly (bench.py's default is 'auto' = the CLI's resolution,
+    # which would alias the A/B pairs).
     # Ordered by decision value (A/B pairs adjacent) so a truncated sweep
     # still answers the round's headline question: does the SELL layout
     # beat the one-hot pallas kernels on large graphs?
-    ("arxiv", ["--config", "arxiv"], 1800),
+    ("arxiv", ["--config", "arxiv", "--impl", "pallas"], 1800),
     ("arxiv-sell", ["--config", "arxiv", "--impl", "sell"], 1800),
-    ("citeseer3", ["--config", "citeseer3"], 900),
+    ("citeseer3", ["--config", "citeseer3", "--impl", "pallas"], 900),
     ("citeseer3-sell", ["--config", "citeseer3", "--impl", "sell"], 900),
     # hub-heavy (Zipf) degree profile: the regime real graphs have
-    ("arxiv-pl", ["--config", "arxiv-pl"], 1800),
+    ("arxiv-pl", ["--config", "arxiv-pl", "--impl", "pallas"], 1800),
     ("arxiv-pl-sell", ["--config", "arxiv-pl", "--impl", "sell"], 1800),
-    ("products-sub", ["--config", "products-sub"], 3600),
+    ("products-sub", ["--config", "products-sub", "--impl", "pallas"], 3600),
     ("products-sub-sell", ["--config", "products-sub", "--impl", "sell"], 3600),
-    ("arxiv-high", ["--config", "arxiv", "--precision", "high"], 1800),
+    ("arxiv-high",
+     ["--config", "arxiv", "--impl", "pallas", "--precision", "high"], 1800),
     ("arxiv-sell-high",
      ["--config", "arxiv", "--impl", "sell", "--precision", "high"], 1800),
     # hub regime under bf16x3: exercises virtual-row splitting + _kdot
@@ -69,23 +72,27 @@ LEGS: list[tuple[str, list[str], int]] = [
     ("arxiv-pl-sell-high",
      ["--config", "arxiv-pl", "--impl", "sell", "--precision", "high"],
      1800),
-    ("pubmed", ["--config", "pubmed"], 900),
+    ("pubmed", ["--config", "pubmed", "--impl", "pallas"], 900),
     ("pubmed-sell", ["--config", "pubmed", "--impl", "sell"], 900),
-    ("cora", ["--config", "cora"], 900),
+    ("cora", ["--config", "cora", "--impl", "pallas"], 900),
     ("cora-sell", ["--config", "cora", "--impl", "sell"], 900),
-    ("citeseer3-mesh1", ["--config", "citeseer3", "--mesh", "1"], 1800),
-    ("products-sub-mesh1", ["--config", "products-sub", "--mesh", "1"], 3600),
+    ("citeseer3-mesh1",
+     ["--config", "citeseer3", "--impl", "pallas", "--mesh", "1"], 1800),
+    ("products-sub-mesh1",
+     ["--config", "products-sub", "--impl", "pallas", "--mesh", "1"], 3600),
     ("products-sub-mesh1-sell",
      ["--config", "products-sub", "--mesh", "1", "--impl", "sell"], 3600),
-    ("products-full", ["--config", "products-full"], 5400),
+    ("products-full", ["--config", "products-full", "--impl", "pallas"], 5400),
     ("products-full-sell",
      ["--config", "products-full", "--impl", "sell"], 5400),
     ("products-full-high",
-     ["--config", "products-full", "--precision", "high"], 5400),
+     ["--config", "products-full", "--impl", "pallas", "--precision", "high"],
+     5400),
 ]
 
 TILE_LEGS = [
-    (f"arxiv-te{te}", ["--config", "arxiv", "--tile-e", str(te)], 1800)
+    (f"arxiv-te{te}",
+     ["--config", "arxiv", "--impl", "pallas", "--tile-e", str(te)], 1800)
     for te in (128, 256, 512)
 ]
 
