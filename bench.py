@@ -500,10 +500,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="citeseer3", choices=list(CONFIGS))
     ap.add_argument(
-        # TEMP: default flips to 'auto' after the in-flight round-5 sweep
-        # (whose legs predate the explicit --impl flags) completes
-        "--impl", default="pallas", choices=["auto", "xla", "pallas", "sell"],
-        help="attention kernel family; 'auto' resolves like the "
+        "--impl", default="auto", choices=["auto", "xla", "pallas", "sell"],
+        help="attention kernel family; 'auto' (default) resolves like the "
              "CLI: sell on an accelerator, xla on CPU — so the headline "
              "measures the framework's actual default path",
     )
