@@ -74,6 +74,26 @@ _SKIP = {("karate", "dp4-minibatch-cpu"), ("karate", "minibatch-pallas"),
          ("karate", "minibatch-sell")}
 
 
+_DEFAULT_DEVICE = None
+
+
+def _default_device() -> str:
+    """The default backend's first device, queried once in a subprocess
+    (the parent must stay backend-agnostic: mesh cells force CPU)."""
+    global _DEFAULT_DEVICE
+    if _DEFAULT_DEVICE is None:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0])"],
+                capture_output=True, text=True, timeout=300,
+            )
+            _DEFAULT_DEVICE = out.stdout.strip().splitlines()[-1] or "?"
+        except Exception:
+            _DEFAULT_DEVICE = "?"
+    return _DEFAULT_DEVICE
+
+
 def run_cell(dataset: str, mode: str) -> dict:
     args, env_over = MODES[mode]
     cmd = [sys.executable, str(REPO / "train.py"), "--dataset", dataset,
@@ -89,16 +109,20 @@ def run_cell(dataset: str, mode: str) -> dict:
         )
     test_acc = None
     final_loss = None
-    device = "?"
+    # GATV2_PLATFORM pins the backend for mesh cells; otherwise the cell
+    # ran the default backend (the real TPU when tunneled). The memory-
+    # report line can't serve as the source: backends without
+    # memory_stats() (CPU, some tunnels) never print it.
+    device = (
+        f"cpu x{env_over.get('XLA_FLAGS', '').split('=')[-1] or '?'} virtual"
+        if env_over.get("GATV2_PLATFORM") == "cpu"
+        else _default_device()
+    )
     for line in out.stdout.splitlines():
         if line.startswith("Final Test Accuracy:"):
             test_acc = float(line.split(":")[1].strip().rstrip("%"))
         if line.startswith("Avg Loss:"):
             final_loss = float(line.split("Avg Loss:")[1].split(",")[0])
-        if line.startswith("Device memory allocated on "):
-            device = line.split("Device memory allocated on ", 1)[1].split(
-                ":"
-            )[0]
     if test_acc is None or final_loss is None:
         raise RuntimeError(
             f"{dataset}/{mode}: could not parse accuracy/loss from train.py "
