@@ -996,3 +996,54 @@ def test_mesh2_chunked_pallas_tiles_match_single_device(learnable_graph):
             used = int(rel[s, ch, -1]) * te
             tail = ids[s, ch, used:]
             assert tail.size == 0 or (tail == pad_id).all()
+
+
+def test_sharded_sell_bf16_streams_matches_single_device(learnable_graph):
+    """config.streams='bf16' flows through the sharded (non-overlap) SELL
+    path: the 4-shard loss/grads match the single-device SELL run with the
+    same tier (both compute f32 on the same bf16-rounded projections)."""
+    import dataclasses
+
+    from gatv2_tpu.ops.sell_attention import setup_full_graph_sell
+    from gatv2_tpu.parallel.partition import (
+        halo_exchange_plan,
+        prepare_partitioned_sell_tiles,
+    )
+    from gatv2_tpu.parallel.sharded import (
+        device_put_params,
+        make_sharded_loss_fn,
+    )
+
+    g = learnable_graph
+    config = dataclasses.replace(_cfg(g), streams="bf16")
+    params = init_params(config, jax.random.PRNGKey(3))
+
+    st, feats_np, labels_np, num_valid = setup_full_graph_sell(g)
+    ref = jax.value_and_grad(
+        lambda p: loss_fn(
+            p, jnp.asarray(feats_np), jnp.zeros(1, jnp.int32),
+            jnp.zeros(1, jnp.int32), jnp.asarray(labels_np), config,
+            impl="sell", edge_tiles=st, num_valid=num_valid,
+        )[0]
+    )(params)
+
+    mesh = make_mesh(4)
+    pg = partition_graph(g, 4)
+    plan = halo_exchange_plan(pg)
+    if plan is not None and plan.halo_size >= pg.padded_num_nodes:
+        plan = None
+    tiles = prepare_partitioned_sell_tiles(pg, halo_plan=plan)
+    feats, src, dst_l, labels = device_put_partitioned(pg, mesh)
+    params_sh = device_put_params(params, config, mesh)
+    sharded_loss = make_sharded_loss_fn(
+        config, mesh, pg.num_real_nodes, impl="sell", edge_tiles=tiles,
+        halo_plan=plan, interpret=True,
+    )
+    loss_sh, grads_sh = jax.jit(jax.value_and_grad(
+        lambda p: sharded_loss(p, feats, src, dst_l, labels)[0]
+    ))(params_sh)
+    assert float(loss_sh) == pytest.approx(float(ref[0]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(ref[1]), jax.tree.leaves(grads_sh)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-6
+        )
