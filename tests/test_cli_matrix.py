@@ -38,6 +38,7 @@ def run(argv):
         ["--variant", "node", "--impl", "sell"],
         ["--precision", "high"],
         ["--precision", "high", "--impl", "sell"],
+        ["--streams", "bf16", "--impl", "sell"],
         ["--remat", "--impl", "sell"],
         ["--clip"],
         ["--mesh", "2"],
@@ -58,7 +59,8 @@ def run(argv):
     ],
     ids=[
         "xla", "pallas", "sell", "node-variant", "node-pallas", "node-sell",
-        "precision-high", "precision-high-sell", "remat-sell",
+        "precision-high", "precision-high-sell", "streams-bf16-sell",
+        "remat-sell",
         "clip", "mesh", "mesh-pallas", "mesh-sell",
         "mesh-overlap", "mesh-pallas-overlap", "mesh-sell-overlap",
         "minibatch", "minibatch-host-feats", "minibatch-pallas",
@@ -73,14 +75,14 @@ def test_flag_matrix(extra, capsys):
     assert "Final Test Accuracy:" in out
 
 
-def test_sell_rejects_minibatch():
-    """impl=sell is full-graph only (single-device or --mesh); minibatch
-    modes must fail loudly, not silently fall back."""
-    with pytest.raises(SystemExit):
-        train_main.main(
-            BASE + ["--impl", "sell", "--batch-size", "8",
-                    "--fanouts", "4,4"]
-        )
+def test_sell_minibatch_trains(capsys):
+    """impl=sell covers minibatch mode since round 5 (per-batch
+    fixed-geometry layouts, one compiled step): the combination the CLI
+    used to reject now trains end-to-end with exact test eval."""
+    run(BASE + ["--impl", "sell", "--batch-size", "8", "--fanouts", "4,4",
+                "--sampler-engine", "python"])
+    out = capsys.readouterr().out
+    assert "Final Test Accuracy" in out
 
 
 def test_checkpoint_resume_with_mesh(tmp_path, capsys):
