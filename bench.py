@@ -50,6 +50,11 @@ CONFIGS = {
     # configs above flatter layouts that pad per-slice; SELL handles hubs
     # by virtual-row splitting, measured here)
     "arxiv-pl": (169343, 1166243, 128, 40, 3, (4, 1, 1), (64, 32, 16)),
+    # the same hub-heavy profile at FULL Products scale: virtual-row
+    # splitting + chunking + remat together on 61.9M edges
+    "products-full-pl": (
+        2449029, 61859140, 100, 47, 3, (2, 1, 1), (64, 32, 16)
+    ),
 }
 
 
