@@ -1418,17 +1418,22 @@ def _sell_segsum(c1s, col_off, cnt, t, *, hd, interpret):
 
 
 def _chunk_rows_low_mem_for(st: "SellTiles", hd: int) -> bool:
-    """Row-operand strategy for the CHUNKED paths — a measured
-    memory/speed tradeoff:
+    """Row-operand strategy for the CHUNKED paths — a memory knob:
 
     False (fast): pre-permute full-row-space copies of the dst-row
     operands (zd, g, sigma_r) and the src-side zs before the chunk scan
-    — one big gather each, reshaped per chunk. Measured 979 vs 1122 ms
-    at products-sub (SWEEP_R4).
+    — one big gather each, reshaped per chunk.
     True (low-mem): gather each operand per chunk inside the scan body
     (O(rows/G) live). Required at products-full scale, where the four
     full-row copies (~5 GB at hd=128) pushed peak HBM to 15.82 GB of
     15.75 GB (the SWEEP_R4 products-full-sell OOM).
+
+    Measured round 5 (SWEEP_R5_BASE): the two modes are throughput-
+    IDENTICAL at products-sub (1122 vs 1126 ms) — the row operands are
+    O(rows), dwarfed by the O(E) edge streams — so this purely trades
+    HBM headroom. (Round 4's 979-vs-1122 attribution to this knob was
+    wrong; the real cause was phase 2b's edge-space concat, fixed by the
+    split-stream kernels.)
 
     Condition: the pre-permuted set (2 hd-wide + one 128-wide dst-side
     tables + 1 hd-wide src-side) must fit the same edge-temporary budget
