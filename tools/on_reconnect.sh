@@ -1,6 +1,6 @@
 #!/bin/bash
 # Armed runner: the moment the axon tunnel answers, run the real-chip gate
-# (tpu_smoke), then the full round-3 sweep. If the smoke fails — exactly
+# (tpu_smoke), then the full current-round sweep. If the smoke fails — exactly
 # what it exists to catch (e.g. a SELL kernel failing Mosaic lowering on
 # the real chip) — the sweep still runs but SKIPS the *-sell legs instead
 # of burning hours of chip time on invalid A/B rows.
@@ -28,5 +28,5 @@ if [ $smoke_rc -ne 0 ]; then
     exit 1
   fi
 fi
-timeout 36000 python tools/run_sweep.py --tile-study $extra --out /root/repo/SWEEP_R3.jsonl > /tmp/reconnect_sweep.log 2>&1
+timeout 36000 python tools/run_sweep.py --tile-study $extra --out /root/repo/SWEEP_R5.jsonl > /tmp/reconnect_sweep.log 2>&1
 echo "sweep rc=$? $(date)" >> /tmp/reconnect_main.log
